@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Protocol (BASELINE.md): one discarded warm-up run per query, then the
+median of 3 timed runs; results are fully consumed via a count+collect of
+a bounded head, never a full driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from distributed_query_engine_spark.registry import all_queries
+from distributed_query_engine_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "flagship",
+    "join_inner_equi",
+    "join_broadcast",
+    "agg_count_distinct",
+    "topk_per_group",
+    "agg_rollup",
+    "join_asof_event",
+    "dedup_exact",
+]
+
+
+def run_once(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # Force full execution without shipping the whole result to the driver.
+    n = df.count()
+    assert n >= 0
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="dqe-bench")
+    queries = all_queries()
+    names = [n for n in BENCH_QUERIES if n in queries]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        run_once(fn, spark, sf_dir)  # discarded warm-up
+        timings[name] = round(statistics.median(run_once(fn, spark, sf_dir) for _ in range(3)), 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
