@@ -1,0 +1,236 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard (north-star ops from BASELINE.json; no reference evidence — the
+reference's closest analog is its nested-collection model, diff:227).
+
+Design for 100 TB:
+
+- Everything is DataFrame ops — shuffles land on (token), (doc_id), or
+  (band_key); no ``collect()``, no driver loops.
+- Hashing is deterministic integer arithmetic mod a 31-bit prime, so the
+  whole pipeline (signatures, bands, candidate pairs) is reproducible in
+  any engine — which is what makes an exact SQL oracle possible.
+- The token dictionary here is a global ``row_number`` over the distinct
+  vocabulary (exact oracle parity needs identical token ids in both
+  engines). At corpus scale you would replace the dictionary with
+  ``xxhash64(token)`` — collision-negligible 64-bit ids, no global sort —
+  without touching the rest of the pipeline; the dictionary variant is
+  kept because the oracle must reproduce ids arithmetically.
+- Candidate verification (exact Jaccard) runs only on LSH candidates:
+  the quadratic blow-up is confined to near-duplicate buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def hash_params(i: int) -> tuple[int, int]:
+    """Fixed affine hash h_i(t) = (a_i * t + b_i) mod P. Products stay
+    below 2^63 for any 31-bit token id."""
+    return 1_000_003 * (i + 1) % P, (12_345 + 769 * i) % P
+
+
+def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, token) pairs, distinct per doc (set semantics for Jaccard)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+
+
+def token_ids(tokens: DataFrame) -> DataFrame:
+    """Global token dictionary: tok → tid (1-based, lexicographic).
+    See module docstring for the xxhash64 variant used at corpus scale."""
+    return (
+        tokens.select("tok")
+        .distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("tok")).cast("long"))
+    )
+
+
+def minhash_signatures(tokens_tid: DataFrame) -> DataFrame:
+    """doc_id → m0..m{N_HASHES-1}: one hash-aggregate pass, map-side
+    partial mins, single shuffle on doc_id."""
+    aggs = []
+    for i in range(N_HASHES):
+        a, b = hash_params(i)
+        aggs.append(F.min((F.col("tid") * a + b) % P).alias(f"m{i}"))
+    return tokens_tid.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """Signature → (doc_id, band, band_key). Band key is the joined
+    minhash values: docs agreeing on all rows of a band collide."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws(",", *cols).alias("band_key"))
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Self-join on (band, band_key) → distinct (doc_a < doc_b) pairs.
+    The shuffle key is the band key, so only colliding docs meet."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, tokens: DataFrame) -> DataFrame:
+    """Exact set-Jaccard for given pairs from the (doc, tok) relation.
+    |A∩B| via a token-keyed join restricted to candidate pairs; division
+    of small exact ints → deterministic double."""
+    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = tokens.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tokens.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_tok": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_tok": "n_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Full pipeline: tokenize → dictionary → signatures → bands →
+    candidates → exact-Jaccard verify. Returns (doc_a, doc_b, jaccard,
+    is_dup)."""
+    tokens = tokenize(docs)
+    dict_df = token_ids(tokens)
+    tokens_tid = tokens.join(F.broadcast(dict_df), "tok").select("doc_id", "tid")
+    sigs = minhash_signatures(tokens_tid)
+    pairs = candidate_pairs(lsh_bands(sigs))
+    return exact_jaccard(pairs, tokens).select(
+        "doc_a", "doc_b", "jaccard", (F.col("jaccard") >= threshold).alias("is_dup")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 32  # keeps every intermediate in int64 comfortably
+
+
+def simhash_expr_terms() -> list[Column]:
+    """Per-bit majority terms over h(tid) = (a*tid+b) mod P with the
+    i=0 hash: s_j = sum over tokens of ±1 by bit j."""
+    a, b = hash_params(0)
+    h = (F.col("tid") * a + b) % P
+    return [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """doc_id → 32-bit simhash (bit j set iff the weighted bit-majority
+    is positive; ties → 0, so the value is deterministic)."""
+    tokens = tokenize(docs)
+    dict_df = token_ids(tokens)
+    tokens_tid = tokens.join(F.broadcast(dict_df), "tok").select("doc_id", "tid")
+    sums = tokens_tid.groupBy("doc_id").agg(*simhash_expr_terms())
+    sh = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, 1 << j).otherwise(0).cast("long")
+        sh = term if sh is None else sh + term
+    return sums.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate pairs by simhash: block on the top 16 bits (a real
+    LSH — Hamming-close hashes usually share the prefix), then verify
+    bit_count(xor) within blocks. One shuffle on the prefix."""
+    sh = simhash(docs)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        F.shiftright("simhash", 16).alias("prefix"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        F.shiftright("simhash", 16).alias("prefix"),
+    )
+    return (
+        a.join(b, "prefix")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- n-gram Jaccard --------------------------------------------------------
+
+
+def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, ngram) distinct word n-grams via a sequence transform —
+    JVM-side, no Python."""
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + k) for k in range(n)]
+        ),
+    )
+    # Guard: Spark's sequence(1, k) runs DESCENDING for k < 1 (it would
+    # fabricate grams for sub-n-word docs); emit an empty set instead.
+    safe = F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(safe)).alias("tok")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Exact word-bigram Jaccard within cheap blocks (lang, first token):
+    the blocking keeps the pair space near-linear while catching
+    shared-prefix near-duplicates; exact Jaccard verifies."""
+    first_tok = F.element_at(F.split(F.col("text"), " "), 1)
+    keyed = docs.select(
+        "doc_id", F.concat_ws("|", F.col("lang"), first_tok).alias("blk")
+    )
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "blk")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), "blk")
+    pairs = (
+        a.join(b, "blk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    )
+    grams = word_ngrams(docs, 2)
+    return exact_jaccard(pairs, grams).select(
+        "doc_a", "doc_b", "jaccard", (F.col("jaccard") >= threshold).alias("is_dup")
+    )

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns: exact top-k (baseline) and
+LSH-bucketed ANN (the scale path), plus cosine near-duplicate pairs.
+
+All cosine math goes through the fixed-point integer scaling in
+:mod:`distributed_query_engine_spark.functions.vectors` — exact,
+order-independent, hence oracle-reproducible (see that module's
+docstring).
+
+100 TB design notes:
+
+- Exact top-k: broadcast the (small) query set, per-partition partial
+  top-k via the window rank — the corpus never shuffles; cost is one
+  scan × |queries| vector ops.
+- ANN: random-hyperplane LSH — hyperplane weights are *arithmetically
+  defined* (deterministic ±1 from a mod-prime mix of (plane, dim)), so
+  bucket assignment is reproducible anywhere. The corpus shuffles once
+  on bucket id; queries probe only their bucket. Recall/cost is tuned by
+  N_PLANES (buckets = 2^N_PLANES).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from distributed_query_engine_spark.functions.vectors import (
+    cosine_from_ints,
+    dot_long,
+    int_vec,
+    norm_sq_long,
+)
+
+N_PLANES = 8
+MIX = 2_654_435_761  # Knuth multiplicative constant
+M32 = 1 << 32
+
+
+def plane_sign(j, d):
+    """Deterministic ±1 weight for hyperplane j, dimension d (Column
+    in, Column out): sign of a 32-bit multiplicative mix."""
+    mixed = ((j * 64 + d + 1) * MIX) % M32
+    return F.when(mixed < M32 // 2, 1).otherwise(-1)
+
+
+def with_int_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("ivec", int_vec(vec_col)).withColumn(
+        "nsq", norm_sq_long(F.col("ivec"))
+    )
+
+
+def lsh_bucket(df: DataFrame) -> DataFrame:
+    """Add an int bucket id: bit j = sign(v · h_j) over the exploded
+    (vec, dim) relation — one groupBy per vector, all integer-exact."""
+    exploded = df.select(
+        "vec_id", F.posexplode("ivec").alias("d", "x")
+    )
+    planes = exploded.select(
+        "vec_id",
+        "d",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j"),
+    )
+    dots = (
+        planes.withColumn("w", plane_sign(F.col("j"), F.col("d")))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("pdot"))
+    )
+    buckets = dots.groupBy("vec_id").agg(
+        F.sum(
+            # shiftleft with a Column shift amount needs the SQL form
+            F.when(F.col("pdot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    return df.join(buckets, "vec_id")
+
+
+def topk_cosine(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force cosine top-k for the given query vec_ids.
+    Deterministic tiebreak on candidate vec_id."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ivec").alias("q_ivec"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_from_ints(
+                dot_long(F.col("q_ivec"), F.col("ivec")),
+                F.col("q_nsq"),
+                F.col("nsq"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )
+
+
+def topk_cosine_ann(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """LSH-bucketed ANN top-k: candidates restricted to the query's own
+    hyperplane bucket. Approximate (may miss cross-bucket neighbors) but
+    every step is deterministic, so results are still oracle-exact."""
+    base = lsh_bucket(with_int_vec(emb).select("vec_id", "ivec", "nsq"))
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ivec").alias("q_ivec"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_from_ints(
+                dot_long(F.col("q_ivec"), F.col("ivec")),
+                F.col("q_nsq"),
+                F.col("nsq"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )
+
+
+def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """Embedding near-duplicate pairs, blocked by the label column (the
+    cheap pre-cluster): exact cosine within blocks, (a < b) ordering."""
+    base = with_int_vec(emb).select("vec_id", "label", "ivec", "nsq")
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("ivec").alias("ivec_a"), F.col("nsq").alias("nsq_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), "label",
+        F.col("ivec").alias("ivec_b"), F.col("nsq").alias("nsq_b"),
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            cosine_from_ints(
+                dot_long(F.col("ivec_a"), F.col("ivec_b")),
+                F.col("nsq_a"),
+                F.col("nsq_b"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,503 @@
+"""LLM-training-data pipeline queries (BASELINE.json north star):
+text analysis, fingerprinting, four dedup families, similarity search,
+multimodal plumbing — over the driver's ``documents`` / ``embeddings``
+tables.
+
+Every fuzzy operator here (MinHash, SimHash, LSH buckets, cosine) is
+built on deterministic integer arithmetic (see operators/dedup.py and
+functions/vectors.py), which is why each has an EXACT DuckDB oracle —
+the oracle replays the same arithmetic in SQL rather than settling for a
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_query_engine_spark.catalog import Tables
+from distributed_query_engine_spark.functions import text as T
+from distributed_query_engine_spark.functions.vectors import SCALE
+from distributed_query_engine_spark.operators import dedup as D
+from distributed_query_engine_spark.operators import similarity as S
+from distributed_query_engine_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Shared oracle-SQL fragments (mirror the Python specs arithmetically)
+# ---------------------------------------------------------------------------
+
+_TOKENS_CTE = """
+tokens AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+dict AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT tok FROM tokens)
+),
+tt AS (SELECT t.doc_id, d.tid FROM tokens t JOIN dict d USING (tok))
+"""
+
+_SIG_EXPRS = ", ".join(
+    f"min((tid*{a}+{b})%{D.P}) AS m{i}"
+    for i, (a, b) in ((i, D.hash_params(i)) for i in range(D.N_HASHES))
+)
+
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS band_key FROM sigs".format(
+        b=b,
+        cols=", ".join(f"m{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)),
+    )
+    for b in range(D.N_BANDS)
+)
+
+
+def _jaccard_tail(threshold: float, token_rel: str = "tokens") -> str:
+    return f"""
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM {token_rel} GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN {token_rel} ta ON ta.doc_id = c.doc_a
+  JOIN {token_rel} tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE)
+         / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) AS jaccard,
+       (CAST(i.n_inter AS DOUBLE)
+         / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE)) >= {threshold} AS is_dup
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+
+_IVEC_CTE = f"""
+iv AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS ivec
+  FROM embeddings
+),
+nv AS (
+  SELECT vec_id, label, ivec,
+         list_dot_product(ivec, ivec) AS nsq
+  FROM iv
+)
+"""
+
+
+def _sql_lang_hits(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+    return (
+        "len(list_intersect(list_distinct(string_split(text, ' ')), "
+        f"[{markers}]))"
+    )
+
+
+def _sql_lang_predict() -> str:
+    whens = []
+    for idx, lg in enumerate(T.LANG_ORDER):
+        conds = []
+        for jdx, other in enumerate(T.LANG_ORDER):
+            if other == lg:
+                continue
+            op = ">" if jdx < idx else ">="
+            conds.append(f"h_{lg} {op} h_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{T.LANG_ORDER[0]}' END"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           length(text) AS n_chars_calc,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS mean_tok_len
+    FROM documents
+    """,
+)
+def llm_text_stats(spark, sf_dir):
+    d = Tables(spark, sf_dir).documents
+    w = T.words(F.col("text"))
+    n_tok = F.size(w).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            (F.length("text").cast("long") - (n_tok - 1)).cast("double")
+            / n_tok.cast("double"),
+            9,
+        ).alias("mean_tok_len"),
+    )
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {_sql_lang_hits('en')} AS h_en, {_sql_lang_hits('es')} AS h_es,
+           {_sql_lang_hits('de')} AS h_de, {_sql_lang_hits('fr')} AS h_fr,
+           {_sql_lang_hits('zh')} AS h_zh,
+           {_sql_lang_predict()} AS predicted
+    FROM (SELECT doc_id, lang, text,
+                 {_sql_lang_hits('en')} AS h_en, {_sql_lang_hits('es')} AS h_es,
+                 {_sql_lang_hits('de')} AS h_de, {_sql_lang_hits('fr')} AS h_fr,
+                 {_sql_lang_hits('zh')} AS h_zh
+          FROM documents)
+    """,
+)
+def llm_lang_id(spark, sf_dir):
+    # Marker-stopword language ID (the n-gram-heuristic family): emit the
+    # per-language evidence AND the deterministic argmax.
+    d = Tables(spark, sf_dir).documents
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        T.lang_hits(t, "en").alias("h_en"),
+        T.lang_hits(t, "es").alias("h_es"),
+        T.lang_hits(t, "de").alias("h_de"),
+        T.lang_hits(t, "fr").alias("h_fr"),
+        T.lang_hits(t, "zh").alias("h_zh"),
+        T.lang_predict(t).alias("predicted"),
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle="""
+    SELECT doc_id,
+           round((
+             (CASE WHEN length(text) >= 100 AND length(text) <= 1000
+                   THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN
+                  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+                    / CAST(len(string_split(text,' ')) AS DOUBLE) >= 3.0
+                 AND
+                  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+                    / CAST(len(string_split(text,' ')) AS DOUBLE) <= 10.0
+                 THEN 1.0 ELSE 0.0 END)
+             + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE)
+           ) / 3.0, 9) AS quality
+    FROM documents
+    """,
+)
+def llm_quality_score(spark, sf_dir):
+    d = Tables(spark, sf_dir).documents
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "llm_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0))
+             AS n_bpe_ish_tokens
+    FROM documents
+    """,
+)
+def llm_token_count(spark, sf_dir):
+    d = Tables(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        T.token_count_bpe_ish(F.col("text")).alias("n_bpe_ish_tokens"),
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp_full,
+           md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' '))
+             AS fp_prefix
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark, sf_dir):
+    d = Tables(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp_full"),
+        T.fingerprint_prefix(F.col("text"), 5).alias("fp_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' '))
+             AS fp_prefix,
+           min(doc_id) AS keep_doc,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def llm_dedup_exact(spark, sf_dir):
+    # Hash-groupBy dedup: one shuffle on the fingerprint, deterministic
+    # keeper (min doc_id). Keyed on the prefix fingerprint because the
+    # synthetic corpus has no full-text duplicates (it does have
+    # shared-prefix near-dups).
+    d = Tables(spark, sf_dir).documents
+    return (
+        d.select("doc_id", T.fingerprint_prefix(F.col("text"), 5).alias("fp_prefix"))
+        .groupBy("fp_prefix")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "llm_dedup_minhash",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    {_jaccard_tail(0.5)}
+    """,
+)
+def llm_dedup_minhash(spark, sf_dir):
+    d = Tables(spark, sf_dir).documents
+    return D.minhash_dedup_pairs(d, threshold=0.5)
+
+
+_SIMHASH_A, _SIMHASH_B = D.hash_params(0)
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN (((tid*{_SIMHASH_A}+{_SIMHASH_B})%{D.P}) >> {j}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(D.SIMHASH_BITS)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(D.SIMHASH_BITS)
+)
+
+
+@query(
+    "llm_dedup_simhash",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tt GROUP BY doc_id),
+    sh AS (SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM sums)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b
+      ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def llm_dedup_simhash(spark, sf_dir):
+    d = Tables(spark, sf_dir).documents
+    return D.simhash_near_pairs(d, max_hamming=6)
+
+
+@query(
+    "llm_dedup_ngram",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, len(string_split(text,' ')) - 1),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             ))) AS tok
+      FROM documents
+    ),
+    blk AS (
+      SELECT doc_id, lang || '|' || string_split(text,' ')[1] AS blk
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN grams ta ON ta.doc_id = c.doc_a
+      JOIN grams tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) AS jaccard,
+           (CAST(i.n_inter AS DOUBLE)
+             / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE)) >= 0.3 AS is_dup
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+)
+def llm_dedup_ngram(spark, sf_dir):
+    d = Tables(spark, sf_dir).documents
+    return D.ngram_jaccard_pairs(d, threshold=0.3)
+
+
+@query(
+    "llm_dedup_embcos",
+    oracle=f"""
+    WITH {_IVEC_CTE}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           list_dot_product(a.ivec, b.ivec)
+             / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+    FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.ivec, b.ivec)
+             / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.35
+    """,
+)
+def llm_dedup_embcos(spark, sf_dir):
+    e = Tables(spark, sf_dir).embeddings
+    return S.cosine_near_dup_pairs(e, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@query(
+    "llm_similarity_topk",
+    oracle=f"""
+    WITH {_IVEC_CTE},
+    q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
+          FROM nv WHERE vec_id IN (0,1,2,3,4)),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             list_dot_product(q.q_ivec, c.ivec)
+               / (sqrt(CAST(q.q_nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+               AS cosine
+      FROM q, nv c WHERE c.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, cosine, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def llm_similarity_topk(spark, sf_dir):
+    e = Tables(spark, sf_dir).embeddings
+    return S.topk_cosine(e, _QUERY_IDS, k=5)
+
+
+@query(
+    "llm_similarity_ann_lsh",
+    oracle=f"""
+    WITH {_IVEC_CTE},
+    ex AS (
+      SELECT vec_id, g.d, ivec[CAST(g.d AS INT) + 1] AS x
+      FROM nv, generate_series(0, 63) g(d)
+    ),
+    pdots AS (
+      SELECT vec_id, p.j,
+             sum(x * (CASE WHEN ((p.j*64 + d + 1) * {S.MIX}) % {S.M32}
+                           < {S.M32 // 2} THEN 1 ELSE -1 END)) AS pdot
+      FROM ex, generate_series(0, {S.N_PLANES - 1}) p(j)
+      GROUP BY vec_id, p.j
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN pdot > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM pdots GROUP BY vec_id
+    ),
+    nb AS (SELECT nv.vec_id, nv.ivec, nv.nsq, b.bucket
+           FROM nv JOIN buckets b USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq, bucket AS q_bucket
+          FROM nb WHERE vec_id IN (0,1,2,3,4)),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             list_dot_product(q.q_ivec, c.ivec)
+               / (sqrt(CAST(q.q_nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+               AS cosine
+      FROM q JOIN nb c ON c.bucket = q.q_bucket AND c.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, cosine, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def llm_similarity_ann_lsh(spark, sf_dir):
+    e = Tables(spark, sf_dir).embeddings
+    return S.topk_cosine_ann(e, _QUERY_IDS, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_multimodal_columns",
+    oracle="""
+    WITH cs AS (
+      SELECT doc_id, sum(ascii(substring(text, CAST(i AS INT), 1))) AS checksum16
+      FROM documents, generate_series(1, 16) t(i)
+      WHERE CAST(i AS BIGINT) <= length(text)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           octet_length(encode(d.text)) AS byte_len,
+           cs.checksum16
+    FROM documents d JOIN cs USING (doc_id)
+    """,
+)
+def llm_multimodal_columns(spark, sf_dir):
+    """Multimodal column plumbing: an opaque binary payload + typed
+    metadata, feature-extracted by an Arrow-batched ``mapInPandas``. The
+    payload here is utf-8 text bytes standing in for image/audio blobs
+    (decode libs are absent in this container — see
+    operators/multimodal.py for the gated real-decode stubs); the
+    Spark-side schema, batching, and UDF signature are the real thing."""
+    import pandas as pd
+
+    d = Tables(spark, sf_dir).documents
+    with_blob = d.select(
+        "doc_id",
+        "lang",
+        F.encode(F.col("text"), "utf-8").alias("blob"),
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "byte_len": blobs.map(len).astype("int64"),
+                    "checksum16": blobs.map(lambda b: int(sum(b[:16]))).astype("int64"),
+                }
+            )
+
+    return with_blob.mapInPandas(
+        extract, "doc_id long, lang string, byte_len long, checksum16 long"
+    )

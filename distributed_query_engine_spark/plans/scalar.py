@@ -1,0 +1,258 @@
+"""Scalar function families (SURVEY.md §2.3): string, date, math,
+conditional, cast, array, map, JSON.
+
+Reference parity: the reference evidences the *types* these operate on
+(numeric tower diff:213-217, date/time/timestamp diff:220-222, strings
+with ICU diff:313-314, nested collections diff:227, Jackson/JSON
+diff:8,11) — the function surface itself is RAW-QL/Spark-parity [P].
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; no Python on the hot path.
+
+Cross-engine type notes (so the driver's schema check passes):
+Spark's length/year/month/datediff/size return INT where DuckDB returns
+BIGINT → Spark results are cast to long. DuckDB's floor/ceil on DOUBLE
+return DOUBLE where Spark returns BIGINT → oracle casts to BIGINT.
+DuckDB ``CAST(double AS INT)`` *rounds* while Spark *truncates* → oracle
+uses ``CAST(trunc(x) AS INT)`` to pin truncation semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_query_engine_spark.catalog import Tables
+from distributed_query_engine_spark.registry import query
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_name) AS name_lower,
+           substring(c_name, 10, 9) AS cust_num,
+           length(c_name) AS name_len,
+           concat_ws('-', c_mktsegment, c_name) AS seg_name,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           regexp_extract(c_name, '#(\\d+)', 1) AS extracted,
+           regexp_replace(c_name, '0', 'X', 'g') AS replaced,
+           trim(concat(' ', c_mktsegment, ' ')) AS trimmed,
+           string_split(c_name, '#') AS parts
+    FROM customer
+    """,
+)
+def scalar_string(spark, sf_dir):
+    c = Tables(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 10, 9).alias("cust_num"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.regexp_extract("c_name", r"#(\d+)", 1).alias("extracted"),
+        F.regexp_replace("c_name", "0", "X").alias("replaced"),
+        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
+        F.split("c_name", "#").alias("parts"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mon,
+           day(o_orderdate) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch0,
+           o_orderdate + INTERVAL 7 DAY AS plus_week,
+           CAST(o_orderdate AS DATE) AS as_date,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
+    FROM orders
+    """,
+)
+def scalar_date(spark, sf_dir):
+    o = Tables(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch0"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("plus_week"),
+        F.to_date("o_orderdate").alias("as_date"),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 2) AS rounded,
+           CAST(floor(o_totalprice) AS BIGINT) AS floored,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ceiled,
+           abs(o_totalprice - 100000.0) AS dist,
+           sqrt(o_totalprice) AS root,
+           round(ln(o_totalprice), 9) AS log_e,
+           mod(o_orderkey, 97) AS key_mod,
+           o_totalprice * o_totalprice AS squared
+    FROM orders
+    """,
+)
+def scalar_math(spark, sf_dir):
+    # sqrt is IEEE-exact (safe to compare raw); ln may differ by 1 ulp
+    # between libm and the JVM → rounded to 9 decimals on both sides.
+    o = Tables(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("rounded"),
+        F.floor("o_totalprice").alias("floored"),
+        F.ceil("o_totalprice").alias("ceiled"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("dist"),
+        F.sqrt("o_totalprice").alias("root"),
+        F.round(F.log(F.col("o_totalprice")), 9).alias("log_e"),
+        (F.col("o_orderkey") % 97).alias("key_mod"),
+        (F.col("o_totalprice") * F.col("o_totalprice")).alias("squared"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 100000 THEN 'big'
+                WHEN o_totalprice > 10000 THEN 'mid'
+                ELSE 'small' END AS size_bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           least(o_totalprice, 50000.0) AS capped,
+           greatest(o_totalprice, 50000.0) AS floored_at
+    FROM orders
+    """,
+)
+def scalar_conditional(spark, sf_dir):
+    o = Tables(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 100000, "big")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("small")
+        .alias("size_bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.least("o_totalprice", F.lit(50000.0)).alias("capped"),
+        F.greatest("o_totalprice", F.lit(50000.0)).alias("floored_at"),
+    )
+
+
+@query(
+    "scalar_cast",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS line_long,
+           CAST(l_orderkey AS DOUBLE) AS key_double,
+           CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(mod(l_linenumber, 2) AS BOOLEAN) AS odd_line,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
+    FROM lineitem
+    """,
+)
+def scalar_cast(spark, sf_dir):
+    # Spark CAST(double AS INT) truncates toward zero; DuckDB's rounds —
+    # the oracle pins truncation with CAST(trunc(x) AS INT).
+    l = Tables(spark, sf_dir).lineitem
+    return l.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("line_long"),
+        F.col("l_orderkey").cast("double").alias("key_double"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        (F.col("l_linenumber") % 2).cast("boolean").alias("odd_line"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
+    )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           list_slice(string_split(text, ' '), 1, 3) AS first3,
+           string_split(text, ' ')[1] AS first_word,
+           string_split(text, ' ')[-1] AS last_word,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           list_sort(list_distinct(string_split(text, ' '))) AS vocab
+    FROM documents
+    """,
+)
+def scalar_array(spark, sf_dir):
+    # Nested-collection scalars (RAW's collection values, diff:227/:287):
+    # split → array column, then size/slice/element_at/contains/distinct.
+    d = Tables(spark, sf_dir).documents
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.slice(words, 1, 3).alias("first3"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.sort_array(F.array_distinct(words)).alias("vocab"),
+    )
+
+
+@query(
+    "scalar_map",
+    oracle="""
+    SELECT event_id,
+           list_sort(map_keys(map(['type', 'bucket'],
+               [event_type, CAST(mod(user_id, 10) AS VARCHAR)]))) AS keys_sorted,
+           map(['type', 'bucket'],
+               [event_type, CAST(mod(user_id, 10) AS VARCHAR)])['type'][1] AS type_val
+    FROM events
+    """,
+)
+def scalar_map(spark, sf_dir):
+    e = Tables(spark, sf_dir).events
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("bucket"), (F.col("user_id") % 10).cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(m, "type").alias("type_val"),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+           CAST(to_json(struct_pack(t := event_type)) AS VARCHAR) AS packed
+    FROM events
+    """,
+)
+def scalar_json(spark, sf_dir):
+    # Schema-on-read over a JSON string column (the reference's
+    # Jackson-everywhere surface, diff:8,11): extract as string, parse to
+    # a typed struct, and re-serialize.
+    e = Tables(spark, sf_dir).events
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k long").getField("k").alias("k_num"),
+        F.to_json(F.struct(F.col("event_type").alias("t"))).alias("packed"),
+    )

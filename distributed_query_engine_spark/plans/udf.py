@@ -1,0 +1,135 @@
+"""Python UDF surface (SURVEY.md §2.3): the four tiers, slowest to
+fastest, each with an oracle where the computation is SQL-expressible so
+the UDF machinery itself is what's being validated.
+
+100 TB guidance encoded here: row-at-a-time ``@udf`` exists for API
+completeness but the library position is that hot paths use built-ins
+first, then Arrow-batched ``@pandas_udf`` (10-100× less serialization
+overhead), then ``applyInPandas`` for whole-group logic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+from pyspark.sql.types import StringType
+
+from distributed_query_engine_spark.catalog import Tables
+from distributed_query_engine_spark.registry import query
+
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 100000 THEN 'big'
+                WHEN o_totalprice > 10000 THEN 'mid'
+                ELSE 'small' END AS bucket
+    FROM orders
+    """,
+)
+def udf_python_scalar(spark, sf_dir):
+    # Row-at-a-time Python UDF: one Python call per row, rows pickled
+    # across the JVM↔Python boundary. Correct but the slow path — kept
+    # as the API-parity demo; scalar_conditional is the codegen twin.
+    @udf(returnType=StringType())
+    def bucket(price: float) -> str:
+        if price > 100000:
+            return "big"
+        if price > 10000:
+            return "mid"
+        return "small"
+
+    o = Tables(spark, sf_dir).orders
+    return o.select("o_orderkey", bucket("o_totalprice").alias("bucket"))
+
+
+@query(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+)
+def udf_pandas_vectorized(spark, sf_dir):
+    # Arrow-batched vectorized UDF: whole columns cross the boundary as
+    # Arrow buffers, computation is numpy-vectorized. Same IEEE double
+    # ops as the SQL expression → bit-identical to the oracle.
+    @pandas_udf("double")
+    def revenue(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    l = Tables(spark, sf_dir).lineitem
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue("l_extendedprice", "l_discount").alias("revenue"),
+    )
+
+
+@query(
+    "udaf_pandas_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS cnt,
+           MIN(l_quantity) AS qty_min,
+           MAX(l_quantity) AS qty_max,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped(spark, sf_dir):
+    # Whole-group custom aggregation via applyInPandas: each group
+    # arrives as one pandas DataFrame. Sums are done in integer cents —
+    # order-independent and exact — because a float sum inside pandas
+    # would depend on post-shuffle row order. At 100 TB the caveat is
+    # group size: one group must fit in one executor's memory.
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "cnt": [len(pdf)],
+                "qty_min": [pdf["l_quantity"].min()],
+                "qty_max": [pdf["l_quantity"].max()],
+                "price_cents": [
+                    (pdf["l_extendedprice"] * 100).round().astype("int64").sum()
+                ],
+            }
+        )
+
+    l = Tables(spark, sf_dir).lineitem
+    return l.groupBy("l_returnflag").applyInPandas(
+        agg,
+        "l_returnflag string, cnt long, qty_min double, qty_max double, price_cents long",
+    )
+
+
+@query(
+    "udtf_python",
+    oracle="""
+    SELECT o.o_orderkey, t.seq
+    FROM orders o
+    JOIN (SELECT unnest(generate_series(1, 3)) AS seq) t
+      ON t.seq <= mod(o.o_orderkey, 3) + 1
+    """,
+)
+def udtf_python(spark, sf_dir):
+    # Python UDTF (Spark ≥3.5): one input row → many output rows with a
+    # declared schema (the generator analog of RAW's unnest).
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, seq bigint")
+    class ExpandByKey:
+        def eval(self, o_orderkey: int):
+            for i in range(1, o_orderkey % 3 + 2):
+                yield o_orderkey, i
+
+    o = Tables(spark, sf_dir).orders
+    o.select("o_orderkey").createOrReplaceTempView("_udtf_orders")
+    spark.udtf.register("expand_by_key", ExpandByKey)
+    return spark.sql(
+        "SELECT t.o_orderkey, t.seq FROM _udtf_orders o, "
+        "LATERAL expand_by_key(o.o_orderkey) t"
+    )

@@ -1,0 +1,148 @@
+"""Window functions (SURVEY.md §2.3 — no reference evidence; part of the
+full Spark-grade surface the north star demands).
+
+Scale note: every window here declares a PARTITION BY, so Spark plans one
+shuffle on the partition key and sorts within partitions — the shape that
+survives 100 TB. A window with no PARTITION BY collapses to a single
+partition and is only acceptable on already-reduced data
+(``window_ntile_percent`` documents this).
+
+Cross-engine type discipline: ranking functions return INT in Spark but
+BIGINT in DuckDB — Spark results are cast to long so the driver's schema
+comparison sees identical types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from distributed_query_engine_spark.catalog import Tables
+from distributed_query_engine_spark.functions.deterministic import DEC
+from distributed_query_engine_spark.registry import query
+
+
+@query(
+    "window_rank_rownum_denserank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_rownum_denserank(spark, sf_dir):
+    o = Tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "window_running_sum_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum_frame(spark, sf_dir):
+    # Running sum in exact decimal (see functions/deterministic.py): a
+    # double prefix-sum would accumulate engine-specific rounding.
+    o = Tables(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, event_type, value,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY value
+                          RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)
+             AS peers_within_10
+    FROM events
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    # RANGE frame over a numeric ordering: frame membership is defined by
+    # value distance, so ties are handled identically by any engine (all
+    # peers included) — no tiebreak column needed. The Python
+    # Window.rangeBetween API only accepts integer offsets, so the
+    # fractional-capable SQL frame syntax is used instead.
+    e = Tables(spark, sf_dir).events
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr(
+            "count(*) OVER (PARTITION BY event_type ORDER BY value "
+            "RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)"
+        ).alias("peers_within_10"),
+    )
+
+
+@query(
+    "window_ntile_percent",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_percent(spark, sf_dir):
+    # Unpartitioned window → single-partition sort. Fine here because the
+    # input is a dimension table; for fact-scale data, partition first
+    # (or compute global quantiles via approx_percentile instead).
+    c = Tables(spark, sf_dir).customer
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
