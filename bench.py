@@ -32,6 +32,11 @@ BENCH_QUERIES = [
     "agg_rollup",
     "join_asof_event",
     "dedup_exact",
+    "window_running_sum_frame",
+    "scalar_string",
+    "llm_dedup_minhash",
+    "llm_similarity_topk",
+    "stream_tumbling_window_agg",
 ]
 
 

@@ -97,7 +97,12 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
 def exact_jaccard(pairs: DataFrame, tokens: DataFrame) -> DataFrame:
     """Exact set-Jaccard for given pairs from the (doc, tok) relation.
     |A∩B| via a token-keyed join restricted to candidate pairs; division
-    of small exact ints → deterministic double."""
+    of small exact ints → deterministic double.
+
+    Pairs with an EMPTY intersection are dropped (inner join), not
+    reported as jaccard=0 — a zero-overlap pair is by definition not a
+    near-duplicate, and keeping them would re-inflate the candidate set
+    the blocking just pruned. The SQL oracles share this contract."""
     sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     ta = tokens.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = tokens.select(F.col("doc_id").alias("doc_b"), "tok")

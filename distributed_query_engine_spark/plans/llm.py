@@ -501,3 +501,31 @@ def llm_multimodal_columns(spark, sf_dir):
     return with_blob.mapInPandas(
         extract, "doc_id long, lang string, byte_len long, checksum16 long"
     )
+
+
+@query(
+    "llm_multimodal_resample",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             sum(ascii(substring(text, CAST(i AS INT), 1))) AS sampled_checksum,
+             count(*) AS n_sampled
+      FROM documents, generate_series(1, 64) t(i)
+      WHERE CAST(i AS BIGINT) <= length(text) AND (i - 1) % 2 = 0
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, length(d.text) AS n_bytes, s.n_sampled, s.sampled_checksum
+    FROM documents d JOIN s USING (doc_id)
+    """,
+)
+def llm_multimodal_resample(spark, sf_dir):
+    """Resize / frame-sample plumbing (operators/multimodal.py): stride
+    subsampling of the binary payload through mapInPandas — the tested
+    fake for the PIL/ffmpeg decode that is stubbed in this container."""
+    from distributed_query_engine_spark.operators.multimodal import (
+        stride_resample,
+        with_blob_and_meta,
+    )
+
+    d = Tables(spark, sf_dir).documents
+    return stride_resample(with_blob_and_meta(d), stride=2, limit=64)

@@ -1,0 +1,126 @@
+"""Streaming query registrations. Each runs a genuine readStream →
+writeStream pipeline to completion (AvailableNow) and returns the sink
+table; oracles are the batch-SQL equivalents where the semantics are
+batch-expressible (noted per query otherwise).
+"""
+
+from __future__ import annotations
+
+from distributed_query_engine_spark.functions.deterministic import sql_dsum
+from distributed_query_engine_spark.registry import query
+from distributed_query_engine_spark.streaming import ops
+
+
+@query(
+    "stream_tumbling_window_agg",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS cnt,
+           {sql_dsum('value')} AS value_sum
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_window_agg(spark, sf_dir):
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(
+        ops.tumbling_window_agg(ev), "mem_tumbling", "complete"
+    )
+
+
+@query(
+    "stream_sliding_window_agg",
+    oracle="""
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+               - CAST(k AS INT) * INTERVAL 30 MINUTE AS window_start,
+             ts
+      FROM events, (VALUES (0), (1)) offs(k)
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS cnt
+    FROM slid
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window_agg(spark, sf_dir):
+    # Each event belongs to the two 1h/30min windows covering it; the
+    # oracle replays that expansion with an explicit offset join.
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(
+        ops.sliding_window_agg(ev), "mem_sliding", "complete"
+    )
+
+
+@query(
+    "stream_session_window_agg",
+    oracle="""
+    WITH lagd AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+      FROM events
+    ),
+    marks AS (
+      SELECT user_id, ts,
+             CASE WHEN pts IS NULL OR ts - pts > INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM lagd
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window_agg(spark, sf_dir):
+    # Session semantics (end = last event + gap) equal the classic
+    # gaps-and-islands batch rewrite the oracle uses.
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(
+        ops.session_window_agg(ev), "mem_session", "complete"
+    )
+
+
+@query("stream_watermark_late_data")  # no oracle: output depends on
+# watermark progression across micro-batches (append emits only windows
+# the watermark passed); rows-only check by design.
+def stream_watermark_late_data(spark, sf_dir):
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(
+        ops.watermark_window_agg(ev), "mem_watermark", "append"
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark, sf_dir):
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(ops.stream_dedup_keys(ev), "mem_dedup", "append")
+
+
+@query(
+    "stream_stateful_custom",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_custom(spark, sf_dir):
+    # applyInPandasWithState over one AvailableNow pass ≡ the grouped
+    # batch aggregate — which is exactly what the oracle states.
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(
+        ops.stateful_user_stats(ev), "mem_stateful", "update"
+    )

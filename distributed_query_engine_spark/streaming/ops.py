@@ -1,0 +1,176 @@
+"""Structured Streaming operators (SURVEY.md §2.3 streaming block; no
+reference evidence — north-star Spark-parity surface).
+
+Test/driver harness strategy (SURVEY.md §5): each operator is a real
+``readStream`` → transform → ``writeStream`` pipeline run with
+``Trigger.AvailableNow`` against the events parquet, landing in a memory
+sink; the function returns the sink table as a DataFrame. Semantics that
+are batch-expressible (tumbling/sliding/session windows, dedup) get exact
+DuckDB oracles; watermark-dependent output is checked rows-only.
+
+At production scale the same pipelines run against Kafka/file sources
+with RocksDB state stores; nothing here depends on the micro-harness —
+watermarks, output modes, and state logic are the real APIs.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TMP = Path(__file__).resolve().parent.parent.parent / ".tmp"
+
+# events.parquet carries TIMESTAMP(NANOS); the streaming source needs an
+# explicit schema, so we read ts as raw ns int64 and convert — same
+# truncation contract as catalog.read_parquet_table.
+_EVENTS_NS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory*; stage one holding
+    a symlink to the events parquet (no data copy)."""
+    sf = Path(sf_dir).name or "sf"
+    d = _TMP / "stream_src" / sf
+    d.mkdir(parents=True, exist_ok=True)
+    link = d / "events.parquet"
+    if not link.exists():
+        link.symlink_to(Path(sf_dir) / "events.parquet")
+    return str(d)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_NS_SCHEMA)
+        .format("parquet")
+        .load(_stage_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_to_memory(
+    result: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into a
+    memory sink and return the sink table. Fresh checkpoint per run so
+    the query is idempotent across driver invocations."""
+    spark = result.sparkSession
+    ckpt = _TMP / "checkpoints" / name
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_window_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event_type: streaming partial+final
+    agg keyed on (window, type) — the canonical streaming rollup."""
+    from distributed_query_engine_spark.functions.deterministic import dsum
+
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "value_sum"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "value_sum",
+        )
+    )
+
+
+def sliding_window_agg(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in two
+    windows; state size scales with windows-per-key, not input rows."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "cnt",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a 5-minute inactivity gap —
+    dynamically-sized state merged as events arrive."""
+    return (
+        events.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def watermark_window_agg(events: DataFrame) -> DataFrame:
+    """Tumbling agg with a 10-minute watermark in APPEND mode: only
+    windows the watermark has passed are finalized and emitted; the
+    trailing open window is withheld. This is the late-data contract —
+    events older than watermark would be dropped on arrival."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "cnt",
+        )
+    )
+
+
+def stream_dedup_keys(events: DataFrame) -> DataFrame:
+    """Streaming deduplication on (user_id, event_type): state keeps the
+    seen-key set; emits first occurrence only. Output restricted to the
+    key columns so the surviving-row choice (arrival order, which is
+    partition-parallel) cannot leak nondeterminism into results."""
+    return events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, integer-cents value sum) kept in explicit state.
+    Sums in integer cents — exact and order-independent (the float sum
+    of a group would depend on arrival order)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "value_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, value_cents long",
+        stateStructType="cnt long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

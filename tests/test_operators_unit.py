@@ -1,0 +1,150 @@
+"""Per-operator unit tests on tiny literal DataFrames — nulls, empties,
+ties, guard paths (SURVEY.md §5: the reference's weak spot was exactly
+these edges, cf. its partial Hive type map)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from distributed_query_engine_spark.operators import dedup as D
+from distributed_query_engine_spark.operators import multimodal as MM
+from distributed_query_engine_spark.operators import similarity as S
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_minhash_identical_docs_are_dups(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "the quick brown fox jumps over the lazy dog", "en"),
+            (3, "completely different words entirely here now", "en"),
+        ],
+    )
+    out = {
+        (r.doc_a, r.doc_b): (r.jaccard, r.is_dup)
+        for r in D.minhash_dedup_pairs(docs).collect()
+    }
+    assert out[(1, 2)] == (1.0, True)
+    assert all(k == (1, 2) or not v[1] for k, v in out.items())
+
+
+def test_minhash_no_docs_no_pairs(spark):
+    docs = _docs(spark, [])
+    assert D.minhash_dedup_pairs(docs).count() == 0
+
+
+def test_simhash_identical_zero_hamming(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta", "en"),
+            (2, "alpha beta gamma delta", "en"),
+        ],
+    )
+    rows = D.simhash_near_pairs(docs, max_hamming=0).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+def test_word_ngrams_sub_n_doc_is_empty(spark):
+    # Spark's sequence(1, k) runs DESCENDING for k<1 — the guard must
+    # yield zero bigrams for a one-word doc, not fabricated ones.
+    docs = _docs(spark, [(1, "single", "en"), (2, "two words", "en")])
+    grams = {
+        (r.doc_id, r.tok) for r in D.word_ngrams(docs, 2).collect()
+    }
+    assert grams == {(2, "two words")}
+
+
+def test_exact_jaccard_drops_disjoint_pairs(spark):
+    # Contract: zero-overlap candidate pairs are dropped, not emitted as
+    # jaccard=0 (see exact_jaccard docstring; oracles share this).
+    docs = _docs(
+        spark, [(1, "a b c", "en"), (2, "x y z", "en"), (3, "a b q", "en")]
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    rows = {(r.doc_a, r.doc_b): r.jaccard for r in D.exact_jaccard(pairs, D.tokenize(docs)).collect()}
+    assert (1, 2) not in rows
+    assert rows[(1, 3)] == 0.5  # {a,b} / {a,b,c,q}
+
+
+def test_cosine_exact_on_known_vectors(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in S.cosine_near_dup_pairs(emb, threshold=-2.0).collect()
+    }
+    assert rows[(0, 1)] == 1.0
+    assert rows[(0, 2)] == 0.0
+    assert rows[(1, 2)] == 0.0
+
+
+def test_topk_excludes_self_and_orders(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = S.topk_cosine(emb, [0], k=2).collect()
+    assert [r.vec_id for r in rows] == [1, 2]
+    assert [r.rn for r in rows] == [1, 2]
+    assert all(r.q_id == 0 for r in rows)
+
+
+def test_multimodal_decode_gated():
+    if not MM.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            MM.decode_image(b"\x89PNG")
+
+
+def test_stride_resample_bounds(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcd", "en", 4)], "doc_id long, text string, lang string, n_chars long"
+    )
+    row = MM.stride_resample(MM.with_blob_and_meta(docs), stride=2, limit=64).collect()[0]
+    assert row.n_bytes == 4
+    assert row.n_sampled == 2  # 'a', 'c'
+    assert row.sampled_checksum == ord("a") + ord("c")
+
+
+def test_asof_tie_matches_same_timestamp(spark, sf_dir):
+    # A purchase at exactly the click's timestamp must match ('>=').
+    from distributed_query_engine_spark.plans.relational import join_asof_event
+
+    # Build a micro events table through the same pipeline by reusing the
+    # registered query at unit scale is overkill here; instead assert the
+    # semantics directly with the window trick's building blocks.
+    from pyspark.sql.window import Window
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "purchase", 5.0),
+         (2, "2024-01-01 10:00:00", 7, "click", 0.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_click"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.lit(0).alias("is_click"), F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "event_id", "is_click",
+        F.last("p_value", ignorenulls=True).over(w).alias("pv"),
+    )
+    got = merged.filter(F.col("is_click") == 1).collect()[0]
+    assert got.pv == 5.0
