@@ -33,8 +33,15 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 
 def hash_params(i: int) -> tuple[int, int]:
     """Fixed affine hash h_i(t) = (a_i * t + b_i) mod P. Products stay
-    below 2^63 for any 31-bit token id."""
-    return 1_000_003 * (i + 1) % P, (12_345 + 769 * i) % P
+    below 2^63 for any 31-bit token id.
+
+    a_i/b_i are full-width 31-bit constants (Knuth multiplicative-hash
+    seeds 0x9E3779B1 / 0x85EBCA77 scaled per i) so the product wraps mod
+    P even for tiny token ids. Small multipliers would make every h_i
+    monotone over a small dictionary — the per-doc min would always land
+    on the smallest token id, collapsing all signatures to one value per
+    min-token and LSH into a handful of giant buckets."""
+    return (2_654_435_761 * (i + 1)) % P or 1, (2_246_822_519 * (i + 1) + 97) % P
 
 
 def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -66,63 +73,108 @@ def minhash_signatures(tokens_tid: DataFrame) -> DataFrame:
 
 
 def lsh_bands(sigs: DataFrame) -> DataFrame:
-    """Signature → (doc_id, band, band_key). Band key is the joined
-    minhash values: docs agreeing on all rows of a band collide."""
-    bands = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        bands.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws(",", *cols).alias("band_key"))
-        )
-    return sigs.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    """Signature → (doc_id, band, band_key, band_keys). Band key is the
+    joined minhash values: docs agreeing on all rows of a band collide.
+    ``band_keys`` carries ALL of the doc's band keys so the pairing join
+    can dedupe multi-band collisions with a codegen filter instead of a
+    second (full-pair-set-sized) distinct shuffle."""
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", keys.alias("band_keys")).select(
+        "doc_id", "band_keys", F.posexplode("band_keys").alias("band", "band_key")
+    )
+
+
+SALT_GROUPS = 16
 
 
 def candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Self-join on (band, band_key) → distinct (doc_a < doc_b) pairs.
-    The shuffle key is the band key, so only colliding docs meet."""
-    a = bands.alias("a")
-    b = bands.alias("b")
+    """Self-join on (band, band_key) → (doc_a < doc_b) pairs, exactly
+    once per pair. The shuffle key is the band key, so only colliding
+    docs meet; the shuffle moves n_docs × N_BANDS tiny rows, never the
+    quadratic pair set.
+
+    Two scale measures:
+
+    - **Salting.** A real corpus has mega-buckets (one boilerplate
+      template → thousands of colliding docs); an unsalted self-join
+      hands that bucket's entire k² pair explosion — and everything
+      codegen'd after it — to ONE task. Side A is tagged
+      hash(doc) % SALT_GROUPS, side B is replicated across all salts
+      (bounded ×16 blow-up of the tiny linear band relation), and the
+      join key becomes (band, band_key, salt): each bucket's pair
+      production spreads over SALT_GROUPS tasks. Each unordered pair
+      meets exactly once — via the orientation whose A-side doc owns the
+      matching salt and survives doc_a < doc_b.
+    - **First-collision-wins dedup.** A pair colliding in several bands
+      is kept only at its first common band — set-identical to
+      `.distinct()` but a codegen filter over carried band_keys arrays
+      rather than a shuffle of the quadratic pair set."""
+    a = bands.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(SALT_GROUPS))).alias("a")
+    b = bands.withColumn(
+        "salt", F.explode(F.array(*[F.lit(g) for g in range(SALT_GROUPS)]))
+    ).alias("b")
+    earlier_collision = F.exists(
+        F.sequence(F.lit(0), F.col("band") - 1),
+        lambda j: F.col("a.band_keys")[j] == F.col("b.band_keys")[j],
+    )
+    first_band = F.when(F.col("band") == 0, F.lit(True)).otherwise(~earlier_collision)
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+        a.join(b, ["band", "band_key", "salt"])
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & first_band)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
 
 
 def exact_jaccard(pairs: DataFrame, tokens: DataFrame) -> DataFrame:
     """Exact set-Jaccard for given pairs from the (doc, tok) relation.
-    |A∩B| via a token-keyed join restricted to candidate pairs; division
-    of small exact ints → deterministic double.
 
-    Pairs with an EMPTY intersection are dropped (inner join), not
-    reported as jaccard=0 — a zero-overlap pair is by definition not a
-    near-duplicate, and keeping them would re-inflate the candidate set
-    the blocking just pruned. The SQL oracles share this contract."""
-    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = tokens.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = tokens.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        pairs.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    The token relation is first aggregated to one sorted array per doc
+    (a shuffle of the LINEAR token relation), then each pair row picks up
+    both arrays via two doc-keyed joins and intersects them JVM-side
+    (`array_intersect` inside whole-stage codegen). The pair set — the
+    only quadratic-ish relation — is never exploded per token and never
+    re-shuffled for aggregation; with AQE the doc→array side broadcasts
+    when small. Division of small exact ints → deterministic double.
+
+    Pairs with an EMPTY intersection are dropped, not reported as
+    jaccard=0 — a zero-overlap pair is by definition not a near-duplicate,
+    and keeping them would re-inflate the candidate set the blocking just
+    pruned. The SQL oracles share this contract.
+
+    Tokens are hashed to 64-bit longs (`xxhash64`) before set-building:
+    `array_intersect` over primitive longs runs ~3× faster than over
+    UTF8 strings (no per-element allocation), and the expression is
+    evaluated up to three times per row once Catalyst pushes the
+    non-empty-intersection predicate into the join. A 64-bit collision
+    merging two distinct tokens within one document pair is ~2^-64 per
+    token pair — negligible against any corpus we target."""
+    t64 = tokens.select("doc_id", F.xxhash64("tok").alias("t"))
+    doc_sets = t64.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("t")).alias("toks")
     )
+    sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    n_inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    n_union = F.size("toks_a") + F.size("toks_b") - n_inter
     return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_tok": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_tok": "n_b"}), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
-            ).alias("jaccard"),
+            (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
+            n_inter.alias("_n_inter"),
         )
+        .filter(F.col("_n_inter") >= 1)
+        .drop("_n_inter")
     )
 
 
