@@ -4,6 +4,7 @@ Importing this package populates the registry in
 :mod:`distributed_query_engine_spark.registry`.
 """
 
+from distributed_query_engine_spark.plans import analytic  # noqa: F401
 from distributed_query_engine_spark.plans import llm  # noqa: F401
 from distributed_query_engine_spark.plans import relational  # noqa: F401
 from distributed_query_engine_spark.plans import scalar  # noqa: F401

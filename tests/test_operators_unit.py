@@ -114,6 +114,26 @@ def test_stride_resample_bounds(spark):
     assert row.sampled_checksum == ord("a") + ord("c")
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    # The point of bucketBy(8, key) + sortBy(key) on BOTH fact tables:
+    # the join itself must not shuffle either side. The only Exchange
+    # allowed in the plan is the final aggregation's.
+    from distributed_query_engine_spark.plans.analytic import _bucketed_tables
+
+    lb, ob = _bucketed_tables(spark, sf_dir)
+    # At unit scale the planner would broadcast (which bypasses bucketing
+    # entirely); disable it to exercise the shape that matters at 100 TB.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).select("l_quantity")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
 def test_asof_tie_matches_same_timestamp(spark, sf_dir):
     # A purchase at exactly the click's timestamp must match ('>=').
     from distributed_query_engine_spark.plans.relational import join_asof_event
