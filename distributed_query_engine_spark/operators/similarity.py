@@ -149,6 +149,101 @@ def topk_cosine_ann(
     )
 
 
+N_CELLS = 16
+N_PROBE = 4
+
+
+def ivf_assign(emb: DataFrame) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    cell by cosine (ties → lowest cell id).
+
+    Centroids are the N_CELLS lowest-vec_id vectors — a deterministic
+    "init" chosen so the oracle can reproduce the index arithmetically;
+    a production index would run a few Lloyd iterations (each one is the
+    same broadcast-join + argmax pass as here) before freezing centroids.
+    At 100 TB: centroids broadcast, the corpus is scanned once, and the
+    only shuffle is the per-vector argmax (bounded at |corpus| × N_CELLS
+    rows pre-aggregation)."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    cents = base.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("ivec").alias("c_ivec"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "ivec",
+        "nsq",
+        "cell_id",
+        cosine_from_ints(
+            dot_long(F.col("ivec"), F.col("c_ivec")), F.col("nsq"), F.col("c_nsq")
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "ivec", "nsq", "cell_id")
+    )
+
+
+def topk_cosine_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF ANN top-k: each query probes its n_probe nearest cells and
+    ranks exactly within them. Approximate (misses neighbors assigned to
+    unprobed cells) but fully deterministic, so the oracle is exact.
+    Search cost scales with n_probe/N_CELLS of the corpus instead of all
+    of it — the knob a 100 TB deployment turns."""
+    assigned = ivf_assign(emb)
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    cents = base.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("ivec").alias("c_ivec"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ivec").alias("q_ivec"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    pw = Window.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cell_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "cell_id",
+            cosine_from_ints(
+                dot_long(F.col("q_ivec"), F.col("c_ivec")), F.col("q_nsq"), F.col("c_nsq")
+            ).alias("p_cos"),
+        )
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= n_probe)
+        .select("q_id", "cell_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_from_ints(
+                dot_long(F.col("q_ivec"), F.col("ivec")), F.col("q_nsq"), F.col("nsq")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )
+
+
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """Embedding near-duplicate pairs, blocked by the label column (the
     cheap pre-cluster): exact cosine within blocks, (a < b) ordering."""

@@ -450,6 +450,57 @@ def llm_similarity_ann_lsh(spark, sf_dir):
     return S.topk_cosine_ann(e, _QUERY_IDS, k=5)
 
 
+_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+)
+
+
+@query(
+    "llm_similarity_ivf",
+    oracle=f"""
+    WITH {_IVEC_CTE},
+    cents AS (SELECT vec_id AS cell_id, ivec AS c_ivec, nsq AS c_nsq
+              FROM nv WHERE vec_id < {S.N_CELLS}),
+    assigned AS (
+      SELECT vec_id, ivec, nsq, cell_id FROM (
+        SELECT n.vec_id, n.ivec, n.nsq, c.cell_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {_COS.format(a='n.ivec', b='c.c_ivec', na='n.nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS crn
+        FROM nv n, cents c) WHERE crn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
+          FROM nv WHERE vec_id IN (0,1,2,3,4)),
+    probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT q.q_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 {_COS.format(a='q.q_ivec', b='c.c_ivec', na='q.q_nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS prn
+        FROM q, cents c) WHERE prn <= {S.N_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             {_COS.format(a='q.q_ivec', b='a.ivec', na='q.q_nsq', nb='a.nsq')} AS cosine
+      FROM probes p
+      JOIN assigned a ON a.cell_id = p.cell_id
+      JOIN q ON q.q_id = p.q_id
+      WHERE a.vec_id != p.q_id
+    )
+    SELECT q_id, vec_id, cosine, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def llm_similarity_ivf(spark, sf_dir):
+    """IVF ANN (operators/similarity.py::topk_cosine_ivf): deterministic
+    coarse quantizer + n_probe cell search — the scale path SURVEY.md
+    §2.3 names next to the LSH variant."""
+    e = Tables(spark, sf_dir).embeddings
+    return S.topk_cosine_ivf(e, _QUERY_IDS, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -1,0 +1,68 @@
+"""Physical-plan assertions: the 100 TB design claims made in docstrings
+must be visible in `.explain()` output, not just asserted in prose.
+Covers: column pruning into the scan, predicate pushdown, broadcast
+joins, top-k as TakeOrderedAndProject, partial (map-side) aggregation,
+and whole-stage codegen on the hot relational path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from distributed_query_engine_spark.registry import all_queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _q(name, spark, sf_dir):
+    return all_queries()[name](spark, sf_dir)
+
+
+def test_project_prune_reaches_scan(spark, sf_dir):
+    plan = _plan(_q("project_prune", spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity"}
+    assert "l_extendedprice" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(_q("filter_comparison", spark, sf_dir))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), plan
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _plan(_q("join_broadcast", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_limit_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(_q("limit_topk", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_has_partial_aggregation(spark, sf_dir):
+    # Map-side combine: the shuffle must carry partial aggregates, not
+    # raw rows — at 100 TB this is the difference between shuffling
+    # |groups|×|partitions| rows and shuffling the fact table.
+    plan = _plan(_q("flagship", spark, sf_dir))
+    assert "partial_" in plan
+    # two HashAggregate levels (partial + final)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(_q("tpch_q5_region_revenue", spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_dedup_minhash_plan_has_no_cartesian(spark, sf_dir):
+    # The LSH pipeline must never degrade to a cartesian/BNL join of the
+    # corpus with itself.
+    plan = _plan(_q("llm_dedup_minhash", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
