@@ -192,6 +192,62 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components of the undirected near-duplicate graph,
+    GraphFrames-free (SURVEY.md §7 watch-list #4): iterative min-label
+    propagation to fixpoint. Returns (node, comp) with comp = the
+    smallest node id reachable — the canonical cluster representative.
+
+    Scale design: each iteration is one shuffle-join of edges against
+    labels plus a min-aggregate — no driver-side graph state. Lineage is
+    cut every iteration with ``localCheckpoint()`` (on a cluster:
+    ``checkpoint()`` to HDFS) or the plan would grow exponentially.
+    Near-duplicate graphs are unions of near-cliques, so the fixpoint
+    lands in a handful of iterations (diameter-bounded); convergence is
+    verified and non-convergence raises rather than returning a silently
+    wrong clustering."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(edges.dst.alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 32  # keeps every intermediate in int64 comfortably

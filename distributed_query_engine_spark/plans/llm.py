@@ -267,9 +267,7 @@ def llm_dedup_exact(spark, sf_dir):
     )
 
 
-@query(
-    "llm_dedup_minhash",
-    oracle=f"""
+_MINHASH_ORACLE = f"""
     WITH {_TOKENS_CTE},
     sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
     bands AS ({_BAND_SELECTS}),
@@ -280,11 +278,47 @@ def llm_dedup_exact(spark, sf_dir):
                   AND a.doc_id < b.doc_id
     ),
     {_jaccard_tail(0.5)}
-    """,
-)
+    """
+
+
+@query("llm_dedup_minhash", oracle=_MINHASH_ORACLE)
 def llm_dedup_minhash(spark, sf_dir):
     d = Tables(spark, sf_dir).documents
     return D.minhash_dedup_pairs(d, threshold=0.5)
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE verified AS ({_MINHASH_ORACLE}),
+    dups AS (SELECT doc_a, doc_b FROM verified WHERE is_dup),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dups
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM dups
+    ),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, min(lbl) AS component FROM walk GROUP BY node
+    """,
+)
+def llm_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: minhash dup pairs → connected components
+    by iterative min-label propagation (operators/dedup.py::
+    connected_components); every document appears, singletons label
+    themselves. The oracle states the same fixpoint as a recursive CTE
+    (min reachable label)."""
+    d = Tables(spark, sf_dir).documents
+    pairs = D.minhash_dedup_pairs(d, threshold=0.5).filter("is_dup")
+    comp = D.connected_components(pairs.select("doc_a", "doc_b"))
+    return d.select("doc_id").join(
+        comp, F.col("doc_id") == F.col("node"), "left"
+    ).select(
+        "doc_id", F.coalesce("comp", F.col("doc_id")).alias("component")
+    )
 
 
 _SIMHASH_A, _SIMHASH_B = D.hash_params(0)

@@ -110,6 +110,47 @@ def stream_dedup(spark, sf_dir):
 
 
 @query(
+    "stream_static_join",
+    oracle="""
+    SELECT event_type, c_mktsegment,
+           COUNT(*) AS cnt,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY event_type, c_mktsegment
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    from distributed_query_engine_spark.catalog import Tables
+
+    ev = ops.read_events_stream(spark, sf_dir)
+    cust = Tables(spark, sf_dir).customer
+    return ops.run_to_memory(
+        ops.static_enrich_agg(ev, cust), "mem_static_join", "complete"
+    )
+
+
+@query(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_interval_join(spark, sf_dir):
+    # One AvailableNow pass sees both sides complete, so the streaming
+    # interval join emits exactly the batch join's matches.
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(
+        ops.interval_join_clicks_purchases(ev), "mem_interval_join", "append"
+    )
+
+
+@query(
     "stream_stateful_custom",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,

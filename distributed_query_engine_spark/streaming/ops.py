@@ -149,6 +149,56 @@ def stream_dedup_keys(events: DataFrame) -> DataFrame:
     )
 
 
+def static_enrich_agg(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension, then aggregate per (event_type, segment). The static side
+    is re-planned each micro-batch (picking up dimension updates) and
+    broadcasts when small — no stream-side state for the join itself."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+def interval_join_clicks_purchases(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: purchases within 30 minutes after a
+    click by the same user. Both sides carry watermarks so the join
+    state is bounded — rows older than (watermark − interval) are
+    evicted; without them state would grow forever."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
 def stateful_user_stats(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (count, integer-cents value sum) kept in explicit state.

@@ -73,6 +73,21 @@ def test_exact_jaccard_drops_disjoint_pairs(spark):
     assert rows[(1, 3)] == 0.5  # {a,b} / {a,b,c,q}
 
 
+def test_connected_components_chain_and_islands(spark):
+    # A 4-node chain (diameter 3 → needs multiple propagation rounds)
+    # plus a separate 2-node island; min reachable label wins.
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r.node: r.comp for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert D.connected_components(pairs).count() == 0
+
+
 def test_cosine_exact_on_known_vectors(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)],
