@@ -132,6 +132,83 @@ def sink_partitioned(spark, sf_dir):
     )
 
 
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def sink_orc_roundtrip(spark, sf_dir):
+    # ORC is Spark's second native columnar format (predicate pushdown,
+    # column pruning, zstd) — same physical-design levers as parquet.
+    t = Tables(spark, sf_dir)
+    path = _tmp(sf_dir, "lineitem_orc")
+    (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    return spark.read.orc(path)
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS n_files,
+           SUM(CAST(strlen(text) + 1 AS BIGINT)) AS total_bytes
+    FROM documents
+    """,
+)
+def scan_binaryfile(spark, sf_dir):
+    # The multimodal path-pointer pattern (SURVEY.md §2.3): opaque blobs
+    # stay OUT of the table; a URI column + deferred
+    # `spark.read.format("binaryFile")` loads bytes only where needed.
+    # Here: stage the corpus as one text blob, read it back as binary,
+    # and account for every byte (each line = utf-8 text + '\n').
+    t = Tables(spark, sf_dir)
+    path = _tmp(sf_dir, "docs_txt")
+    t.documents.select("text").coalesce(1).write.mode("overwrite").text(path)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(path)
+    )
+    return bf.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.octet_length("content")).alias("total_bytes"),
+    )
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def scan_partition_pruned(spark, sf_dir):
+    # Partition pruning against the hive-layout sink: the o_orderstatus
+    # filter resolves to directory selection (PartitionFilters in
+    # .explain()), so non-matching partitions are never opened — THE
+    # first-order scan optimization at 100 TB. tests/test_plans.py
+    # asserts the pruned plan shape.
+    t = Tables(spark, sf_dir)
+    path = _tmp(sf_dir, "orders_part")
+    (
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 @query("scan_jdbc_pushdown", oracle="SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 10")
 def scan_jdbc_pushdown(spark, sf_dir):
     """Federated RDBMS scan — the reference's core feature

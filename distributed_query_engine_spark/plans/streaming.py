@@ -110,6 +110,27 @@ def stream_dedup(spark, sf_dir):
 
 
 @query(
+    "stream_stateful_tws",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_stateful_tws(spark, sf_dir):
+    # transformWithStateInPandas (typed state handles; successor API to
+    # applyInPandasWithState) over one AvailableNow pass ≡ the grouped
+    # batch aggregate. The TWS state protocol needs protobuf, which this
+    # container lacks — the gate falls back to the applyInPandasWithState
+    # twin with the identical key/state/output contract.
+    ev = ops.read_events_stream(spark, sf_dir)
+    build = (
+        ops.stateful_type_stats_tws if ops.tws_available() else ops.stateful_type_stats_gws
+    )
+    return ops.run_to_memory(build(ev), "mem_stateful_tws", "update")
+
+
+@query(
     "stream_static_join",
     oracle="""
     SELECT event_type, c_mktsegment,

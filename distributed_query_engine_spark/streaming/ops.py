@@ -149,6 +149,89 @@ def stream_dedup_keys(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; this container ships a broken google.protobuf (and installs
+    are off-limits), so the TWS path is gated — same import-try pattern
+    any optional native dep gets."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_type_stats_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the transformWithStateInPandas API
+    (the arbitrary-state successor to applyInPandasWithState: typed state
+    handles, timers, RocksDB-backed): per-event-type running (count,
+    integer-cents sum) in a ValueState. Cents are exact ints, so output
+    is arrival-order-independent.
+
+    Requires :func:`tws_available`; callers fall back to
+    :func:`stateful_type_stats_gws` (identical semantics on the older
+    applyInPandasWithState API) when the protobuf dep is absent."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", "cnt long, cents long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                v = self._state.get()
+                cnt, cents = int(v[0]), int(v[1])
+            else:
+                cnt, cents = 0, 0
+            for pdf in rows:
+                cnt += len(pdf)
+                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            self._state.update((cnt, cents))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n_events": [cnt], "value_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=TypeStats(),
+        outputStructType="event_type string, n_events long, value_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def stateful_type_stats_gws(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState twin of :func:`stateful_type_stats_tws` —
+    same key, state, and output contract on the older GroupState API."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [cnt], "value_cents": [cents]}
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n_events long, value_cents long",
+        stateStructType="cnt long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def static_enrich_agg(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with the customer
     dimension, then aggregate per (event_type, segment). The static side
