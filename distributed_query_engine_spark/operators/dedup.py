@@ -144,18 +144,19 @@ def exact_jaccard(pairs: DataFrame, tokens: DataFrame) -> DataFrame:
     re-shuffled for aggregation; with AQE the doc→array side broadcasts
     when small. Division of small exact ints → deterministic double.
 
-    Pairs with an EMPTY intersection are dropped, not reported as
-    jaccard=0 — a zero-overlap pair is by definition not a near-duplicate,
-    and keeping them would re-inflate the candidate set the blocking just
-    pruned. The SQL oracles share this contract.
+    Every candidate pair is reported with its verified score, INCLUDING
+    jaccard = 0: the blocking already bounded the candidate set, and a
+    drop-empty-intersection predicate would get pushed into the join
+    condition by Catalyst, re-evaluating the intersection up to three
+    times per row (measured 4× slower at sf0.1 for zero semantic gain —
+    downstream consumers threshold on jaccard anyway). The SQL oracles
+    share this contract via a left join + COALESCE(n_inter, 0).
 
     Tokens are hashed to 64-bit longs (`xxhash64`) before set-building:
     `array_intersect` over primitive longs runs ~3× faster than over
-    UTF8 strings (no per-element allocation), and the expression is
-    evaluated up to three times per row once Catalyst pushes the
-    non-empty-intersection predicate into the join. A 64-bit collision
-    merging two distinct tokens within one document pair is ~2^-64 per
-    token pair — negligible against any corpus we target."""
+    UTF8 strings (no per-element allocation). A 64-bit collision merging
+    two distinct tokens within one document pair is ~2^-64 per token
+    pair — negligible against any corpus we target."""
     t64 = tokens.select("doc_id", F.xxhash64("tok").alias("t"))
     doc_sets = t64.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("t")).alias("toks")
@@ -171,10 +172,7 @@ def exact_jaccard(pairs: DataFrame, tokens: DataFrame) -> DataFrame:
             "doc_a",
             "doc_b",
             (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
-            n_inter.alias("_n_inter"),
         )
-        .filter(F.col("_n_inter") >= 1)
-        .drop("_n_inter")
     )
 
 

@@ -52,6 +52,8 @@ _BAND_SELECTS = "\nUNION ALL\n".join(
 
 
 def _jaccard_tail(threshold: float, token_rel: str = "tokens") -> str:
+    # Left join + COALESCE: zero-overlap candidates are REPORTED with
+    # jaccard 0, mirroring exact_jaccard's contract (see its docstring).
     return f"""
 sizes AS (SELECT doc_id, count(*) AS n_tok FROM {token_rel} GROUP BY doc_id),
 inter AS (
@@ -61,14 +63,16 @@ inter AS (
   JOIN {token_rel} tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
   GROUP BY c.doc_a, c.doc_b
 )
-SELECT i.doc_a, i.doc_b,
-       CAST(i.n_inter AS DOUBLE)
-         / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) AS jaccard,
-       (CAST(i.n_inter AS DOUBLE)
-         / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE)) >= {threshold} AS is_dup
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
+SELECT c.doc_a, c.doc_b,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / CAST(sa.n_tok + sb.n_tok - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard,
+       (CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / CAST(sa.n_tok + sb.n_tok - COALESCE(i.n_inter, 0) AS DOUBLE))
+         >= {threshold} AS is_dup
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
 """
 
 
@@ -353,7 +357,7 @@ def llm_dedup_simhash(spark, sf_dir):
 
 @query(
     "llm_dedup_ngram",
-    oracle="""
+    oracle=f"""
     WITH grams AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(
@@ -370,22 +374,7 @@ def llm_dedup_simhash(spark, sf_dir):
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_tok FROM grams GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-      FROM cand c
-      JOIN grams ta ON ta.doc_id = c.doc_a
-      JOIN grams tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-      GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.n_inter AS DOUBLE)
-             / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) AS jaccard,
-           (CAST(i.n_inter AS DOUBLE)
-             / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE)) >= 0.3 AS is_dup
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
+    {_jaccard_tail(0.3, "grams")}
     """,
 )
 def llm_dedup_ngram(spark, sf_dir):

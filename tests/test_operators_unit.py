@@ -61,15 +61,16 @@ def test_word_ngrams_sub_n_doc_is_empty(spark):
     assert grams == {(2, "two words")}
 
 
-def test_exact_jaccard_drops_disjoint_pairs(spark):
-    # Contract: zero-overlap candidate pairs are dropped, not emitted as
-    # jaccard=0 (see exact_jaccard docstring; oracles share this).
+def test_exact_jaccard_reports_disjoint_pairs_as_zero(spark):
+    # Contract: every candidate pair gets its verified score, including
+    # jaccard=0 for zero overlap (see exact_jaccard docstring; the SQL
+    # oracles mirror this with LEFT JOIN + COALESCE).
     docs = _docs(
         spark, [(1, "a b c", "en"), (2, "x y z", "en"), (3, "a b q", "en")]
     )
     pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
     rows = {(r.doc_a, r.doc_b): r.jaccard for r in D.exact_jaccard(pairs, D.tokenize(docs)).collect()}
-    assert (1, 2) not in rows
+    assert rows[(1, 2)] == 0.0
     assert rows[(1, 3)] == 0.5  # {a,b} / {a,b,c,q}
 
 
