@@ -396,6 +396,138 @@ def scalar_bitwise(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Batch sessionization (gaps-and-islands) — the batch twin of the
+# streaming session_window op, and the classic window-function composite:
+# lag → gap flag → running sum → group. Exactly two shuffles (one on
+# user_id for the windows, one for the final group — and the second is
+# partial-aggregated map-side on the same partitioning).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_sessionize_batch",
+    oracle="""
+    WITH lagd AS (
+      SELECT user_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pus
+      FROM events
+    ),
+    marks AS (
+      SELECT user_id, ts, us,
+             CASE WHEN pus IS NULL OR us - pus > 300000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM lagd
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS sid,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def window_sessionize_batch(spark, sf_dir):
+    """Gap-based sessionization in batch (5-minute inactivity gap).
+    Gap arithmetic runs on exact microsecond longs so both engines flag
+    identical boundaries."""
+    e = Tables(spark, sf_dir).events
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marks = e.select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(w_lag).alias("pus"),
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("pus").isNull() | (F.col("us") - F.col("pus") > 300_000_000), 1
+        ).otherwise(0),
+    )
+    return (
+        marks.withColumn("sid", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketized range join: the scale rewrite for banded theta-joins. A
+# BETWEEN join against an interval dimension plans as BroadcastNestedLoop
+# (O(|fact|×|dim|) comparisons); aligning the fact row to its bucket key
+# turns it into a hash equi-join. join_theta_range keeps the general
+# theta form; this is the shape you reach for when bands are regular.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_range_bucketized",
+    oracle=f"""
+    WITH months AS (
+      SELECT unnest(range(TIMESTAMP '1995-01-01', TIMESTAMP '2002-01-01',
+                          INTERVAL 1 MONTH)) AS month_start
+    )
+    SELECT m.month_start, COUNT(*) AS n, {sql_dsum('l.l_quantity')} AS sum_qty
+    FROM lineitem l
+    JOIN months m ON date_trunc('month', l.l_shipdate) = m.month_start
+    GROUP BY m.month_start
+    """,
+)
+def join_range_bucketized(spark, sf_dir):
+    l = Tables(spark, sf_dir).lineitem
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01 00:00:00").cast("timestamp"),
+                F.lit("2001-12-01 00:00:00").cast("timestamp"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    )
+    return (
+        l.withColumn("bucket", F.date_trunc("month", F.col("l_shipdate")))
+        .join(F.broadcast(months), F.col("bucket") == F.col("month_start"))
+        .groupBy("month_start")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS nd_parts,
+           COUNT(DISTINCT l_suppkey) AS nd_supps,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark, sf_dir):
+    """Multiple DISTINCT aggregates in one pass — Spark plans an Expand
+    (one replica per distinct set) feeding a single aggregation tree
+    rather than N self-joins."""
+    l = Tables(spark, sf_dir).lineitem
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bucketed co-located join: the 100 TB fact-fact pattern. Both sides are
 # written bucketBy(8, key) + sortBy(key); the join then needs NO shuffle
 # of either fact table (the only Exchange left in the plan belongs to the
