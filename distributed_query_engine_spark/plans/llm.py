@@ -179,11 +179,9 @@ def llm_lang_id(spark, sf_dir):
     )
 
 
-@query(
-    "llm_quality_score",
-    oracle="""
-    SELECT doc_id,
-           round((
+# DuckDB twin of functions/text.py::quality_score, shared by
+# llm_quality_score and llm_corpus_curation.
+_QUALITY_SQL = """round((
              (CASE WHEN length(text) >= 100 AND length(text) <= 1000
                    THEN 1.0 ELSE 0.0 END)
              + (CASE WHEN
@@ -195,9 +193,12 @@ def llm_lang_id(spark, sf_dir):
                  THEN 1.0 ELSE 0.0 END)
              + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                  / CAST(length(text) AS DOUBLE)
-           ) / 3.0, 9) AS quality
-    FROM documents
-    """,
+           ) / 3.0, 9)"""
+
+
+@query(
+    "llm_quality_score",
+    oracle=f"SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents",
 )
 def llm_quality_score(spark, sf_dir):
     d = Tables(spark, sf_dir).documents
@@ -322,6 +323,83 @@ def llm_dedup_clusters(spark, sf_dir):
         comp, F.col("doc_id") == F.col("node"), "left"
     ).select(
         "doc_id", F.coalesce("comp", F.col("doc_id")).alias("component")
+    )
+
+
+@query(
+    "llm_corpus_curation",
+    oracle=f"""
+    WITH RECURSIVE verified AS ({_MINHASH_ORACLE}),
+    dups AS (SELECT doc_a, doc_b FROM verified WHERE is_dup),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dups
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM dups
+    ),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM walk GROUP BY node),
+    scored AS (
+      SELECT doc_id, lang, {_QUALITY_SQL} AS quality, md5(text) AS fp
+      FROM documents
+    ),
+    pass AS (SELECT * FROM scored WHERE quality >= 0.5),
+    uniq AS (
+      SELECT * FROM pass
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    )
+    SELECT u.doc_id, u.lang, u.quality, c.component
+    FROM uniq u JOIN comp c USING (doc_id)
+    QUALIFY row_number() OVER (PARTITION BY c.component ORDER BY u.doc_id) = 1
+    """,
+)
+def llm_corpus_curation(spark, sf_dir):
+    """End-to-end training-corpus curation — the composition the
+    individual LLM ops exist for:
+
+      quality gate (functions/text.py::quality_score ≥ 0.5)
+      → exact dedup (md5 fingerprint, keep lowest doc_id)
+      → near-dup dedup (minhash → LSH → verified pairs → connected
+        components; keep each cluster's lowest surviving doc_id).
+
+    Every stage is the already-oracle-checked operator; the pipeline
+    itself is one declarative plan — Catalyst fuses the scalar stages
+    into the scans, and the only shuffles are the operators' own."""
+    from pyspark.sql.window import Window
+
+    d = Tables(spark, sf_dir).documents
+    pairs = D.minhash_dedup_pairs(d, threshold=0.5).filter("is_dup")
+    comp = D.connected_components(pairs.select("doc_a", "doc_b")).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    comp_all = d.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    passed = scored.filter(F.col("quality") >= 0.5)
+    uniq = (
+        passed.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    return (
+        uniq.join(comp_all, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("component").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "quality", "component")
     )
 
 
