@@ -29,7 +29,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        _QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver invokes queries with ITS OWN vanilla session;
+            # apply our runtime-settable defaults (UTC timezone, AQE,
+            # Arrow) so results don't depend on the caller's conf.
+            from distributed_query_engine_spark.session import tune_session
+
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn

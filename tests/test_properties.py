@@ -1,0 +1,99 @@
+"""Property-based differential tests (hypothesis): distributed operators
+vs trivially-correct pure-Python models on randomized micro-inputs.
+Complements the DuckDB-oracle suite — these explore input shapes the
+fixed testdata never hits (empty docs, singleton clusters, dense duplicate
+groups), which is where SURVEY.md §5 found the reference's gaps.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from distributed_query_engine_spark.operators import dedup as D
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Documents as token lists over a tiny alphabet → dense overlap/duplicate
+# structure with high probability.
+tokens_st = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=6
+)
+docs_st = st.lists(tokens_st, min_size=1, max_size=8)
+edges_st = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda p: p[0] != p[1]),
+    min_size=0,
+    max_size=15,
+)
+
+
+@SET
+@given(docs=docs_st)
+def test_exact_jaccard_matches_python_sets(spark, docs):
+    rows = [(i, " ".join(toks), "en") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    all_pairs = [
+        (a, b) for a in range(len(docs)) for b in range(len(docs)) if a < b
+    ]
+    if not all_pairs:
+        return
+    pairs = spark.createDataFrame(all_pairs, "doc_a long, doc_b long")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.exact_jaccard(pairs, D.tokenize(df)).collect()
+    }
+    for a, b in all_pairs:
+        sa, sb = set(docs[a]), set(docs[b])
+        expected = len(sa & sb) / len(sa | sb)
+        assert got[(a, b)] == expected, (a, b, docs)
+
+
+@SET
+@given(docs=docs_st)
+def test_minhash_signature_matches_python_model(spark, docs):
+    rows = [(i, " ".join(toks), "en") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from pyspark.sql import functions as F
+
+    tokens = D.tokenize(df)
+    dict_rows = {r.tok: r.tid for r in D.token_ids(tokens).collect()}
+    tt = tokens.join(F.broadcast(D.token_ids(tokens)), "tok").select("doc_id", "tid")
+    sigs = {r["doc_id"]: r for r in D.minhash_signatures(tt).collect()}
+    for i, toks in enumerate(docs):
+        tids = {dict_rows[t] for t in set(toks)}
+        for h in range(D.N_HASHES):
+            a, b = D.hash_params(h)
+            expected = min((a * t + b) % D.P for t in tids)
+            assert sigs[i][f"m{h}"] == expected, (i, h, docs)
+
+
+@SET
+@given(edges=edges_st)
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long") if edges else (
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    got = {r.node: r.comp for r in D.connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expected = {}
+    for n in nodes:
+        comp = min(m for m in nodes if find(m) == find(n))
+        expected[n] = comp
+    assert got == expected, edges
