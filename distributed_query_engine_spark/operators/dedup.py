@@ -54,11 +54,42 @@ def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 
 def token_ids(tokens: DataFrame) -> DataFrame:
     """Global token dictionary: tok → tid (1-based, lexicographic).
-    See module docstring for the xxhash64 variant used at corpus scale."""
-    return (
+
+    Computed WITHOUT a global single-partition window (which would funnel
+    the whole vocabulary through one task): sort range-partitions the
+    distinct vocabulary, each partition numbers its own rows, and the
+    global id is the local row_number plus the partition's cumulative
+    offset. The only driver materialization is one count per partition —
+    metadata-sized at any scale (this is the classic zipWithIndex
+    construction, kept in the DataFrame API). Ids are identical to a
+    global ``row_number() OVER (ORDER BY tok)``, which is what the DuckDB
+    oracles compute.
+
+    See module docstring for the xxhash64 variant that drops the
+    dictionary entirely at corpus scale (at the cost of oracle
+    arithmetic parity)."""
+    toks = (
         tokens.select("tok")
         .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("tok")).cast("long"))
+        .sort("tok")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = toks.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        offsets[r["pid"]] = acc
+        acc += r["cnt"]
+    if not offsets:
+        return toks.select("tok", F.lit(0).cast("long").alias("tid")).limit(0)
+    off_expr = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )[F.col("pid")]
+    w = Window.partitionBy("pid").orderBy("tok")
+    return toks.select(
+        "tok",
+        (F.row_number().over(w).cast("long") + off_expr).alias("tid"),
     )
 
 
