@@ -50,33 +50,28 @@ def with_int_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def lsh_bucket(df: DataFrame) -> DataFrame:
-    """Add an int bucket id: bit j = sign(v · h_j) over the exploded
-    (vec, dim) relation — one groupBy per vector, all integer-exact."""
-    exploded = df.select(
-        "vec_id", F.posexplode("ivec").alias("d", "x")
-    )
-    planes = exploded.select(
-        "vec_id",
-        "d",
-        "x",
-        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j"),
-    )
-    dots = (
-        planes.withColumn("w", plane_sign(F.col("j"), F.col("d")))
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("pdot"))
-    )
-    buckets = dots.groupBy("vec_id").agg(
-        F.sum(
-            # shiftleft with a Column shift amount needs the SQL form
-            F.when(F.col("pdot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0).cast("long")
-            )
+    """Add an int bucket id: bit j = sign(v · h_j).
+
+    Computed entirely PER ROW with `zip_with` + `aggregate` (8 plane dots
+    × 64 dims of exact integer arithmetic inside codegen) — zero
+    shuffles. The previous formulation exploded a (vec, dim, plane)
+    relation and re-aggregated it twice: a 512× row blow-up plus three
+    shuffles, per corpus scan, for something that is a pure row-local
+    function of the vector."""
+    dims = F.sequence(F.lit(0), F.size("ivec") - 1)
+    bucket = F.lit(0).cast("long")
+    for j in range(N_PLANES):
+        pdot = F.aggregate(
+            F.zip_with(
+                F.col("ivec"), dims, lambda x, d: x * plane_sign(F.lit(j), d).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-        .cast("long")
-        .alias("bucket")
-    )
-    return df.join(buckets, "vec_id")
+        bucket = bucket + F.when(pdot > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn("bucket", bucket)
 
 
 def topk_cosine(
