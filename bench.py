@@ -34,8 +34,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "window_running_sum_frame",
     "scalar_string",
+    "tpch_q5_region_revenue",
+    "subquery_correlated",
+    "window_sessionize_batch",
     "llm_dedup_minhash",
     "llm_similarity_topk",
+    "llm_similarity_ann_lsh",
     "stream_tumbling_window_agg",
 ]
 
