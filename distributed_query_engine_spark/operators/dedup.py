@@ -207,15 +207,72 @@ def exact_jaccard(pairs: DataFrame, tokens: DataFrame) -> DataFrame:
     )
 
 
+def candidate_pairs_grouped(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs via SIGNATURE GROUPING — same pair set as
+    ``candidate_pairs(lsh_bands(sigs))``, built the way a boilerplate-
+    heavy corpus demands.
+
+    Real corpora contain groups of documents with IDENTICAL minhash
+    signatures (boilerplate/templates); banding every member
+    individually makes the LSH buckets quadratic in the largest group.
+    Instead: collapse each distinct signature to one group row
+    (members + min-doc representative), then
+
+    - **within-group**: every member pair is a candidate by definition
+      (identical signature → collides in every band). Generated by a
+      double explode with a repartition between them, so a k-member
+      group's k² expansion spreads across the cluster instead of one
+      Generate task.
+    - **cross-group**: band-join the group REPRESENTATIVES only (the
+      salted first-collision join of :func:`candidate_pairs` — group
+      count, not doc count), then expand the member cross-product, again
+      repartitioning between explodes. Signature groups are disjoint, so
+      each unordered doc pair appears exactly once; least/greatest
+      restores the doc_a < doc_b convention."""
+    sig_cols = [f"m{i}" for i in range(N_HASHES)]
+    groups = sigs.groupBy(*sig_cols).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        F.min("doc_id").alias("rep"),
+    ).localCheckpoint()
+    par = SALT_GROUPS * 4
+    within = (
+        groups.filter(F.size("members") > 1)
+        .select("members", F.explode("members").alias("doc_a"))
+        .repartition(par, "doc_a")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    rep_sigs = groups.select(F.col("rep").alias("doc_id"), *sig_cols)
+    rep_pairs = candidate_pairs(lsh_bands(rep_sigs))
+    members = groups.select("rep", "members")
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("doc_a"), F.col("members").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            members.select(F.col("rep").alias("doc_b"), F.col("members").alias("mb")),
+            "doc_b",
+        )
+        .select(F.explode("ma").alias("xa"), "mb")
+        .repartition(par, "xa")
+        .select("xa", F.explode("mb").alias("xb"))
+        .select(
+            F.least("xa", "xb").alias("doc_a"), F.greatest("xa", "xb").alias("doc_b")
+        )
+    )
+    return within.unionByName(cross)
+
+
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Full pipeline: tokenize → dictionary → signatures → bands →
-    candidates → exact-Jaccard verify. Returns (doc_a, doc_b, jaccard,
-    is_dup)."""
+    """Full pipeline: tokenize → dictionary → signatures → signature
+    groups → candidates (within-group + banded cross-group) →
+    exact-Jaccard verify. Returns (doc_a, doc_b, jaccard, is_dup)."""
     tokens = tokenize(docs)
     dict_df = token_ids(tokens)
     tokens_tid = tokens.join(F.broadcast(dict_df), "tok").select("doc_id", "tid")
     sigs = minhash_signatures(tokens_tid)
-    pairs = candidate_pairs(lsh_bands(sigs))
+    pairs = candidate_pairs_grouped(sigs)
     return exact_jaccard(pairs, tokens).select(
         "doc_a", "doc_b", "jaccard", (F.col("jaccard") >= threshold).alias("is_dup")
     )
