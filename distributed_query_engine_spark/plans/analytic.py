@@ -506,6 +506,25 @@ def join_range_bucketized(spark, sf_dir):
 
 
 @query(
+    "agg_boolean_family",
+    oracle="""
+    SELECT l_returnflag,
+           count_if(l_quantity >= 25) AS n_heavy,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.05) AS any_discounted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_boolean_family(spark, sf_dir):
+    l = Tables(spark, sf_dir).lineitem
+    return l.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") >= 25).alias("n_heavy"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_discounted"),
+    )
+
+
+@query(
     "agg_multi_distinct",
     oracle="""
     SELECT l_returnflag,
