@@ -43,6 +43,22 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def cents_sum(values) -> int:
+    """Half-away-from-zero integer-cents sum for the pandas (Arrow) paths.
+
+    pandas ``.round()`` is banker's half-to-even, but DuckDB ``round()``
+    and Spark ``F.round`` are HALF_UP (away from zero for positives) —
+    for values where ``value*100`` is exactly x.5 (e.g. 0.125, exactly
+    representable) the three engines would disagree. This mirrors
+    half-away-from-zero explicitly so every pandas-side cents aggregate
+    matches the ``CAST(round(value * 100) AS BIGINT)`` oracle twin.
+    """
+    import numpy as np
+
+    x = np.asarray(values, dtype="float64") * 100.0
+    return int(np.sum(np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64"))
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB twin of :func:`dsum` for use in oracle strings."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"

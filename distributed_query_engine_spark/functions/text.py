@@ -33,11 +33,11 @@ def token_count_ws(text: Column) -> Column:
 def token_count_bpe_ish(text: Column) -> Column:
     """BPE-ish subword proxy: count of non-overlapping runs of letters,
     digits, or single punctuation — ``\\p{L}+|\\d+|[^\\s]`` — the classic
-    pre-tokenizer split. regexp_count twin: DuckDB
-    ``len(regexp_extract_all(text, pattern))``."""
-    return F.size(F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")).cast(
-        "long"
-    )
+    pre-tokenizer split. Built from the passed Column (not a hardcoded
+    column name) so it works on any column/alias. regexp_count twin:
+    DuckDB ``len(regexp_extract_all(text, pattern))``."""
+    pattern = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("long")
 
 
 def lang_hits(text: Column, lang: str) -> Column:

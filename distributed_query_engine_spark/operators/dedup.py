@@ -264,17 +264,76 @@ def candidate_pairs_grouped(sigs: DataFrame) -> DataFrame:
     return within.unionByName(cross)
 
 
+def signatures_for(tokens: DataFrame) -> DataFrame:
+    """(doc, tok) relation → minhash signatures: dictionary → tid join →
+    one-shuffle min-aggregate. Shared by the word-token and n-gram
+    pipelines."""
+    dict_df = token_ids(tokens)
+    tokens_tid = tokens.join(F.broadcast(dict_df), "tok").select("doc_id", "tid")
+    return minhash_signatures(tokens_tid)
+
+
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Full pipeline: tokenize → dictionary → signatures → signature
     groups → candidates (within-group + banded cross-group) →
-    exact-Jaccard verify. Returns (doc_a, doc_b, jaccard, is_dup)."""
+    exact-Jaccard verify → keep pairs at/above threshold.
+
+    Returns (doc_a, doc_b, jaccard, is_dup) with is_dup uniformly true —
+    the column is kept so the reporting schema is stable against
+    threshold changes. Sub-threshold candidates are verified but NOT
+    reported: the candidate set is quadratic in near-dup cluster size
+    (boilerplate corpora produce k²-pair signature groups), so an
+    unthresholded report would make the OUTPUT quadratic too. Consumers
+    needing connectivity only should use :func:`minhash_dup_edges`
+    (linear edge count) instead of this scored-pairs report."""
     tokens = tokenize(docs)
-    dict_df = token_ids(tokens)
-    tokens_tid = tokens.join(F.broadcast(dict_df), "tok").select("doc_id", "tid")
-    sigs = minhash_signatures(tokens_tid)
+    sigs = signatures_for(tokens)
     pairs = candidate_pairs_grouped(sigs)
-    return exact_jaccard(pairs, tokens).select(
+    return exact_jaccard(pairs, tokens).filter(
+        F.col("jaccard") >= threshold
+    ).select(
         "doc_a", "doc_b", "jaccard", (F.col("jaccard") >= threshold).alias("is_dup")
+    )
+
+
+def minhash_dup_edges(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate EDGES for clustering consumers — linear in group
+    size where :func:`minhash_dedup_pairs`' candidate set is quadratic.
+
+    Documents with IDENTICAL minhash signatures (boilerplate/templates)
+    don't need k² verified pairs to end up in one connected component: a
+    STAR of k−1 (representative, member) edges spans the same nodes. So:
+
+    - within each identical-signature group: star edges rep→member;
+    - across groups: banded LSH over group REPRESENTATIVES only (the
+      salted first-collision join of :func:`candidate_pairs`).
+
+    Every edge is still exact-Jaccard-verified against ``threshold``.
+    The component structure can differ from the all-pairs graph in one
+    edge case — a member whose Jaccard to its rep is below threshold but
+    to some other member is above stays unlinked here — which is the
+    deliberate contract: star verification bounds work at k−1 edges per
+    group, and identical-signature members that fail even their rep are
+    overwhelmingly not duplicates of anyone. Returns (doc_a, doc_b)."""
+    tokens = tokenize(docs)
+    sigs = signatures_for(tokens)
+    sig_cols = [f"m{i}" for i in range(N_HASHES)]
+    groups = sigs.groupBy(*sig_cols).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        F.min("doc_id").alias("rep"),
+    ).localCheckpoint()
+    star = (
+        groups.filter(F.size("members") > 1)
+        .select(F.col("rep").alias("doc_a"), F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    rep_sigs = groups.select(F.col("rep").alias("doc_id"), *sig_cols)
+    rep_pairs = candidate_pairs(lsh_bands(rep_sigs))
+    cand = star.unionByName(rep_pairs)
+    return (
+        exact_jaccard(cand, tokens)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
     )
 
 
@@ -417,19 +476,25 @@ def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
-    """Exact word-bigram Jaccard within cheap blocks (lang, first token):
-    the blocking keeps the pair space near-linear while catching
-    shared-prefix near-duplicates; exact Jaccard verifies."""
-    first_tok = F.element_at(F.split(F.col("text"), " "), 1)
-    keyed = docs.select(
-        "doc_id", F.concat_ws("|", F.col("lang"), first_tok).alias("blk")
-    )
-    a = keyed.select(F.col("doc_id").alias("doc_a"), "blk")
-    b = keyed.select(F.col("doc_id").alias("doc_b"), "blk")
-    pairs = (
-        a.join(b, "blk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-    )
+    """Exact word-bigram Jaccard over BANDED-MINHASH candidates: the
+    same signature-grouped LSH used for word tokens, run over the
+    n-gram sets themselves.
+
+    Scale: an earlier version blocked on (lang, first_token) — one
+    stopword-initial template ("the …") collapses a real corpus into a
+    single block with k² pair production in one task. Minhash banding
+    over the n-gram sets has no such skew cliff: bucket population
+    tracks actual n-gram-set similarity, mega-groups are salted across
+    SALT_GROUPS tasks (candidate_pairs), and identical-signature groups
+    are collapsed before banding (candidate_pairs_grouped). Candidates
+    are verified with exact bigram Jaccard; only pairs at/above
+    ``threshold`` are reported (same output contract as
+    :func:`minhash_dedup_pairs`)."""
     grams = word_ngrams(docs, 2)
-    return exact_jaccard(pairs, grams).select(
+    sigs = signatures_for(grams)
+    pairs = candidate_pairs_grouped(sigs)
+    return exact_jaccard(pairs, grams).filter(
+        F.col("jaccard") >= threshold
+    ).select(
         "doc_a", "doc_b", "jaccard", (F.col("jaccard") >= threshold).alias("is_dup")
     )

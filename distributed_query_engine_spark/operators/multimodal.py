@@ -57,24 +57,26 @@ def decode_image(blob: bytes):  # pragma: no cover - gated
 
 
 def stride_resample(df: DataFrame, stride: int = 2, limit: int = 64) -> DataFrame:
-    """Deterministic stand-in for resize / frame-sampling: select every
-    ``stride``-th byte of the first ``limit`` bytes (what a 1-D nearest-
-    neighbor downscale or every-Nth-frame sampler does to an index
-    space). Real pipeline shape: binary in → binary-derived features
-    out, via Arrow batches."""
+    """Deterministic stand-in for resize / frame-sampling: decode the
+    payload and select every ``stride``-th codepoint of the first
+    ``limit`` (what a 1-D nearest-neighbor downscale or every-Nth-frame
+    sampler does to an index space). Real pipeline shape: binary in →
+    decoded/derived features out, via Arrow batches. Codepoints (not raw
+    bytes) so the sampled fields match the char-indexed DuckDB oracle for
+    any unicode text; ``n_bytes`` stays byte-based on both sides."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = pdf["blob"]
-            win = blobs.map(lambda b: b[:limit:stride])
+            win = blobs.map(lambda b: b.decode("utf-8")[:limit:stride])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": blobs.map(len).astype("int64"),
                     "n_sampled": win.map(len).astype("int64"),
-                    "sampled_checksum": win.map(lambda b: int(sum(b))).astype(
-                        "int64"
-                    ),
+                    "sampled_checksum": win.map(
+                        lambda s: sum(ord(c) for c in s)
+                    ).astype("int64"),
                 }
             )
 

@@ -34,12 +34,16 @@ from distributed_query_engine_spark.functions.vectors import (
 N_PLANES = 8
 MIX = 2_654_435_761  # Knuth multiplicative constant
 M32 = 1 << 32
+# Mixing stride between planes in the (plane, dim) → ±1 hash. A fixed
+# constant of the hash definition — NOT the embedding dimensionality;
+# both the Spark and oracle sides iterate the actual vector length.
+PLANE_STRIDE = 64
 
 
 def plane_sign(j, d):
     """Deterministic ±1 weight for hyperplane j, dimension d (Column
     in, Column out): sign of a 32-bit multiplicative mix."""
-    mixed = ((j * 64 + d + 1) * MIX) % M32
+    mixed = ((j * PLANE_STRIDE + d + 1) * MIX) % M32
     return F.when(mixed < M32 // 2, 1).otherwise(-1)
 
 
@@ -240,24 +244,36 @@ def topk_cosine_ivf(
 
 
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
-    """Embedding near-duplicate pairs, blocked by the label column (the
-    cheap pre-cluster): exact cosine within blocks, (a < b) ordering."""
-    base = with_int_vec(emb).select("vec_id", "label", "ivec", "nsq")
+    """Embedding near-duplicate pairs, blocked by the random-hyperplane
+    LSH bucket (:func:`lsh_bucket` — the same per-row, zero-shuffle
+    bucketing the ANN path uses): exact cosine within buckets,
+    (a < b) ordering.
+
+    Scale: an earlier version blocked on the ``label`` column — within-
+    label all-pairs, quadratic in label popularity and dead on a real
+    corpus where one label dominates. Hyperplane buckets are bounded by
+    construction (2^N_PLANES keys whose population tracks the cosine
+    geometry, not a metadata column), so the self-join is a hash join on
+    a high-cardinality key and each bucket's pair production is small.
+    Like every LSH block, same-bucket candidacy is approximate (cosine-
+    close pairs land together with probability (1 - θ/π)^N_PLANES); the
+    cosine itself is exact."""
+    base = lsh_bucket(with_int_vec(emb).select("vec_id", "ivec", "nsq"))
     a = base.select(
-        F.col("vec_id").alias("vec_a"), "label",
+        F.col("vec_id").alias("vec_a"), "bucket",
         F.col("ivec").alias("ivec_a"), F.col("nsq").alias("nsq_a"),
     )
     b = base.select(
-        F.col("vec_id").alias("vec_b"), "label",
+        F.col("vec_id").alias("vec_b"), "bucket",
         F.col("ivec").alias("ivec_b"), F.col("nsq").alias("nsq_b"),
     )
     return (
-        a.join(b, "label")
+        a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            "label",
+            F.col("bucket"),
             cosine_from_ints(
                 dot_long(F.col("ivec_a"), F.col("ivec_b")),
                 F.col("nsq_a"),

@@ -408,20 +408,20 @@ def scalar_bitwise(spark, sf_dir):
     "window_sessionize_batch",
     oracle="""
     WITH lagd AS (
-      SELECT user_id, ts, epoch_us(ts) AS us,
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS pus
       FROM events
     ),
     marks AS (
-      SELECT user_id, ts, us,
+      SELECT user_id, event_id, ts, us,
              CASE WHEN pus IS NULL OR us - pus > 300000000
                   THEN 1 ELSE 0 END AS is_new
       FROM lagd
     ),
     sess AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, us
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sid
       FROM marks
     )
@@ -434,16 +434,20 @@ def scalar_bitwise(spark, sf_dir):
 def window_sessionize_batch(spark, sf_dir):
     """Gap-based sessionization in batch (5-minute inactivity gap).
     Gap arithmetic runs on exact microsecond longs so both engines flag
-    identical boundaries."""
+    identical boundaries. Both windows order by (ts, event_id) — a real
+    unique tiebreak; ordering the running sum by (ts, us) would leave the
+    session id engine-dependent for duplicate (user_id, ts) rows at a
+    boundary."""
     e = Tables(spark, sf_dir).events
     w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "us")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marks = e.select(
         "user_id",
+        "event_id",
         "ts",
         F.unix_micros("ts").alias("us"),
         F.lag(F.unix_micros("ts")).over(w_lag).alias("pus"),
@@ -509,7 +513,7 @@ def join_range_bucketized(spark, sf_dir):
     "agg_boolean_family",
     oracle="""
     SELECT l_returnflag,
-           count_if(l_quantity >= 25) AS n_heavy,
+           CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_heavy,
            bool_and(l_quantity > 0) AS all_positive,
            bool_or(l_discount > 0.05) AS any_discounted
     FROM lineitem GROUP BY l_returnflag

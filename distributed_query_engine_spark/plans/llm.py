@@ -25,9 +25,20 @@ from distributed_query_engine_spark.registry import query
 # Shared oracle-SQL fragments (mirror the Python specs arithmetically)
 # ---------------------------------------------------------------------------
 
-_TOKENS_CTE = """
+_WORD_LIST = "string_split(text, ' ')"
+_BIGRAM_LIST = (
+    "list_transform(generate_series(1, len(string_split(text,' ')) - 1), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])"
+)
+
+
+def _tokens_cte(tok_list_expr: str = _WORD_LIST) -> str:
+    """tokens/dict/tt CTEs over any per-doc token-list expression (word
+    split or bigram transform) — mirrors operators/dedup.py::tokenize +
+    token_ids + the tid join."""
+    return f"""
 tokens AS (
-  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  SELECT doc_id, unnest(list_distinct({tok_list_expr})) AS tok
   FROM documents
 ),
 dict AS (
@@ -37,23 +48,39 @@ dict AS (
 tt AS (SELECT t.doc_id, d.tid FROM tokens t JOIN dict d USING (tok))
 """
 
+
+_TOKENS_CTE = _tokens_cte()
+
 _SIG_EXPRS = ", ".join(
     f"min((tid*{a}+{b})%{D.P}) AS m{i}"
     for i, (a, b) in ((i, D.hash_params(i)) for i in range(D.N_HASHES))
 )
 
-_BAND_SELECTS = "\nUNION ALL\n".join(
-    "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS band_key FROM sigs".format(
-        b=b,
-        cols=", ".join(f"m{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)),
+_SIG_COLS = ", ".join(f"m{i}" for i in range(D.N_HASHES))
+
+
+def _band_selects(rel: str = "sigs") -> str:
+    return "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS band_key FROM {rel}".format(
+            b=b,
+            cols=", ".join(
+                f"m{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+            ),
+            rel=rel,
+        )
+        for b in range(D.N_BANDS)
     )
-    for b in range(D.N_BANDS)
-)
 
 
-def _jaccard_tail(threshold: float, token_rel: str = "tokens") -> str:
-    # Left join + COALESCE: zero-overlap candidates are REPORTED with
-    # jaccard 0, mirroring exact_jaccard's contract (see its docstring).
+_BAND_SELECTS = _band_selects()
+
+
+def _jaccard_cte(threshold: float, token_rel: str = "tokens") -> str:
+    # Every candidate is verified (zero-overlap pairs get jaccard 0 via
+    # the left join + COALESCE, mirroring exact_jaccard's contract);
+    # callers decide what to report — the pair queries keep only
+    # `verified WHERE is_dup` so the OUTPUT stays linear even when the
+    # candidate set is quadratic in a signature group's size.
     return f"""
 sizes AS (SELECT doc_id, count(*) AS n_tok FROM {token_rel} GROUP BY doc_id),
 inter AS (
@@ -62,17 +89,19 @@ inter AS (
   JOIN {token_rel} ta ON ta.doc_id = c.doc_a
   JOIN {token_rel} tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
   GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+           / CAST(sa.n_tok + sb.n_tok - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard,
+         (CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+           / CAST(sa.n_tok + sb.n_tok - COALESCE(i.n_inter, 0) AS DOUBLE))
+           >= {threshold} AS is_dup
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
 )
-SELECT c.doc_a, c.doc_b,
-       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-         / CAST(sa.n_tok + sb.n_tok - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard,
-       (CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-         / CAST(sa.n_tok + sb.n_tok - COALESCE(i.n_inter, 0) AS DOUBLE))
-         >= {threshold} AS is_dup
-FROM cand c
-LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
 """
 
 
@@ -88,6 +117,31 @@ nv AS (
          list_dot_product(ivec, ivec) AS nsq
   FROM iv
 )
+"""
+
+# Random-hyperplane LSH bucket per vector (operators/similarity.py::
+# lsh_bucket replayed in SQL). Zipped unnest iterates the ACTUAL vector
+# length — PLANE_STRIDE is the hash's mixing stride, a constant of the
+# plane_sign definition, not a dimensionality assumption. Requires the
+# nv CTE; yields buckets(vec_id, bucket).
+_LSH_BUCKET_CTES = f"""
+    ex AS (
+      SELECT vec_id, unnest(range(len(ivec))) AS d, unnest(ivec) AS x
+      FROM nv
+    ),
+    pdots AS (
+      SELECT vec_id, p.j,
+             sum(x * (CASE WHEN ((p.j*{S.PLANE_STRIDE} + d + 1) * {S.MIX}) % {S.M32}
+                           < {S.M32 // 2} THEN 1 ELSE -1 END)) AS pdot
+      FROM ex, generate_series(0, {S.N_PLANES - 1}) p(j)
+      GROUP BY vec_id, p.j
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN pdot > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM pdots GROUP BY vec_id
+    )
 """
 
 
@@ -282,12 +336,46 @@ _MINHASH_ORACLE = f"""
       JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
                   AND a.doc_id < b.doc_id
     ),
-    {_jaccard_tail(0.5)}
+    {_jaccard_cte(0.5)}
+    SELECT doc_a, doc_b, jaccard, is_dup FROM verified WHERE is_dup
+    """
+
+# Star-edge near-duplicate EDGES (operators/dedup.py::minhash_dup_edges
+# replayed in SQL): identical-signature groups contribute k−1
+# (rep, member) star edges instead of k² pairs; cross-group candidates
+# band-join group REPRESENTATIVES only. Both edge families are exact-
+# Jaccard-verified. Yields dups(doc_a, doc_b).
+_STAR_EDGE_CTES = f"""
+    {_TOKENS_CTE},
+    sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
+    grp AS (SELECT {_SIG_COLS}, min(doc_id) AS rep
+            FROM sigs GROUP BY {_SIG_COLS}),
+    star AS (
+      SELECT g.rep AS doc_a, s.doc_id AS doc_b
+      FROM sigs s JOIN grp g USING ({_SIG_COLS})
+      WHERE s.doc_id > g.rep
+    ),
+    repsigs AS (SELECT rep AS doc_id, {_SIG_COLS} FROM grp),
+    bands AS ({_band_selects("repsigs")}),
+    crossc AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    cand AS (SELECT doc_a, doc_b FROM star
+             UNION ALL SELECT doc_a, doc_b FROM crossc),
+    {_jaccard_cte(0.5)},
+    dups AS (SELECT doc_a, doc_b FROM verified WHERE is_dup)
     """
 
 
 @query("llm_dedup_minhash", oracle=_MINHASH_ORACLE)
 def llm_dedup_minhash(spark, sf_dir):
+    """Scored near-dup pair report: banded-minhash candidates, exact-
+    Jaccard verify, thresholded output (sub-threshold candidates are
+    verified but not reported — the report would otherwise be quadratic
+    in signature-group size; see minhash_dedup_pairs)."""
     d = Tables(spark, sf_dir).documents
     return D.minhash_dedup_pairs(d, threshold=0.5)
 
@@ -295,8 +383,7 @@ def llm_dedup_minhash(spark, sf_dir):
 @query(
     "llm_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE verified AS ({_MINHASH_ORACLE}),
-    dups AS (SELECT doc_a, doc_b FROM verified WHERE is_dup),
+    WITH RECURSIVE {_STAR_EDGE_CTES},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM dups
       UNION ALL
@@ -311,14 +398,15 @@ def llm_dedup_minhash(spark, sf_dir):
     """,
 )
 def llm_dedup_clusters(spark, sf_dir):
-    """Near-duplicate CLUSTERS: minhash dup pairs → connected components
-    by iterative min-label propagation (operators/dedup.py::
+    """Near-duplicate CLUSTERS: star-edge dup graph (minhash_dup_edges —
+    edge count linear in signature-group size, not k²) → connected
+    components by iterative min-label propagation (operators/dedup.py::
     connected_components); every document appears, singletons label
     themselves. The oracle states the same fixpoint as a recursive CTE
-    (min reachable label)."""
+    (min reachable label) over the same star+representative edges."""
     d = Tables(spark, sf_dir).documents
-    pairs = D.minhash_dedup_pairs(d, threshold=0.5).filter("is_dup")
-    comp = D.connected_components(pairs.select("doc_a", "doc_b"))
+    edges = D.minhash_dup_edges(d, threshold=0.5)
+    comp = D.connected_components(edges)
     return d.select("doc_id").join(
         comp, F.col("doc_id") == F.col("node"), "left"
     ).select(
@@ -329,8 +417,7 @@ def llm_dedup_clusters(spark, sf_dir):
 @query(
     "llm_corpus_curation",
     oracle=f"""
-    WITH RECURSIVE verified AS ({_MINHASH_ORACLE}),
-    dups AS (SELECT doc_a, doc_b FROM verified WHERE is_dup),
+    WITH RECURSIVE {_STAR_EDGE_CTES},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM dups
       UNION ALL
@@ -362,7 +449,7 @@ def llm_corpus_curation(spark, sf_dir):
 
       quality gate (functions/text.py::quality_score ≥ 0.5)
       → exact dedup (md5 fingerprint, keep lowest doc_id)
-      → near-dup dedup (minhash → LSH → verified pairs → connected
+      → near-dup dedup (minhash → star-edge dup graph → connected
         components; keep each cluster's lowest surviving doc_id).
 
     Every stage is the already-oracle-checked operator; the pipeline
@@ -371,8 +458,7 @@ def llm_corpus_curation(spark, sf_dir):
     from pyspark.sql.window import Window
 
     d = Tables(spark, sf_dir).documents
-    pairs = D.minhash_dedup_pairs(d, threshold=0.5).filter("is_dup")
-    comp = D.connected_components(pairs.select("doc_a", "doc_b")).select(
+    comp = D.connected_components(D.minhash_dup_edges(d, threshold=0.5)).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
     comp_all = d.select("doc_id").join(comp, "doc_id", "left").select(
@@ -463,16 +549,22 @@ def llm_dedup_ngram(spark, sf_dir):
 @query(
     "llm_dedup_embcos",
     oracle=f"""
-    WITH {_IVEC_CTE}
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+    WITH {_IVEC_CTE},
+    {_LSH_BUCKET_CTES},
+    nb AS (SELECT nv.vec_id, nv.ivec, nv.nsq, b.bucket
+           FROM nv JOIN buckets b USING (vec_id))
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
            list_dot_product(a.ivec, b.ivec)
              / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
-    FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.ivec, b.ivec)
              / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.35
     """,
 )
 def llm_dedup_embcos(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-bucket-blocked (no raw-label
+    blocking — see operators/similarity.py::cosine_near_dup_pairs for
+    the scale rationale)."""
     e = Tables(spark, sf_dir).embeddings
     return S.cosine_near_dup_pairs(e, threshold=0.35)
 
@@ -512,23 +604,7 @@ def llm_similarity_topk(spark, sf_dir):
     "llm_similarity_ann_lsh",
     oracle=f"""
     WITH {_IVEC_CTE},
-    ex AS (
-      SELECT vec_id, g.d, ivec[CAST(g.d AS INT) + 1] AS x
-      FROM nv, generate_series(0, 63) g(d)
-    ),
-    pdots AS (
-      SELECT vec_id, p.j,
-             sum(x * (CASE WHEN ((p.j*64 + d + 1) * {S.MIX}) % {S.M32}
-                           < {S.M32 // 2} THEN 1 ELSE -1 END)) AS pdot
-      FROM ex, generate_series(0, {S.N_PLANES - 1}) p(j)
-      GROUP BY vec_id, p.j
-    ),
-    buckets AS (
-      SELECT vec_id,
-             CAST(sum(CASE WHEN pdot > 0 THEN (1::BIGINT << j) ELSE 0 END)
-                  AS BIGINT) AS bucket
-      FROM pdots GROUP BY vec_id
-    ),
+    {_LSH_BUCKET_CTES},
     nb AS (SELECT nv.vec_id, nv.ivec, nv.nsq, b.bucket
            FROM nv JOIN buckets b USING (vec_id)),
     q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq, bucket AS q_bucket
@@ -611,7 +687,9 @@ def llm_similarity_ivf(spark, sf_dir):
     "llm_multimodal_columns",
     oracle="""
     WITH cs AS (
-      SELECT doc_id, sum(ascii(substring(text, CAST(i AS INT), 1))) AS checksum16
+      SELECT doc_id,
+             CAST(sum(ascii(substring(text, CAST(i AS INT), 1))) AS BIGINT)
+               AS checksum16
       FROM documents, generate_series(1, 16) t(i)
       WHERE CAST(i AS BIGINT) <= length(text)
       GROUP BY doc_id
@@ -628,7 +706,14 @@ def llm_multimodal_columns(spark, sf_dir):
     payload here is utf-8 text bytes standing in for image/audio blobs
     (decode libs are absent in this container — see
     operators/multimodal.py for the gated real-decode stubs); the
-    Spark-side schema, batching, and UDF signature are the real thing."""
+    Spark-side schema, batching, and UDF signature are the real thing.
+
+    Parity notes: the oracle's integer sum is CAST to BIGINT (DuckDB
+    would return HUGEINT, which hashes differently from Spark's int64
+    even for equal values); the checksum "decode" step sums the first 16
+    CODEPOINTS of the decoded payload — matching the oracle's ascii()
+    for any text, not just ASCII — while byte_len stays byte-based on
+    both sides."""
     import pandas as pd
 
     d = Tables(spark, sf_dir).documents
@@ -646,7 +731,9 @@ def llm_multimodal_columns(spark, sf_dir):
                     "doc_id": pdf["doc_id"],
                     "lang": pdf["lang"],
                     "byte_len": blobs.map(len).astype("int64"),
-                    "checksum16": blobs.map(lambda b: int(sum(b[:16]))).astype("int64"),
+                    "checksum16": blobs.map(
+                        lambda b: sum(ord(c) for c in b.decode("utf-8")[:16])
+                    ).astype("int64"),
                 }
             )
 
@@ -660,13 +747,15 @@ def llm_multimodal_columns(spark, sf_dir):
     oracle="""
     WITH s AS (
       SELECT doc_id,
-             sum(ascii(substring(text, CAST(i AS INT), 1))) AS sampled_checksum,
+             CAST(sum(ascii(substring(text, CAST(i AS INT), 1))) AS BIGINT)
+               AS sampled_checksum,
              count(*) AS n_sampled
       FROM documents, generate_series(1, 64) t(i)
       WHERE CAST(i AS BIGINT) <= length(text) AND (i - 1) % 2 = 0
       GROUP BY doc_id
     )
-    SELECT d.doc_id, length(d.text) AS n_bytes, s.n_sampled, s.sampled_checksum
+    SELECT d.doc_id, octet_length(encode(d.text)) AS n_bytes,
+           s.n_sampled, s.sampled_checksum
     FROM documents d JOIN s USING (doc_id)
     """,
 )

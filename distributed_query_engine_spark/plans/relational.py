@@ -626,7 +626,10 @@ def topk_per_group(spark, sf_dir):
     return (
         c.select(
             "c_mktsegment", "c_custkey", "c_acctbal",
-            F.row_number().over(w).alias("rn"),
+            # long to match ROW_NUMBER()'s BIGINT in the oracle — Spark's
+            # row_number is int32 and the driver's value hash is
+            # type-sensitive.
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )

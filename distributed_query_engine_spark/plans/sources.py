@@ -157,7 +157,7 @@ def sink_orc_roundtrip(spark, sf_dir):
     "scan_binaryfile",
     oracle="""
     SELECT CAST(1 AS BIGINT) AS n_files,
-           SUM(CAST(strlen(text) + 1 AS BIGINT)) AS total_bytes
+           CAST(SUM(CAST(strlen(text) + 1 AS BIGINT)) AS BIGINT) AS total_bytes
     FROM documents
     """,
 )

@@ -113,7 +113,7 @@ def stream_dedup(spark, sf_dir):
     "stream_stateful_tws",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY event_type
     """,
 )
@@ -135,7 +135,7 @@ def stream_stateful_tws(spark, sf_dir):
     oracle="""
     SELECT event_type, c_mktsegment,
            COUNT(*) AS cnt,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY event_type, c_mktsegment
     """,
@@ -175,7 +175,7 @@ def stream_stream_interval_join(spark, sf_dir):
     "stream_stateful_custom",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY user_id
     """,
 )

@@ -76,7 +76,8 @@ def udf_pandas_vectorized(spark, sf_dir):
            COUNT(*) AS cnt,
            MIN(l_quantity) AS qty_min,
            MAX(l_quantity) AS qty_max,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -84,8 +85,12 @@ def udaf_pandas_grouped(spark, sf_dir):
     # Whole-group custom aggregation via applyInPandas: each group
     # arrives as one pandas DataFrame. Sums are done in integer cents —
     # order-independent and exact — because a float sum inside pandas
-    # would depend on post-shuffle row order. At 100 TB the caveat is
+    # would depend on post-shuffle row order. cents_sum rounds half away
+    # from zero like DuckDB round() / Spark F.round (pandas .round() is
+    # banker's and diverges on exact x.5 cents). At 100 TB the caveat is
     # group size: one group must fit in one executor's memory.
+    from distributed_query_engine_spark.functions.deterministic import cents_sum
+
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
@@ -93,9 +98,7 @@ def udaf_pandas_grouped(spark, sf_dir):
                 "cnt": [len(pdf)],
                 "qty_min": [pdf["l_quantity"].min()],
                 "qty_max": [pdf["l_quantity"].max()],
-                "price_cents": [
-                    (pdf["l_extendedprice"] * 100).round().astype("int64").sum()
-                ],
+                "price_cents": [cents_sum(pdf["l_extendedprice"])],
             }
         )
 

@@ -21,6 +21,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from distributed_query_engine_spark.functions.deterministic import cents_sum
+
 _TMP = Path(__file__).resolve().parent.parent.parent / ".tmp"
 
 # events.parquet carries TIMESTAMP(NANOS); the streaming source needs an
@@ -190,7 +192,7 @@ def stateful_type_stats_tws(events: DataFrame) -> DataFrame:
                 cnt, cents = 0, 0
             for pdf in rows:
                 cnt += len(pdf)
-                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+                cents += cents_sum(pdf["value"])
             self._state.update((cnt, cents))
             yield pd.DataFrame(
                 {"event_type": [key[0]], "n_events": [cnt], "value_cents": [cents]}
@@ -217,7 +219,7 @@ def stateful_type_stats_gws(events: DataFrame) -> DataFrame:
         cnt, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             cnt += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            cents += cents_sum(pdf["value"])
         state.update((cnt, cents))
         yield pd.DataFrame(
             {"event_type": [key[0]], "n_events": [cnt], "value_cents": [cents]}
@@ -294,7 +296,7 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         cnt, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             cnt += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            cents += cents_sum(pdf["value"])
         state.update((cnt, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [cnt], "value_cents": [cents]}

@@ -12,6 +12,9 @@ from __future__ import annotations
 import math
 from datetime import datetime, timezone
 
+import pyarrow as pa
+from pyspark.sql import types as T
+
 
 def _canon(v, rel: float):
     if v is None:
@@ -30,7 +33,110 @@ def _canon(v, rel: float):
         if v.tzinfo is not None:
             v = v.astimezone(timezone.utc).replace(tzinfo=None)
         return (5, v.isoformat())
-    return (9, str(type(v).__name__)), v
+    if isinstance(v, int):
+        return (6, v)
+    if isinstance(v, (bytes, bytearray)):
+        return (7, bytes(v))
+    return (9, type(v).__name__, repr(v))
+
+
+def spark_canon_type(dt: T.DataType) -> str:
+    """Spark DataType → canonical Arrow-level type string (what the driver's
+    type-sensitive value hash sees after Spark→Arrow conversion)."""
+    if isinstance(dt, T.ByteType):
+        return "int8"
+    if isinstance(dt, T.ShortType):
+        return "int16"
+    if isinstance(dt, T.IntegerType):
+        return "int32"
+    if isinstance(dt, T.LongType):
+        return "int64"
+    if isinstance(dt, T.FloatType):
+        return "float32"
+    if isinstance(dt, T.DoubleType):
+        return "float64"
+    if isinstance(dt, T.DecimalType):
+        # decimal128 bytes are identical for equal scale regardless of
+        # declared precision — precision differences don't change the hash.
+        return f"decimal128(s={dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_canon_type(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return f"map<{spark_canon_type(dt.keyType)},{spark_canon_type(dt.valueType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name.lower()}:{spark_canon_type(f.dataType)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    return f"?spark:{dt.simpleString()}"
+
+
+def arrow_canon_type(t: pa.DataType) -> str:
+    """pyarrow DataType (DuckDB ``.arrow()`` output) → canonical string."""
+    if pa.types.is_int8(t):
+        return "int8"
+    if pa.types.is_int16(t):
+        return "int16"
+    if pa.types.is_int32(t):
+        return "int32"
+    if pa.types.is_int64(t):
+        return "int64"
+    if pa.types.is_unsigned_integer(t):
+        return f"u{t}"  # Spark can't produce these — always a mismatch
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_decimal(t):
+        return f"decimal128(s={t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_canon_type(t.value_type)}>"
+    if pa.types.is_map(t):
+        return f"map<{arrow_canon_type(t.key_type)},{arrow_canon_type(t.item_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name.lower()}:{arrow_canon_type(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    return f"?arrow:{t}"
+
+
+def assert_same_types(spark_df, duck_rel):
+    """The driver's value hash is type-sensitive (DuckDB HUGEINT hashes
+    differently from Spark BIGINT even for equal values) — compare the two
+    engines' result types at the Arrow level, per column name."""
+    s_types = {
+        f.name.lower(): spark_canon_type(f.dataType) for f in spark_df.schema.fields
+    }
+    d_schema = duck_rel.arrow().schema
+    d_types = {f.name.lower(): arrow_canon_type(f.type) for f in d_schema}
+    mism = {
+        c: (s_types[c], d_types[c])
+        for c in s_types
+        if c in d_types and s_types[c] != d_types[c]
+    }
+    assert not mism, f"type mismatch (spark vs duckdb/arrow): {mism}"
 
 
 def rows_key(rows, cols, rel: float = 0.0):
@@ -47,6 +153,7 @@ def assert_same_result(spark_df, duck_rel, rel: float = 0.0):
     s_cols = [c.lower() for c in spark_df.columns]
     d_cols = [c.lower() for c in duck_rel.columns]
     assert sorted(s_cols) == sorted(d_cols), f"columns differ: {s_cols} vs {d_cols}"
+    assert_same_types(spark_df, duck_rel)
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_rows = duck_rel.fetchall()
     assert len(s_rows) == len(d_rows), f"row count {len(s_rows)} vs {len(d_rows)}"
