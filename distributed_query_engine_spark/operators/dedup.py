@@ -9,12 +9,12 @@ Design for 100 TB:
 - Hashing is deterministic integer arithmetic mod a 31-bit prime, so the
   whole pipeline (signatures, bands, candidate pairs) is reproducible in
   any engine — which is what makes an exact SQL oracle possible.
-- The token dictionary here is a global ``row_number`` over the distinct
-  vocabulary (exact oracle parity needs identical token ids in both
-  engines). At corpus scale you would replace the dictionary with
-  ``xxhash64(token)`` — collision-negligible 64-bit ids, no global sort —
-  without touching the rest of the pipeline; the dictionary variant is
-  kept because the oracle must reproduce ids arithmetically.
+- Token ids come in two interchangeable flavors (``signatures_for``):
+  the default global ``row_number`` dictionary (exact oracle parity via
+  pure arithmetic), and the dictionary-FREE ``hashed=True`` path — a
+  row-local md5-prefix-mod-P id (``hashed_token_ids``) with no distinct,
+  no global sort, and no join, which is the 100 TB default; it stays
+  oracle-exact too because md5 is defined identically in both engines.
 - Candidate verification (exact Jaccard) runs only on LSH candidates:
   the quadratic blow-up is confined to near-duplicate buckets.
 """
@@ -264,16 +264,41 @@ def candidate_pairs_grouped(sigs: DataFrame) -> DataFrame:
     return within.unionByName(cross)
 
 
-def signatures_for(tokens: DataFrame) -> DataFrame:
-    """(doc, tok) relation → minhash signatures: dictionary → tid join →
-    one-shuffle min-aggregate. Shared by the word-token and n-gram
-    pipelines."""
-    dict_df = token_ids(tokens)
-    tokens_tid = tokens.join(F.broadcast(dict_df), "tok").select("doc_id", "tid")
+def hashed_token_ids(tokens: DataFrame) -> DataFrame:
+    """(doc, tok) → (doc, tid) with tid = md5-prefix hash mod P — the
+    dictionary-free token-id path (the scale default; module docstring).
+
+    No distinct, no global sort, no join: the id is a row-local
+    expression (parse the first 15 hex chars of md5 → 60-bit int →
+    mod P so the minhash affine products stay in int64). md5 is chosen
+    over xxhash64 because BOTH engines define it identically over UTF-8
+    bytes, keeping the oracle arithmetic-exact. Distinct tokens collide
+    in the 31-bit id space with birthday probability (~|vocab|²/2³²) —
+    a collision only merges two rows of the LSH *candidate* geometry;
+    exact-Jaccard verification intersects the token strings themselves
+    (exact_jaccard), so reported scores are unaffected."""
+    tid = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % P
+    return tokens.select("doc_id", tid.alias("tid"))
+
+
+def signatures_for(tokens: DataFrame, hashed: bool = False) -> DataFrame:
+    """(doc, tok) relation → minhash signatures. ``hashed=False``:
+    lexicographic dictionary → broadcast tid join (exact oracle parity
+    via row_number arithmetic). ``hashed=True``: row-local md5-mod-P ids
+    (:func:`hashed_token_ids`) — no vocabulary sort, the 100 TB path.
+    Either way one min-aggregate shuffle on doc_id. Shared by the
+    word-token and n-gram pipelines."""
+    if hashed:
+        tokens_tid = hashed_token_ids(tokens)
+    else:
+        dict_df = token_ids(tokens)
+        tokens_tid = tokens.join(F.broadcast(dict_df), "tok").select("doc_id", "tid")
     return minhash_signatures(tokens_tid)
 
 
-def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_dedup_pairs(
+    docs: DataFrame, threshold: float = 0.5, hashed: bool = False
+) -> DataFrame:
     """Full pipeline: tokenize → dictionary → signatures → signature
     groups → candidates (within-group + banded cross-group) →
     exact-Jaccard verify → keep pairs at/above threshold.
@@ -285,9 +310,13 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     (boilerplate corpora produce k²-pair signature groups), so an
     unthresholded report would make the OUTPUT quadratic too. Consumers
     needing connectivity only should use :func:`minhash_dup_edges`
-    (linear edge count) instead of this scored-pairs report."""
+    (linear edge count) instead of this scored-pairs report.
+
+    ``hashed=True`` switches token ids to the dictionary-free md5-mod-P
+    path (see :func:`signatures_for`) — same verify arithmetic, no
+    global vocabulary sort."""
     tokens = tokenize(docs)
-    sigs = signatures_for(tokens)
+    sigs = signatures_for(tokens, hashed=hashed)
     pairs = candidate_pairs_grouped(sigs)
     return exact_jaccard(pairs, tokens).filter(
         F.col("jaccard") >= threshold

@@ -257,8 +257,15 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     a high-cardinality key and each bucket's pair production is small.
     Like every LSH block, same-bucket candidacy is approximate (cosine-
     close pairs land together with probability (1 - θ/π)^N_PLANES); the
-    cosine itself is exact."""
-    base = lsh_bucket(with_int_vec(emb).select("vec_id", "ivec", "nsq"))
+    cosine itself is exact.
+
+    Zero-length embeddings are excluded up front: cosine against them is
+    undefined (0/0), and the SQL oracle's exploded bucket computation
+    drops them naturally — filtering here keeps both engines on the same
+    contract (an empty vector is a near-duplicate of nothing)."""
+    base = lsh_bucket(
+        with_int_vec(emb).filter(F.size("ivec") > 0).select("vec_id", "ivec", "nsq")
+    )
     a = base.select(
         F.col("vec_id").alias("vec_a"), "bucket",
         F.col("ivec").alias("ivec_a"), F.col("nsq").alias("nsq_a"),

@@ -32,15 +32,26 @@ _BIGRAM_LIST = (
 )
 
 
-def _tokens_cte(tok_list_expr: str = _WORD_LIST) -> str:
-    """tokens/dict/tt CTEs over any per-doc token-list expression (word
-    split or bigram transform) — mirrors operators/dedup.py::tokenize +
-    token_ids + the tid join."""
-    return f"""
+def _tokens_cte(tok_list_expr: str = _WORD_LIST, hashed: bool = False) -> str:
+    """tokens/tt CTEs over any per-doc token-list expression (word split
+    or bigram transform) — mirrors operators/dedup.py::tokenize plus
+    either the row_number dictionary (token_ids + tid join) or, with
+    ``hashed=True``, the row-local md5-prefix-mod-P id
+    (hashed_token_ids)."""
+    tokens = f"""
 tokens AS (
   SELECT doc_id, unnest(list_distinct({tok_list_expr})) AS tok
   FROM documents
-),
+)"""
+    if hashed:
+        return f"""{tokens},
+tt AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {D.P} AS tid
+  FROM tokens
+)
+"""
+    return f"""{tokens},
 dict AS (
   SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
   FROM (SELECT DISTINCT tok FROM tokens)
@@ -370,6 +381,37 @@ _STAR_EDGE_CTES = f"""
     """
 
 
+@query(
+    "llm_dedup_minhash_hashdict",
+    # Same banded-minhash pipeline with the DICTIONARY-FREE token ids
+    # (operators/dedup.py::hashed_token_ids): tid is a row-local
+    # md5-prefix-mod-P hash, so there is no global vocabulary sort — the
+    # one scale-sensitive step of the default path. The oracle replays
+    # the identical hash (md5 is byte-identical across engines).
+    oracle=f"""
+    WITH {_tokens_cte(hashed=True)},
+    sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    {_jaccard_cte(0.5)}
+    SELECT doc_a, doc_b, jaccard, is_dup FROM verified WHERE is_dup
+    """,
+)
+def llm_dedup_minhash_hashdict(spark, sf_dir):
+    """MinHash near-dup pairs on the 100 TB token-id path: no token
+    dictionary, no global sort — ids are computed per row. Output
+    contract identical to llm_dedup_minhash (candidate recall can differ
+    marginally where 31-bit ids collide; verification is exact either
+    way)."""
+    d = Tables(spark, sf_dir).documents
+    return D.minhash_dedup_pairs(d, threshold=0.5, hashed=True)
+
+
 @query("llm_dedup_minhash", oracle=_MINHASH_ORACLE)
 def llm_dedup_minhash(spark, sf_dir):
     """Scored near-dup pair report: banded-minhash candidates, exact-
@@ -521,24 +563,24 @@ def llm_dedup_simhash(spark, sf_dir):
 
 @query(
     "llm_dedup_ngram",
+    # Mirrors operators/dedup.py::ngram_jaccard_pairs — the SAME banded-
+    # minhash LSH as the word-token pipeline, run over distinct word
+    # BIGRAMS. candidate_pairs_grouped is pair-set-identical to the
+    # plain distinct band self-join (identical-signature members share
+    # every band with their representative), so the oracle states the
+    # simple form.
     oracle=f"""
-    WITH grams AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-                 generate_series(1, len(string_split(text,' ')) - 1),
-                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-             ))) AS tok
-      FROM documents
-    ),
-    blk AS (
-      SELECT doc_id, lang || '|' || string_split(text,' ')[1] AS blk
-      FROM documents
-    ),
+    WITH {_tokens_cte(_BIGRAM_LIST)},
+    sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
     cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
     ),
-    {_jaccard_tail(0.3, "grams")}
+    {_jaccard_cte(0.3)}
+    SELECT doc_a, doc_b, jaccard, is_dup FROM verified WHERE is_dup
     """,
 )
 def llm_dedup_ngram(spark, sf_dir):

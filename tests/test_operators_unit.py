@@ -90,6 +90,11 @@ def test_connected_components_empty(spark):
 
 
 def test_cosine_exact_on_known_vectors(spark):
+    # Bucket-blocked contract (see cosine_near_dup_pairs): only
+    # same-LSH-bucket pairs are candidates. Identical vectors share a
+    # bucket by construction, so (0, 1) must appear with exact cosine
+    # 1.0; the orthogonal vector 2 appears only if its bucket happens to
+    # collide — and then its cosine must still be exactly 0.0.
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)],
         "vec_id long, embedding array<float>, label int",
@@ -99,8 +104,19 @@ def test_cosine_exact_on_known_vectors(spark):
         for r in S.cosine_near_dup_pairs(emb, threshold=-2.0).collect()
     }
     assert rows[(0, 1)] == 1.0
-    assert rows[(0, 2)] == 0.0
-    assert rows[(1, 2)] == 0.0
+    for (a, b), c in rows.items():
+        if 2 in (a, b):
+            assert c == 0.0
+
+
+def test_cosine_near_dup_skips_empty_embeddings(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = S.cosine_near_dup_pairs(emb, threshold=-2.0).collect()
+    assert all(2 not in (r.vec_a, r.vec_b) for r in rows)
+    assert {(r.vec_a, r.vec_b) for r in rows} == {(0, 1)}
 
 
 def test_topk_excludes_self_and_orders(spark):
