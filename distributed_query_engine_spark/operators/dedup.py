@@ -164,7 +164,9 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def exact_jaccard(pairs: DataFrame, tokens: DataFrame) -> DataFrame:
+def exact_jaccard(
+    pairs: DataFrame, tokens: DataFrame, threshold: float | None = None
+) -> DataFrame:
     """Exact set-Jaccard for given pairs from the (doc, tok) relation.
 
     The token relation is first aggregated to one sorted array per doc
@@ -187,7 +189,19 @@ def exact_jaccard(pairs: DataFrame, tokens: DataFrame) -> DataFrame:
     `array_intersect` over primitive longs runs ~3× faster than over
     UTF8 strings (no per-element allocation). A 64-bit collision merging
     two distinct tokens within one document pair is ~2^-64 per token
-    pair — negligible against any corpus we target."""
+    pair — negligible against any corpus we target.
+
+    ``threshold``: when given, only pairs with jaccard >= threshold are
+    returned — applied BEHIND an optimizer barrier. A plain
+    ``.filter(jaccard >= t)`` on the scored output gets pushed by
+    Catalyst into the join condition, re-evaluating ``array_intersect``
+    up to 3× per candidate (the 27 s → 18.5 s lesson in BASELINE.md;
+    re-measured as a 1.8× regression when the thresholded contract
+    landed in round 2). The barrier adds a non-deterministic term that
+    is EXACTLY +0.0 (``rand(seed) * 0.0``) — values are bit-identical,
+    but PushPredicateThroughNonJoin refuses to move the predicate below
+    a non-deterministic projection, so the intersection is computed
+    once per candidate and the filter reads the materialized column."""
     t64 = tokens.select("doc_id", F.xxhash64("tok").alias("t"))
     doc_sets = t64.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("t")).alias("toks")
@@ -196,7 +210,7 @@ def exact_jaccard(pairs: DataFrame, tokens: DataFrame) -> DataFrame:
     sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     n_inter = F.size(F.array_intersect("toks_a", "toks_b"))
     n_union = F.size("toks_a") + F.size("toks_b") - n_inter
-    return (
+    scored = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -205,6 +219,12 @@ def exact_jaccard(pairs: DataFrame, tokens: DataFrame) -> DataFrame:
             (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
         )
     )
+    if threshold is None:
+        return scored
+    barrier = scored.withColumn(
+        "jaccard", F.col("jaccard") + F.rand(42) * F.lit(0.0)
+    )
+    return barrier.filter(F.col("jaccard") >= threshold)
 
 
 def candidate_pairs_grouped(sigs: DataFrame) -> DataFrame:
@@ -318,9 +338,7 @@ def minhash_dedup_pairs(
     tokens = tokenize(docs)
     sigs = signatures_for(tokens, hashed=hashed)
     pairs = candidate_pairs_grouped(sigs)
-    return exact_jaccard(pairs, tokens).filter(
-        F.col("jaccard") >= threshold
-    ).select(
+    return exact_jaccard(pairs, tokens, threshold=threshold).select(
         "doc_a", "doc_b", "jaccard", (F.col("jaccard") >= threshold).alias("is_dup")
     )
 
@@ -359,11 +377,7 @@ def minhash_dup_edges(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     rep_sigs = groups.select(F.col("rep").alias("doc_id"), *sig_cols)
     rep_pairs = candidate_pairs(lsh_bands(rep_sigs))
     cand = star.unionByName(rep_pairs)
-    return (
-        exact_jaccard(cand, tokens)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b")
-    )
+    return exact_jaccard(cand, tokens, threshold=threshold).select("doc_a", "doc_b")
 
 
 def connected_components(
@@ -522,8 +536,6 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     grams = word_ngrams(docs, 2)
     sigs = signatures_for(grams)
     pairs = candidate_pairs_grouped(sigs)
-    return exact_jaccard(pairs, grams).filter(
-        F.col("jaccard") >= threshold
-    ).select(
+    return exact_jaccard(pairs, grams, threshold=threshold).select(
         "doc_a", "doc_b", "jaccard", (F.col("jaccard") >= threshold).alias("is_dup")
     )
