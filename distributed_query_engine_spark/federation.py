@@ -1,0 +1,339 @@
+"""Multi-vendor JDBC federation: connector registry, SQL-dialect
+dispatch, and schema inference — the reference's core subject
+re-expressed Spark-first.
+
+Reference parity map (``DistributedQueryEngine.diff``):
+
+- ``RDBMSDatabase`` sealed hierarchy with per-vendor connection-string
+  builders and Jackson JSON (de)serialization (diff:20-62) →
+  :class:`RdbmsDatabase` dataclasses + :class:`RdbmsRegistry` with
+  ``to_json``/``from_json``.
+- Vendor dispatch from the connection string
+  (``vendorFromConnStr``, diff:113-115; ``generateSql``, diff:117-127)
+  → :func:`vendor_from_connection_string` + :func:`dialect_for`.
+- ``HiveSqlPrettyPrinter`` backtick identifier quoting (diff:58-66) →
+  :class:`HiveDialect.quote` vs :class:`AnsiDialect.quote`; pushdown
+  SQL built by :meth:`SqlDialect.select_sql`.
+- ``RDBMSInferrer.getHiveType`` DESCRIBE-based schema inference
+  (diff:230-247) vs JDBC-metadata inference (``getRDBMSType``,
+  diff:204-228) → :func:`hive_describe_schema` /
+  :func:`jdbc_metadata_schema`.
+
+Execution stays Spark-native: the dialect's pushdown SELECT is handed
+to ``spark.read.jdbc`` as a subquery relation, so Spark's JDBC DSv2
+source still handles partitioned reads, further filter pushdown, and
+column pruning on top of the vendor-shaped SQL. At scale, federation
+pushes projections/filters to the remote store and only the reduced
+relation crosses the wire — the same motivation the reference's
+``pushToRdbms`` rewrite documents (diff:121).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import types as T
+
+POSTGRESQL = "postgresql"
+MYSQL = "mysql"
+ORACLE = "oracle"
+HIVE = "apache-hive"
+DERBY = "derby"
+
+
+@dataclass(frozen=True)
+class RdbmsDatabase:
+    """A named federated database (reference ``RDBMSDatabase``,
+    diff:20-33): vendor subtypes fix the driver class and the
+    connection-string shape."""
+
+    name: str
+    host: str
+    port: int
+    database: str
+    username: str | None = None
+    password: str | None = None
+    properties: dict[str, str] = field(default_factory=dict)
+
+    vendor: str = ""
+    driver: str = ""
+
+    def connection_string(self) -> str:
+        raise NotImplementedError
+
+    def jdbc_properties(self) -> dict[str, str]:
+        props = {"driver": self.driver, **self.properties}
+        if self.username is not None:
+            props["user"] = self.username
+        if self.password is not None:
+            props["password"] = self.password
+        return props
+
+
+@dataclass(frozen=True)
+class PostgresqlDatabase(RdbmsDatabase):
+    vendor: str = POSTGRESQL
+    driver: str = "org.postgresql.Driver"
+
+    def connection_string(self) -> str:
+        # reference diff:46
+        return f"jdbc:postgresql://{self.host}:{self.port}/{self.database}"
+
+
+@dataclass(frozen=True)
+class MysqlDatabase(RdbmsDatabase):
+    vendor: str = MYSQL
+    driver: str = "com.mysql.cj.jdbc.Driver"
+
+    def connection_string(self) -> str:
+        return f"jdbc:mysql://{self.host}:{self.port}/{self.database}"
+
+
+@dataclass(frozen=True)
+class OracleDatabase(RdbmsDatabase):
+    vendor: str = ORACLE
+    driver: str = "oracle.jdbc.OracleDriver"
+
+    def connection_string(self) -> str:
+        return f"jdbc:oracle:thin:@{self.host}:{self.port}/{self.database}"
+
+
+@dataclass(frozen=True)
+class ApacheHiveDatabase(RdbmsDatabase):
+    """reference ``ApacheHiveDatabase`` (diff:49-62): hive2 scheme +
+    HiveDriver."""
+
+    vendor: str = HIVE
+    driver: str = "org.apache.hive.jdbc.HiveDriver"
+
+    def connection_string(self) -> str:
+        return f"jdbc:hive2://{self.host}:{self.port}/{self.database}"
+
+
+@dataclass(frozen=True)
+class DerbyDatabase(RdbmsDatabase):
+    """Embedded Derby — the vendor actually exercisable in-container
+    (no server processes available); ``host``/``port`` are unused and
+    ``database`` is the on-disk path."""
+
+    vendor: str = DERBY
+    driver: str = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def connection_string(self) -> str:
+        return f"jdbc:derby:{self.database};create=true"
+
+
+_VENDOR_CLASSES: dict[str, type[RdbmsDatabase]] = {
+    POSTGRESQL: PostgresqlDatabase,
+    MYSQL: MysqlDatabase,
+    ORACLE: OracleDatabase,
+    HIVE: ApacheHiveDatabase,
+    DERBY: DerbyDatabase,
+}
+
+
+def make_database(vendor: str, **kwargs) -> RdbmsDatabase:
+    """Vendor-keyed factory (reference ``RDBMSDatabase.apply``,
+    diff:71-79) — unknown vendors raise, matching the reference."""
+    try:
+        cls = _VENDOR_CLASSES[vendor]
+    except KeyError:
+        raise ValueError(f"Unknown database vendor: {vendor}") from None
+    return cls(**kwargs)
+
+
+def vendor_from_connection_string(url: str) -> str:
+    """Subprotocol of a JDBC URL — ``jdbc:hive2://…`` → ``hive2``
+    (reference ``vendorFromConnStr``, diff:113-115: the characters
+    between ``jdbc:`` and the next ``:``)."""
+    if not url.startswith("jdbc:"):
+        raise ValueError(f"not a JDBC url: {url!r}")
+    return url[5 : url.index(":", 5)]
+
+
+class RdbmsRegistry:
+    """Named-connector registry with JSON round-trip (the reference
+    serializes ``RDBMSDatabase`` entries via Jackson subtype tags,
+    diff:14-19; here the ``vendor`` field is the tag)."""
+
+    def __init__(self) -> None:
+        self._dbs: dict[str, RdbmsDatabase] = {}
+
+    def register(self, db: RdbmsDatabase) -> None:
+        self._dbs[db.name] = db
+
+    def get(self, name: str) -> RdbmsDatabase:
+        try:
+            return self._dbs[name]
+        except KeyError:
+            # reference: "Could not find database entry for", diff:100
+            raise KeyError(f"Could not find database entry for: {name}") from None
+
+    def names(self) -> list[str]:
+        return sorted(self._dbs)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            [asdict(db) for db in self._dbs.values()], sort_keys=True
+        )
+
+    @classmethod
+    def from_json(cls, payload: str) -> RdbmsRegistry:
+        reg = cls()
+        for entry in json.loads(payload):
+            vendor = entry.pop("vendor")
+            entry.pop("driver", None)  # fixed per subtype, not state
+            reg.register(make_database(vendor, **entry))
+        return reg
+
+
+# ---------------------------------------------------------------------------
+# SQL dialects (identifier quoting + pushdown SELECT generation)
+# ---------------------------------------------------------------------------
+
+
+class SqlDialect:
+    """Vendor-specific SQL generation for the pushed-down scan
+    (reference ``SQLPrettyPrinter``/``HiveSqlPrettyPrinter``,
+    diff:47-66)."""
+
+    quote_char = '"'
+
+    def quote(self, identifier: str) -> str:
+        q = self.quote_char
+        return f"{q}{identifier.replace(q, q + q)}{q}"
+
+    def select_sql(
+        self,
+        table: str,
+        columns: list[str] | None = None,
+        predicates: list[str] | None = None,
+        schema: str | None = None,
+    ) -> str:
+        cols = (
+            ", ".join(self.quote(c) for c in columns) if columns else "*"
+        )
+        target = (
+            f"{self.quote(schema)}.{self.quote(table)}" if schema else self.quote(table)
+        )
+        sql = f"SELECT {cols} FROM {target}"
+        if predicates:
+            sql += " WHERE " + " AND ".join(f"({p})" for p in predicates)
+        return sql
+
+
+class AnsiDialect(SqlDialect):
+    """Double-quoted identifiers — Postgres, Oracle, Derby
+    (reference default printer, diff:47-56)."""
+
+
+class HiveDialect(SqlDialect):
+    """Backtick identifiers — the entire point of the reference's
+    ``HiveSqlPrettyPrinter`` (diff:58-66)."""
+
+    quote_char = "`"
+
+
+class MysqlDialect(HiveDialect):
+    """MySQL also backticks identifiers."""
+
+
+_DIALECTS: dict[str, SqlDialect] = {
+    "hive2": HiveDialect(),
+    "mysql": MysqlDialect(),
+}
+_DEFAULT_DIALECT = AnsiDialect()
+
+
+def dialect_for(url: str) -> SqlDialect:
+    """Dispatch the SQL dialect from the connection string — mirrors
+    ``generateSql``'s ``vendor match { case "hive2" => … }``
+    (diff:117-127): hive2 gets the backtick printer, everything else
+    the ANSI one."""
+    return _DIALECTS.get(vendor_from_connection_string(url), _DEFAULT_DIALECT)
+
+
+# ---------------------------------------------------------------------------
+# Schema inference
+# ---------------------------------------------------------------------------
+
+# reference getHiveType's string-keyed mapping (diff:233-246), widened
+# beyond its TODO ("add more types") to Hive's full primitive set.
+_HIVE_TYPES: dict[str, T.DataType] = {
+    "tinyint": T.ByteType(),
+    "smallint": T.ShortType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "varchar": T.StringType(),
+    "char": T.StringType(),
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "binary": T.BinaryType(),
+}
+
+
+def hive_type_to_spark(data_type: str) -> T.DataType:
+    """One ``DESCRIBE`` data_type cell → Spark type. Parameterized
+    types (``varchar(64)``, ``decimal(12,2)``) resolve on the base
+    name; unknown types raise (the reference's non-exhaustive match
+    does the same, diff:237-243)."""
+    base = data_type.strip().lower().split("(", 1)[0].split("<", 1)[0]
+    if base == "decimal":
+        inside = data_type[data_type.index("(") + 1 : data_type.index(")")]
+        p, s = (int(x) for x in inside.split(","))
+        return T.DecimalType(p, s)
+    try:
+        return _HIVE_TYPES[base]
+    except KeyError:
+        raise ValueError(f"unsupported Hive type: {data_type!r}") from None
+
+
+def hive_describe_schema(describe_rows: list[tuple[str, str]]) -> T.StructType:
+    """``DESCRIBE <table>`` output → StructType (reference
+    ``getHiveType``, diff:230-247: iterate (col_name, data_type) rows).
+    The row source is injected so the mapping is testable without a
+    HiveServer2 in the container; against a live server the rows come
+    from ``connection.createStatement().executeQuery("DESCRIBE t")``.
+    Hive DESCRIBE appends partition-info banner rows (blank col_name or
+    ``# …``) — skipped, as any real consumer must."""
+    fields = []
+    for col_name, data_type in describe_rows:
+        name = (col_name or "").strip()
+        if not name or name.startswith("#"):
+            continue
+        fields.append(T.StructField(name, hive_type_to_spark(data_type), True))
+    return T.StructType(fields)
+
+
+def jdbc_metadata_schema(spark, url: str, table: str, properties: dict) -> T.StructType:
+    """Generic-vendor inference via JDBC metadata (reference
+    ``getRDBMSType`` walks ``DatabaseMetaData.getColumns``,
+    diff:204-228). Spark's JDBC relation performs exactly that
+    negotiation when resolving a relation lazily — ``.schema`` triggers
+    metadata-only resolution (a zero-row prepared query), no data
+    movement."""
+    return spark.read.jdbc(url, table, properties=properties).schema
+
+
+def federated_scan(
+    spark,
+    registry: RdbmsRegistry,
+    db_name: str,
+    table: str,
+    columns: list[str] | None = None,
+    predicates: list[str] | None = None,
+):
+    """Dialect-dispatched federated scan: look up the connector, shape
+    the pushdown SELECT with the vendor's dialect, and hand it to
+    Spark's JDBC source as a subquery relation (reference
+    ``RDBMSScan(dbName, sql, t)``, diff:140). Spark still negotiates
+    additional filter/projection pushdown on top."""
+    db = registry.get(db_name)
+    url = db.connection_string()
+    sql = dialect_for(url).select_sql(table, columns, predicates)
+    return spark.read.jdbc(url, f"({sql}) pushed", properties=db.jdbc_properties())

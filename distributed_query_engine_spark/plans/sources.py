@@ -209,6 +209,66 @@ def scan_partition_pruned(spark, sf_dir):
     )
 
 
+@query(
+    "scan_jdbc_dialect_dispatch",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey FROM supplier
+    WHERE s_nationkey >= 10
+    """,
+)
+def scan_jdbc_dialect_dispatch(spark, sf_dir):
+    """Multi-vendor federation with dialect dispatch — the reference's
+    actual subject (``ApacheHiveDatabase`` + ``HiveSqlPrettyPrinter`` +
+    ``vendorFromConnStr``, diff:49-66,113-127):
+
+    1. a named-connector registry holds a Derby AND a Hive entry and
+       round-trips through JSON (diff:14-19 Jackson subtype tags);
+    2. the scan looks up its connector by NAME, derives the vendor from
+       the connection string, and shapes the pushdown SELECT with that
+       vendor's identifier quoting — backticks for hive2, double quotes
+       otherwise;
+    3. the Derby-backed scan executes for real (embedded Derby being
+       the in-container RDBMS), with projection and predicate embedded
+       in the pushed subquery. The Hive path's SQL generation and
+       DESCRIBE-based schema inference are covered by unit tests
+       (tests/test_federation.py) since no HiveServer2 exists here.
+    """
+    from distributed_query_engine_spark import federation as FED
+
+    t = Tables(spark, sf_dir)
+    db_path = _tmp(sf_dir, "derby_supplier_db")
+    derby = FED.DerbyDatabase(name="suppliers", host="", port=0, database=db_path)
+    (
+        t.supplier.select("s_suppkey", "s_name", "s_nationkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("driver", derby.driver)
+        .option("createTableColumnTypes", "s_name VARCHAR(64)")
+        .jdbc(derby.connection_string(), "supplier_fed", properties=derby.jdbc_properties())
+    )
+    registry = FED.RdbmsRegistry()
+    registry.register(derby)
+    registry.register(
+        FED.ApacheHiveDatabase(
+            name="warehouse", host="hive-host", port=10000, database="default"
+        )
+    )
+    # JSON round-trip before use — the registry the scan consults is the
+    # deserialized copy (reference persists connector entries as JSON).
+    registry = FED.RdbmsRegistry.from_json(registry.to_json())
+    # Spark's JDBC writer emits the table name unquoted (Derby folds it
+    # to upper case) but quotes column identifiers (case preserved) —
+    # so the dialect-quoted scan addresses SUPPLIER_FED."s_nationkey".
+    return FED.federated_scan(
+        spark,
+        registry,
+        "suppliers",
+        "SUPPLIER_FED",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+        predicates=['"s_nationkey" >= 10'],
+    )
+
+
 @query("scan_jdbc_pushdown", oracle="SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 10")
 def scan_jdbc_pushdown(spark, sf_dir):
     """Federated RDBMS scan — the reference's core feature

@@ -1,0 +1,84 @@
+"""Multi-vendor federation layer: dialect dispatch, registry JSON
+round-trip, Hive DESCRIBE schema inference (reference
+DistributedQueryEngine.diff:20-66,113-127,230-247). The executable
+Derby path is covered by the `scan_jdbc_dialect_dispatch` oracle query;
+these tests pin the Hive-side behavior no in-container server can
+exercise."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from distributed_query_engine_spark import federation as FED
+
+
+def test_vendor_from_connection_string():
+    # reference vendorFromConnStr: chars between "jdbc:" and next ":"
+    assert FED.vendor_from_connection_string("jdbc:hive2://h:10000/db") == "hive2"
+    assert FED.vendor_from_connection_string("jdbc:postgresql://h:5432/db") == "postgresql"
+    assert FED.vendor_from_connection_string("jdbc:derby:/tmp/db;create=true") == "derby"
+    with pytest.raises(ValueError):
+        FED.vendor_from_connection_string("hive2://no-jdbc-prefix")
+
+
+def test_connection_strings_match_reference_shapes():
+    hive = FED.ApacheHiveDatabase(name="w", host="h", port=10000, database="default")
+    assert hive.connection_string() == "jdbc:hive2://h:10000/default"  # diff:61
+    assert hive.driver == "org.apache.hive.jdbc.HiveDriver"  # diff:58
+    pg = FED.PostgresqlDatabase(name="p", host="h", port=5432, database="db")
+    assert pg.connection_string() == "jdbc:postgresql://h:5432/db"  # diff:46
+
+
+def test_dialect_dispatch_hive_backticks_vs_ansi_quotes():
+    # the generateSql vendor match (diff:117-127): hive2 -> backticks
+    hive_sql = FED.dialect_for("jdbc:hive2://h:10000/default").select_sql(
+        "table1", columns=["id", "name"], predicates=["id >= 10"]
+    )
+    assert hive_sql == "SELECT `id`, `name` FROM `table1` WHERE (id >= 10)"
+    ansi_sql = FED.dialect_for("jdbc:postgresql://h:5432/db").select_sql(
+        "table1", columns=["id", "name"], predicates=["id >= 10"]
+    )
+    assert ansi_sql == 'SELECT "id", "name" FROM "table1" WHERE (id >= 10)'
+    # schema-qualified target (reference rdbms(name, db, schema, table))
+    assert (
+        FED.dialect_for("jdbc:hive2://h:1/d").select_sql("t", schema="default")
+        == "SELECT * FROM `default`.`t`"
+    )
+
+
+def test_registry_json_roundtrip_and_vendor_factory():
+    reg = FED.RdbmsRegistry()
+    reg.register(FED.ApacheHiveDatabase(name="w", host="h", port=10000, database="default"))
+    reg.register(FED.DerbyDatabase(name="d", host="", port=0, database="/tmp/x"))
+    back = FED.RdbmsRegistry.from_json(reg.to_json())
+    assert back.names() == ["d", "w"]
+    assert isinstance(back.get("w"), FED.ApacheHiveDatabase)
+    assert back.get("w").connection_string() == "jdbc:hive2://h:10000/default"
+    with pytest.raises(KeyError, match="Could not find database entry"):
+        back.get("missing")
+    with pytest.raises(ValueError, match="Unknown database vendor"):
+        FED.make_database("sqlite", name="x", host="h", port=1, database="d")
+
+
+def test_hive_describe_schema_maps_types_and_skips_banners():
+    rows = [
+        ("id", "int"),
+        ("name", "varchar(64)"),
+        ("seen", "timestamp"),
+        ("amount", "decimal(12,2)"),
+        ("", ""),  # Hive partition-info banner separator
+        ("# Partition Information", ""),
+        ("# col_name", "data_type"),
+    ]
+    schema = FED.hive_describe_schema(rows)
+    assert schema == T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("seen", T.TimestampType(), True),
+            T.StructField("amount", T.DecimalType(12, 2), True),
+        ]
+    )
+    with pytest.raises(ValueError, match="unsupported Hive type"):
+        FED.hive_type_to_spark("struct<a:int>")
