@@ -156,6 +156,11 @@ _LSH_BUCKET_CTES = f"""
 """
 
 
+# Multi-probe mask list (operators/similarity.py::PROBE_MASKS): all
+# N_PLANES-bit patterns with popcount <= MULTIPROBE_H.
+_PROBE_MASKS_SQL = ", ".join(str(m) for m in S.PROBE_MASKS)
+
+
 def _sql_lang_hits(lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
     return (
@@ -651,12 +656,14 @@ def llm_similarity_topk(spark, sf_dir):
            FROM nv JOIN buckets b USING (vec_id)),
     q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq, bucket AS q_bucket
           FROM nb WHERE vec_id IN (0,1,2,3,4)),
+    qp AS (SELECT q_id, q_ivec, q_nsq, xor(q_bucket, m.mask) AS probe_bucket
+           FROM q, (SELECT unnest([{_PROBE_MASKS_SQL}]) AS mask) m),
     scored AS (
       SELECT q.q_id, c.vec_id,
              list_dot_product(q.q_ivec, c.ivec)
                / (sqrt(CAST(q.q_nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
                AS cosine
-      FROM q JOIN nb c ON c.bucket = q.q_bucket AND c.vec_id != q.q_id
+      FROM qp q JOIN nb c ON c.bucket = q.probe_bucket AND c.vec_id != q.q_id
     )
     SELECT q_id, vec_id, cosine, rn FROM (
       SELECT *, CAST(row_number() OVER (
@@ -718,6 +725,116 @@ def llm_similarity_ivf(spark, sf_dir):
     §2.3 names next to the LSH variant."""
     e = Tables(spark, sf_dir).embeddings
     return S.topk_cosine_ivf(e, _QUERY_IDS, k=5)
+
+
+@query(
+    "llm_similarity_recall",
+    # Exact-oracle recall@5 of both ANN variants against the exact
+    # brute-force top-k: the oracle replays all three searches (same
+    # arithmetic as their individual oracles) and intersects. This is
+    # the quality metric that justifies N_PLANES / N_CELLS / N_PROBE —
+    # measured, not folklore (PLANS.md records the numbers per sf).
+    oracle=f"""
+    WITH {_IVEC_CTE},
+    {_LSH_BUCKET_CTES},
+    nb AS (SELECT nv.vec_id, nv.ivec, nv.nsq, b.bucket
+           FROM nv JOIN buckets b USING (vec_id)),
+    qs AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
+           FROM nv WHERE vec_id IN (0,1,2,3,4)),
+    exact_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 {_COS.format(a='q.q_ivec', b='c.ivec', na='q.q_nsq', nb='c.nsq')} DESC,
+                 c.vec_id) AS rn
+        FROM qs q, nv c WHERE c.vec_id != q.q_id) WHERE rn <= 5
+    ),
+    lsh_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 {_COS.format(a='q.q_ivec', b='c.ivec', na='q.q_nsq', nb='c.nsq')} DESC,
+                 c.vec_id) AS rn
+        FROM (SELECT qs.q_id, qs.q_ivec, qs.q_nsq,
+                     xor(b.bucket, m.mask) AS probe_bucket
+              FROM qs
+              JOIN buckets b ON b.vec_id = qs.q_id,
+                   (SELECT unnest([{_PROBE_MASKS_SQL}]) AS mask) m) q
+        JOIN nb c ON c.bucket = q.probe_bucket AND c.vec_id != q.q_id)
+      WHERE rn <= 5
+    ),
+    cents AS (SELECT vec_id AS cell_id, ivec AS c_ivec, nsq AS c_nsq
+              FROM nv WHERE vec_id < {S.N_CELLS}),
+    assigned AS (
+      SELECT vec_id, ivec, nsq, cell_id FROM (
+        SELECT n.vec_id, n.ivec, n.nsq, c.cell_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {_COS.format(a='n.ivec', b='c.c_ivec', na='n.nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS crn
+        FROM nv n, cents c) WHERE crn = 1
+    ),
+    probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT q.q_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 {_COS.format(a='q.q_ivec', b='c.c_ivec', na='q.q_nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS prn
+        FROM qs q, cents c) WHERE prn <= {S.N_PROBE}
+    ),
+    ivf_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT p.q_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.q_id ORDER BY
+                 {_COS.format(a='q.q_ivec', b='a.ivec', na='q.q_nsq', nb='a.nsq')} DESC,
+                 a.vec_id) AS rn
+        FROM probes p
+        JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id != p.q_id
+        JOIN qs q ON q.q_id = p.q_id) WHERE rn <= 5
+    )
+    SELECT 'lsh' AS method, e.q_id,
+           CAST(count(l.vec_id) AS BIGINT) AS hits,
+           count(l.vec_id) / 5.0 AS recall
+    FROM exact_top e LEFT JOIN lsh_top l USING (q_id, vec_id)
+    GROUP BY e.q_id
+    UNION ALL
+    SELECT 'ivf' AS method, e.q_id,
+           CAST(count(i.vec_id) AS BIGINT) AS hits,
+           count(i.vec_id) / 5.0 AS recall
+    FROM exact_top e LEFT JOIN ivf_top i USING (q_id, vec_id)
+    GROUP BY e.q_id
+    """,
+)
+def llm_similarity_recall(spark, sf_dir):
+    """recall@5 of the two ANN paths vs the exact scan, per query id:
+    join each ANN top-k to the exact top-k on (q_id, vec_id) and count
+    survivors. All three searches are deterministic, so recall itself
+    is oracle-exact — the ANN knobs (N_PLANES, N_CELLS, N_PROBE) are
+    graded by measurement."""
+    e = Tables(spark, sf_dir).embeddings
+    k = 5
+    exact = S.topk_cosine(e, _QUERY_IDS, k=k).select("q_id", "vec_id")
+    out = None
+    for method, ann in (
+        ("lsh", S.topk_cosine_ann(e, _QUERY_IDS, k=k)),
+        ("ivf", S.topk_cosine_ivf(e, _QUERY_IDS, k=k)),
+    ):
+        hits = (
+            exact.join(
+                ann.select("q_id", "vec_id").withColumn("hit", F.lit(1)),
+                ["q_id", "vec_id"],
+                "left",
+            )
+            .groupBy("q_id")
+            .agg(F.count("hit").alias("n_hits"))
+        )
+        part = hits.select(
+            F.lit(method).alias("method"),
+            "q_id",
+            F.col("n_hits").cast("long").alias("hits"),
+            (F.col("n_hits") / F.lit(float(k))).alias("recall"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 # ---------------------------------------------------------------------------
