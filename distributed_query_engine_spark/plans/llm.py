@@ -313,6 +313,191 @@ def llm_fingerprint(spark, sf_dir):
     )
 
 
+@query(
+    "llm_repetition_stats",
+    # Gopher-style repetition signals, computed ROW-LOCALLY with
+    # higher-order array functions (zero shuffles — the whole query is
+    # scan + project inside codegen; at 100 TB it is IO-bound, the ideal
+    # shape for a per-doc quality filter).
+    oracle="""
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+           CAST(list_max(list_transform(list_distinct(ws),
+                    t -> len(list_filter(ws, x -> x = t)))) AS DOUBLE)
+             / CAST(len(ws) AS DOUBLE) AS top_tok_frac,
+           CASE WHEN len(ws) >= 2
+                THEN CAST(len(bs) - len(list_distinct(bs)) AS DOUBLE)
+                     / CAST(len(bs) AS DOUBLE)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])
+               AS bs
+      FROM documents)
+    """,
+)
+def llm_repetition_stats(spark, sf_dir):
+    """Per-document repetition metrics (the Gopher rules' signals):
+    token counts, most-frequent-token fraction, duplicate-bigram
+    fraction. Everything is a per-row array expression — no explode, no
+    shuffle, no UDF."""
+    d = Tables(spark, sf_dir).documents
+    ws = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda t: F.size(F.filter(ws, lambda x: x == t)),
+        )
+    )
+    dup_bigram = F.when(
+        F.size(ws) >= 2,
+        (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
+        / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_uniq"),
+        (top_cnt.cast("double") / F.size(ws).cast("double")).alias("top_tok_frac"),
+        dup_bigram.alias("dup_bigram_frac"),
+    )
+
+
+@query(
+    "llm_tfidf_topterms",
+    # score = tf * N / df as ONE double division of exact integers —
+    # no ln(), so both engines produce bit-identical doubles and the
+    # ranking (score DESC, tok ASC) is engine-exact.
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id, tok, tf, df, tfidf, rn FROM (
+      SELECT t.doc_id, t.tok, t.tf, d.df,
+             CAST(t.tf * n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE) AS tfidf,
+             CAST(row_number() OVER (PARTITION BY t.doc_id ORDER BY
+                 CAST(t.tf * n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE) DESC,
+                 t.tok) AS BIGINT) AS rn
+      FROM tf t JOIN dfreq d USING (tok), n)
+    WHERE rn <= 3
+    """,
+)
+def llm_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document. Scale shape: the document-
+    frequency table is vocabulary-sized (broadcast to the tf relation),
+    the corpus count is one scalar, and the only data-sized shuffles are
+    the (doc, tok) aggregate and the per-doc top-k window — which Spark
+    4 executes as a partial WindowGroupLimit before the shuffle."""
+    from pyspark.sql.window import Window
+
+    d = Tables(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "llm_decontaminate",
+    # Benchmark decontamination: training docs sharing any word 5-gram
+    # with the (broadcast-small) eval set are flagged with their
+    # distinct-collision count. Eval set here = doc_id < 10 (stand-in
+    # for a benchmark suite; the mechanism is the point).
+    oracle="""
+    WITH tg AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, len(string_split(text,' ')) - 4),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+            || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
+            || ' ' || string_split(text,' ')[i+4]))) AS tok
+      FROM documents WHERE doc_id >= 10
+    ),
+    eg AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+          generate_series(1, len(string_split(text,' ')) - 4),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+            || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
+            || ' ' || string_split(text,' ')[i+4]))) AS tok
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tg JOIN eg USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def llm_decontaminate(spark, sf_dir):
+    """Training-vs-benchmark n-gram contamination check: the eval set's
+    distinct 5-grams broadcast to the training scan; one shuffle (the
+    per-doc collision count) of only the COLLIDING rows. At 100 TB the
+    eval suite is tiny by construction, so the corpus never reshuffles
+    on content — the canonical decontamination shape."""
+    d = Tables(spark, sf_dir).documents
+    train = d.filter(F.col("doc_id") >= 10)
+    holdout = d.filter(F.col("doc_id") < 10)
+    tg = D.word_ngrams(train, 5)
+    eg = D.word_ngrams(holdout, 5).select("tok").distinct()
+    return (
+        tg.join(F.broadcast(eg), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@query(
+    "llm_text_normalize",
+    # DuckDB regexp_replace is first-match-only without the 'g' flag;
+    # Spark's replaces all occurrences — the oracle passes 'g' so both
+    # engines apply the same global rewrite.
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+    FROM documents
+    """,
+)
+def llm_text_normalize(spark, sf_dir):
+    """Canonical text normalization for dedup/tokenization: lowercase,
+    non-alphanumerics to spaces, whitespace collapsed, trimmed. Pure
+    codegen string expressions — scan-bound at any scale."""
+    d = Tables(spark, sf_dir).documents
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select("doc_id", norm.alias("norm"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------
