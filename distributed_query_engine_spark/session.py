@@ -63,10 +63,23 @@ def get_spark(
 
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply our runtime-settable defaults to an externally-provided
-    session (the driver hands ``entry()`` a session we didn't build)."""
+    session (the driver hands ``entry()`` a session we didn't build).
+
+    Also sizes ``spark.sql.shuffle.partitions`` to the local core count
+    when it is still at Spark's 200 default (an explicit non-default
+    setting is respected). This matters doubly for streaming: the state
+    store creates one instance per shuffle partition — a stream-stream
+    join at 200 partitions pays 4×200 state stores of checkpoint I/O
+    per micro-batch (measured 112 s → 3-7 s at sf0.01 going 200 → 32/8
+    on local[8]). Batch queries are covered either way by AQE partition
+    coalescing, which cannot help streaming state."""
     for k, v in _DEFAULTS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # static confs (e.g. spark.ui.enabled) — ignore
             pass
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(default_parallelism())
+        )
     return spark
