@@ -134,7 +134,10 @@ nv AS (
 # lsh_bucket replayed in SQL). Zipped unnest iterates the ACTUAL vector
 # length — PLANE_STRIDE is the hash's mixing stride, a constant of the
 # plane_sign definition, not a dimensionality assumption. Requires the
-# nv CTE; yields buckets(vec_id, bucket).
+# nv CTE; yields buckets(vec_id, bucket). The final left join from nv
+# keeps zero-length vectors at bucket 0, matching the Spark side
+# (lsh_bucket's null pdots fail `pdot > 0`, leaving bucket = 0) — an
+# unnest-only derivation would silently drop such rows from the oracle.
 _LSH_BUCKET_CTES = f"""
     ex AS (
       SELECT vec_id, unnest(range(len(ivec))) AS d, unnest(ivec) AS x
@@ -147,11 +150,15 @@ _LSH_BUCKET_CTES = f"""
       FROM ex, generate_series(0, {S.N_PLANES - 1}) p(j)
       GROUP BY vec_id, p.j
     ),
-    buckets AS (
+    nonempty_buckets AS (
       SELECT vec_id,
              CAST(sum(CASE WHEN pdot > 0 THEN (1::BIGINT << j) ELSE 0 END)
                   AS BIGINT) AS bucket
       FROM pdots GROUP BY vec_id
+    ),
+    buckets AS (
+      SELECT nv.vec_id, COALESCE(b.bucket, 0) AS bucket
+      FROM nv LEFT JOIN nonempty_buckets b ON b.vec_id = nv.vec_id
     )
 """
 

@@ -119,6 +119,43 @@ def test_cosine_near_dup_skips_empty_embeddings(spark):
     assert {(r.vec_a, r.vec_b) for r in rows} == {(0, 1)}
 
 
+def test_lsh_bucket_keeps_empty_vector_at_zero(spark):
+    # Zero-length vector: every plane dot is null, `pdot > 0` is false,
+    # bucket stays 0 and the row is KEPT. The oracle's buckets CTE must
+    # agree (it left-joins from nv with COALESCE(bucket, 0)); before
+    # that fix the unnest-only derivation dropped such rows entirely.
+    import duckdb
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [-1.0, 0.5], 0), (2, [], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    spark_buckets = {
+        (r.vec_id, r.bucket)
+        for r in S.lsh_bucket(S.with_int_vec(emb)).select("vec_id", "bucket").collect()
+    }
+    assert (2, 0) in spark_buckets
+
+    from distributed_query_engine_spark.plans.llm import (
+        _IVEC_CTE,
+        _LSH_BUCKET_CTES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        "(0, [1.0, 0.0], 0), (1, [-1.0, 0.5], 0), "
+        "(2, CAST([] AS DOUBLE[]), 0)) t(vec_id, embedding, label)"
+    )
+    oracle_buckets = set(
+        con.sql(
+            f"WITH {_IVEC_CTE}, {_LSH_BUCKET_CTES} "
+            "SELECT vec_id, bucket FROM buckets"
+        ).fetchall()
+    )
+    assert oracle_buckets == spark_buckets
+
+
 def test_topk_excludes_self_and_orders(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.0, 1.0], 0)],
