@@ -363,6 +363,205 @@ def sample_hash_mod(spark, sf_dir):
     )
 
 
+# Per-stratum keep-rates in percent (md5-prefix bucket < rate). The md5
+# idiom is the engine-portable one from operators/dedup.hashed_token_ids:
+# both engines define md5 over the same UTF-8 bytes, so the sample is
+# reproducible anywhere — unlike TABLESAMPLE, whose row choice is
+# seed/engine/partition-dependent.
+_STRATA_RATES = {"A": 25, "N": 10, "R": 50}
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT l_returnflag, l_quantity,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS pct
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM keyed
+    WHERE (l_returnflag = 'A' AND pct < {_STRATA_RATES['A']})
+       OR (l_returnflag = 'N' AND pct < {_STRATA_RATES['N']})
+       OR (l_returnflag = 'R' AND pct < {_STRATA_RATES['R']})
+    GROUP BY l_returnflag
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified sampling with per-stratum rates (A 25% / N 10% /
+    R 50%): deterministic md5-bucket per row, one filter, one partial
+    aggregate. The filter is a row-local expression, so at 100 TB the
+    op reads the scan once and shuffles only the tiny per-stratum
+    partials — the standard down-sampling shape for training-mix
+    construction."""
+    l = Tables(spark, sf_dir).lineitem
+    pct = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.create_map(
+        *[x for k, v in _STRATA_RATES.items() for x in (F.lit(k), F.lit(v))]
+    )
+    return (
+        l.filter(pct < rate[F.col("l_returnflag")])
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+# Fixed-bound histogram geometry (integer cents so the bucket id is
+# exact integer arithmetic in both engines).
+_HIST_LO_CENTS = 90_000  # 900.00
+_HIST_WIDTH_CENTS = 1_041_000  # (105_000.00 - 900.00) / 10 buckets
+_HIST_BUCKETS = 10
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT CAST(least((greatest(cents - {_HIST_LO_CENTS}, 0))
+                        // {_HIST_WIDTH_CENTS}, {_HIST_BUCKETS - 1}) AS INT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(cents) AS min_cents, MAX(cents) AS max_cents
+    FROM c GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-bound histogram of l_extendedprice in 10 equal-width
+    buckets. The bucket id is a row-local integer expression, so the
+    whole op is one map-side-combined aggregate over exactly
+    ``_HIST_BUCKETS`` groups — no skew possible, scan-bound at any
+    scale. Fixed bounds (not data-dependent min/max) keep it one pass;
+    a quantile-bounded variant would first need the agg_median path."""
+    l = Tables(spark, sf_dir).lineitem
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    bucket = F.least(
+        F.floor(F.greatest(cents - _HIST_LO_CENTS, F.lit(0)) / _HIST_WIDTH_CENTS),
+        F.lit(_HIST_BUCKETS - 1),
+    ).cast("int")
+    return (
+        l.select(cents.alias("cents"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+_AGG_SALTS = 16
+
+
+@query(
+    "agg_salted_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_distinct(spark, sf_dir):
+    """Two-phase salted aggregation for skewed group keys: events has
+    only a handful of event_type values, so a direct
+    groupBy(event_type).agg(countDistinct(user_id)) funnels each type's
+    entire distinct-set state through one reducer. Phase 1 groups on
+    (event_type, salt) where salt = hash(user_id) % 16 — the distinct
+    sets are disjoint across salts BECAUSE the salt is a function of the
+    distinct key — and phase 2 sums the 16 per-salt partials per type.
+    State per reducer drops 16×; the pattern generalizes to any
+    algebraic combine over a skewed key. Counts and integer-cents sums
+    keep the result bit-exact against the unsalted oracle."""
+    e = Tables(spark, sf_dir).events
+    salt = F.pmod(F.xxhash64("user_id"), F.lit(_AGG_SALTS)).cast("int")
+    phase1 = (
+        e.withColumn("salt", salt)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.countDistinct("user_id").alias("du"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("du").alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
+
+
+_JOIN_SALTS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Salted shuffle join for a hot-key fact side: the fact's join key
+    is widened to (user_id, salt) with salt = hash(event_id) % 8 — an
+    arbitrary row-local spreader — and the dimension side is replicated
+    8× with an explode over the salt range, so each formerly-hot
+    (user_id) reducer becomes 8 cooler (user_id, salt) reducers. The
+    SHUFFLE_HASH hint pins the demonstration to a shuffle join (a
+    broadcast would bypass salting; at 100 TB you salt exactly when the
+    dim is too big to broadcast AND the fact keys are skewed). Replicas
+    multiply only the SMALL side; results aggregate identically to the
+    plain equi-join oracle."""
+    t = Tables(spark, sf_dir)
+    fact = t.events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_JOIN_SALTS)).cast("int")
+    )
+    dim = (
+        t.customer.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        ).withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALTS - 1))),
+        )
+    )
+    return (
+        fact.join(dim.hint("SHUFFLE_HASH"), ["user_id", "salt"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bitwise scalar family
 # ---------------------------------------------------------------------------

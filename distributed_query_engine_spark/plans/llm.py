@@ -505,6 +505,136 @@ def llm_text_normalize(spark, sf_dir):
     return d.select("doc_id", norm.alias("norm"))
 
 
+@query(
+    "llm_pii_redact",
+    # The synthetic corpus carries no PII, so both engines first seed
+    # deterministic markers (an email for doc_id % 3 = 0, a phone for
+    # doc_id % 7 = 2) and then scrub them — the redaction mechanics are
+    # what is under test, and the injection makes them observable.
+    # DuckDB regexp_replace needs the 'g' flag to match Spark's
+    # replace-all; counts come from len(regexp_extract_all) vs Spark's
+    # regexp_count.
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com now'
+                  WHEN doc_id % 7 = 2
+                    THEN text || ' call +1-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+'))
+                AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+1-555-[0-9]{4}'))
+                AS INT) AS n_phones,
+           regexp_replace(regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
+               '\\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+    FROM seeded
+    """,
+)
+def llm_pii_redact(spark, sf_dir):
+    """PII scrub for corpus curation: count and redact email/phone
+    patterns. Pure codegen regex over the scan — no shuffle, no UDF;
+    at 100 TB this is scan-bound and embarrassingly parallel, the same
+    shape as any rule-based cleaning pass."""
+    d = Tables(spark, sf_dir).documents
+    email = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+    phone = r"\+1-555-[0-9]{4}"
+    seeded = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).when(
+        F.col("doc_id") % 7 == 2,
+        F.concat(
+            F.col("text"),
+            F.lit(" call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    return d.select("doc_id", seeded.alias("text")).select(
+        "doc_id",
+        F.regexp_count("text", F.lit(email)).alias("n_emails"),
+        F.regexp_count("text", F.lit(phone)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", email, "[EMAIL]"), phone, "[PHONE]"
+        ).alias("redacted"),
+    )
+
+
+# Chunking geometry: fixed token window with overlap (stride < window),
+# the standard training-data prep shape. Integer-only chunk-count
+# arithmetic so both engines enumerate identical chunk grids.
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+@query(
+    "llm_chunk_documents",
+    # DuckDB list_slice(l, b, e) is 1-based inclusive-of-e; Spark
+    # slice(l, b, length) takes a length — both sides below produce the
+    # window [start+1, start+W] clipped to n.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, t, n,
+             unnest(generate_series(0,
+                 (greatest(n - {_CHUNK_W}, 0) + {_CHUNK_S} - 1)
+                   // {_CHUNK_S})) AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(least({_CHUNK_W}, n - chunk_id * {_CHUNK_S}) AS INT)
+             AS n_tokens,
+           array_to_string(list_slice(t, chunk_id * {_CHUNK_S} + 1,
+               least(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n)), ' ')
+             AS chunk_text
+    FROM grid
+    """,
+)
+def llm_chunk_documents(spark, sf_dir):
+    """Overlapping fixed-size token chunks (window 32, stride 24) for
+    tokenization/context packing. One explode, linear in output size,
+    no shuffle — each chunk row is a row-local function of its source
+    document, so the op scales with the scan at any corpus size."""
+    d = Tables(spark, sf_dir).documents
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    n_chunks = (
+        F.greatest(n - _CHUNK_W, F.lit(0)) + (_CHUNK_S - 1)
+    ) / _CHUNK_S  # int division below keeps both engines on one grid
+    grid = d.select(
+        "doc_id",
+        t.alias("t"),
+        n.alias("n"),
+        F.explode(
+            F.sequence(F.lit(0), F.floor(n_chunks).cast("int"))
+        ).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _CHUNK_S
+    return grid.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.least(F.lit(_CHUNK_W), F.col("n") - start).cast("int").alias("n_tokens"),
+        F.array_join(F.slice(F.col("t"), start + 1, F.lit(_CHUNK_W)), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------

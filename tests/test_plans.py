@@ -66,3 +66,20 @@ def test_dedup_minhash_plan_has_no_cartesian(spark, sf_dir):
     plan = _plan(_q("llm_dedup_minhash", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_salted_join_is_shuffle_join(spark, sf_dir):
+    # The salting demo is only meaningful on a shuffle join — a
+    # broadcast would bypass the (key, salt) spreading entirely.
+    plan = _plan(_q("join_skew_salted", spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_salted_distinct_is_two_phase(spark, sf_dir):
+    # Phase 1 aggregates on (event_type, salt), phase 2 on event_type —
+    # both must survive into the physical plan as separate HashAggregate
+    # pairs (4 HashAggregate nodes: partial+final per phase).
+    plan = _plan(_q("agg_salted_distinct", spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4
+    assert "salt" in plan
