@@ -18,6 +18,7 @@ from distributed_query_engine_spark.catalog import Tables
 from distributed_query_engine_spark.functions import text as T
 from distributed_query_engine_spark.functions.vectors import SCALE
 from distributed_query_engine_spark.operators import dedup as D
+from distributed_query_engine_spark.operators.chunking import chunk_documents
 from distributed_query_engine_spark.operators import similarity as S
 from distributed_query_engine_spark.registry import query
 
@@ -607,32 +608,10 @@ _CHUNK_S = 24
 )
 def llm_chunk_documents(spark, sf_dir):
     """Overlapping fixed-size token chunks (window 32, stride 24) for
-    tokenization/context packing. One explode, linear in output size,
-    no shuffle — each chunk row is a row-local function of its source
-    document, so the op scales with the scan at any corpus size."""
+    tokenization/context packing — see operators/chunking.py for the
+    scale rationale (one explode, no shuffle, linear output)."""
     d = Tables(spark, sf_dir).documents
-    t = F.split(F.col("text"), " ")
-    n = F.size(t)
-    n_chunks = (
-        F.greatest(n - _CHUNK_W, F.lit(0)) + (_CHUNK_S - 1)
-    ) / _CHUNK_S  # int division below keeps both engines on one grid
-    grid = d.select(
-        "doc_id",
-        t.alias("t"),
-        n.alias("n"),
-        F.explode(
-            F.sequence(F.lit(0), F.floor(n_chunks).cast("int"))
-        ).alias("chunk_id"),
-    )
-    start = F.col("chunk_id") * _CHUNK_S
-    return grid.select(
-        "doc_id",
-        F.col("chunk_id").cast("int").alias("chunk_id"),
-        F.least(F.lit(_CHUNK_W), F.col("n") - start).cast("int").alias("n_tokens"),
-        F.array_join(F.slice(F.col("t"), start + 1, F.lit(_CHUNK_W)), " ").alias(
-            "chunk_text"
-        ),
-    )
+    return chunk_documents(d, _CHUNK_W, _CHUNK_S)
 
 
 # ---------------------------------------------------------------------------

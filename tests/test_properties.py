@@ -97,3 +97,39 @@ def test_connected_components_matches_union_find(spark, edges):
         comp = min(m for m in nodes if find(m) == find(n))
         expected[n] = comp
     assert got == expected, edges
+
+
+@SET
+@given(
+    sizes=st.lists(st.integers(1, 90), min_size=1, max_size=5),
+    window=st.integers(2, 12),
+    data=st.data(),
+)
+def test_chunk_documents_covers_and_reconstructs(spark, sizes, window, data):
+    from distributed_query_engine_spark.operators.chunking import chunk_documents
+
+    stride = data.draw(st.integers(1, window))
+    docs = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)))
+        for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, window, stride)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(sizes):
+        toks = docs[i][1].split(" ")
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        # contiguous ids from 0; expected count from the grid formula
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert len(chunks) == 1 + -(-max(n - window, 0) // stride)
+        covered = set()
+        for c in chunks:
+            start = c.chunk_id * stride
+            expect = toks[start : start + window]
+            assert c.chunk_text.split(" ") == expect, (i, c.chunk_id)
+            assert c.n_tokens == len(expect)
+            covered.update(range(start, start + len(expect)))
+        # every token of the doc appears in at least one chunk
+        assert covered == set(range(n)), (i, n, window, stride)
