@@ -76,6 +76,14 @@ def test_skew_salted_join_is_shuffle_join(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_jdbc_agg_pushdown_reaches_remote(spark, sf_dir):
+    # The GROUP BY + COUNT/MIN/MAX must execute inside the remote store
+    # (DSv2 JDBCTableCatalog) — only per-group rows cross the wire.
+    plan = _plan(_q("scan_jdbc_agg_pushdown", spark, sf_dir))
+    assert "PushedAggregates" in plan
+    assert "PushedGroupByExpressions: [s_nationkey]" in plan
+
+
 def test_salted_distinct_is_two_phase(spark, sf_dir):
     # Phase 1 aggregates on (event_type, salt), phase 2 on event_type —
     # both must survive into the physical plan as separate HashAggregate
