@@ -82,3 +82,23 @@ def test_hive_describe_schema_maps_types_and_skips_banners():
     )
     with pytest.raises(ValueError, match="unsupported Hive type"):
         FED.hive_type_to_spark("struct<a:int>")
+
+
+def test_jdbc_v2_limit_not_pushed_to_derby(spark, sf_dir):
+    """Regression guard for a measured wrong-results bug: with Spark's
+    default pushDownLimit=true, .limit(k) over the Derby-backed
+    JDBCTableCatalog plans `PushedTopN`, drops the local TakeOrdered,
+    and the remote returns the UNLIMITED relation (limit(3) -> 100
+    rows). scan_jdbc_agg_pushdown disables limit pushdown on its
+    catalog; this pins both the row count and the absence of the
+    pushed-TopN marker."""
+    from distributed_query_engine_spark.registry import all_queries
+
+    # seed the Derby db + catalog via the query itself
+    all_queries()["scan_jdbc_agg_pushdown"](spark, sf_dir).collect()
+    cat = "fed_agg_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    fed = spark.table(f"{cat}.APP.SUPPLIER_AGG")
+    q = fed.orderBy("s_suppkey").limit(3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedTopN" not in plan and "PushedLimit" not in plan, plan
+    assert len(q.collect()) == 3
