@@ -186,3 +186,28 @@ def stream_stateful_custom(spark, sf_dir):
     return ops.run_to_memory(
         ops.stateful_user_stats(ev), "mem_stateful", "update"
     )
+
+
+@query(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreach_batch_sink(spark, sf_dir):
+    # foreachBatch parquet sink (the production pattern for stores with
+    # no native streaming writer): complete-mode batches overwrite, so
+    # the final sink contents equal the batch aggregate. See
+    # streaming/ops.run_foreach_batch_parquet for the batch_id
+    # idempotence contract.
+    from pyspark.sql import functions as F
+
+    ev = ops.read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    return ops.run_foreach_batch_parquet(agg, "fb_type_agg", "complete")

@@ -77,6 +77,42 @@ def run_to_memory(
     return spark.table(name)
 
 
+def run_foreach_batch_parquet(
+    result: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion through a
+    ``foreachBatch`` parquet sink and return the final sink contents.
+
+    foreachBatch is the production sink shape for stores without a
+    native streaming writer (JDBC, OLAP warehouses, key-value stores):
+    each micro-batch arrives as a BATCH DataFrame plus a monotonically
+    increasing ``batch_id`` for idempotent/exactly-once writes (a
+    restarted query re-delivers the same batch under the same id, so a
+    transactional sink can dedup on it). In complete mode every batch
+    carries the full updated state, so overwrite-per-batch leaves the
+    final aggregate — identical to the batch query — in the sink."""
+    spark = result.sparkSession
+    ckpt = _TMP / "checkpoints" / name
+    sink = _TMP / "fb_sink" / name
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Overwrite: complete-mode batches supersede each other; the
+        # batch_id would key an idempotence check in a real store.
+        batch_df.write.mode("overwrite").parquet(str(sink))
+
+    q = (
+        result.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(str(sink))
+
+
 def tumbling_window_agg(events: DataFrame) -> DataFrame:
     """1-hour tumbling windows per event_type: streaming partial+final
     agg keyed on (window, type) — the canonical streaming rollup."""
