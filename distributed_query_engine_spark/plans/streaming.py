@@ -211,3 +211,40 @@ def stream_foreach_batch_sink(spark, sf_dir):
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
     return ops.run_foreach_batch_parquet(agg, "fb_type_agg", "complete")
+
+
+@query(
+    "stream_multibatch_progression",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_multibatch_progression(spark, sf_dir):
+    # GENUINE multi-batch incremental processing: the source is sliced
+    # into 4 files with maxFilesPerTrigger=1, so the windowed state is
+    # built up across 4 micro-batches (tests assert the batch count via
+    # ops.LAST_RUN_BATCHES) rather than one AvailableNow gulp. The
+    # complete-mode final state is order-independent, hence
+    # batch-schedule-independent — which is what makes an exact batch
+    # oracle possible for an incremental computation.
+    from pyspark.sql import functions as F
+
+    ev = ops.read_events_stream_sliced(spark, sf_dir, n_slices=4)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "cnt",
+            "value_cents",
+        )
+    )
+    return ops.run_to_memory(agg, "mem_multibatch", "complete")

@@ -136,3 +136,64 @@ def udtf_python(spark, sf_dir):
         "SELECT t.o_orderkey, t.seq FROM _udtf_orders o, "
         "LATERAL expand_by_key(o.o_orderkey) t"
     )
+
+
+@query(
+    "udf_cogrouped_pandas",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM events GROUP BY user_id
+    ),
+    o AS (
+      SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS order_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(e.value_cents, 0) AS value_cents,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.order_cents, 0) AS order_cents
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+)
+def udf_cogrouped_pandas(spark, sf_dir):
+    # Cogrouped applyInPandas — the two-relation custom-operator API:
+    # both sides shuffle on the key once, then each (key, left-group,
+    # right-group) pair arrives as a pandas DataFrame pair in one Python
+    # worker call. This is the escape hatch for per-key merge logic no
+    # join expresses (as-of interleave, sequence alignment, per-key
+    # reconciliation); here the merged output is deliberately a
+    # full-outer aggregate so DuckDB can state it exactly. Sums in
+    # integer cents — order-independent and exact (see
+    # udaf_pandas_grouped). At 100 TB the constraint is the same as any
+    # grouped-UDF path: one key's pair of groups must fit in one worker.
+    from distributed_query_engine_spark.functions.deterministic import cents_sum
+
+    def merge(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(ev)],
+                "value_cents": [cents_sum(ev["value"]) if len(ev) else 0],
+                "n_orders": [len(od)],
+                "order_cents": [cents_sum(od["o_totalprice"]) if len(od) else 0],
+            }
+        )
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "value")
+    od = t.orders.select(F.col("o_custkey").alias("user_id"), "o_totalprice")
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_events long, value_cents long, "
+            "n_orders long, order_cents long",
+        )
+    )

@@ -56,6 +56,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+# Batches observed by the last run_to_memory call per sink name —
+# lets tests assert genuine multi-batch progression without touching
+# the query's return contract (a DataFrame).
+LAST_RUN_BATCHES: dict[str, int] = {}
+
+
 def run_to_memory(
     result: DataFrame, name: str, output_mode: str
 ) -> DataFrame:
@@ -74,7 +80,54 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    LAST_RUN_BATCHES[name] = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
     return spark.table(name)
+
+
+def read_events_stream_sliced(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> DataFrame:
+    """Events as a MULTI-BATCH file stream: the table is staged once
+    into ``n_slices`` deterministic slices (event_id mod n), and
+    ``maxFilesPerTrigger=1`` makes each slice its own micro-batch — so
+    state genuinely accumulates across batches instead of one
+    AvailableNow pass seeing everything. Batch ORDER is an engine
+    detail (file mtime); consumers must aggregate order-independently
+    (complete-mode aggs are), which is exactly the discipline a real
+    incremental pipeline needs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sf = Path(sf_dir).name or "sf"
+    d = _TMP / "stream_src_sliced" / sf
+    done = d / "_STAGED"
+    if not done.exists():
+        shutil.rmtree(d, ignore_errors=True)
+        raw = (
+            spark.read.schema(_EVENTS_NS_SCHEMA)
+            .parquet(str(Path(sf_dir) / "events.parquet"))
+        )
+        for i in range(n_slices):
+            (
+                raw.filter(F.col("event_id") % n_slices == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(d / f"slice_{i}"))
+            )
+        # flatten: the file source wants data files in one directory
+        flat = d / "flat"
+        flat.mkdir(parents=True, exist_ok=True)
+        for i in range(n_slices):
+            part = next((d / f"slice_{i}").glob("part-*.parquet"))
+            (flat / f"slice_{i}.parquet").symlink_to(part)
+        done.touch()
+    raw = (
+        spark.readStream.schema(_EVENTS_NS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(d / "flat"))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def run_foreach_batch_parquet(

@@ -237,3 +237,15 @@ def test_asof_tie_matches_same_timestamp(spark, sf_dir):
     )
     got = merged.filter(F.col("is_click") == 1).collect()[0]
     assert got.pv == 5.0
+
+
+def test_multibatch_progression_is_actually_incremental(spark, sf_dir):
+    # The sliced source must deliver one micro-batch per slice file —
+    # otherwise the "incremental" demo silently degrades to a single
+    # AvailableNow gulp and stops exercising cross-batch state.
+    from distributed_query_engine_spark.registry import all_queries
+    from distributed_query_engine_spark.streaming import ops
+
+    out = all_queries()["stream_multibatch_progression"](spark, sf_dir)
+    assert out.count() > 0
+    assert ops.LAST_RUN_BATCHES.get("mem_multibatch") == 4
