@@ -1230,3 +1230,79 @@ def llm_multimodal_resample(spark, sf_dir):
 
     d = Tables(spark, sf_dir).documents
     return stride_resample(with_blob_and_meta(d), stride=2, limit=64)
+
+
+_PACK_CAPACITY = 64
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, source, n,
+             unnest(generate_series(0,
+                 (greatest(n - {_CHUNK_W}, 0) + {_CHUNK_S} - 1)
+                   // {_CHUNK_S})) AS chunk_id
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, source, CAST(chunk_id AS INT) AS chunk_id,
+             CAST(least({_CHUNK_W}, n - chunk_id * {_CHUNK_S}) AS INT)
+               AS n_tokens
+      FROM grid
+    ),
+    packed AS (
+      SELECT source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id, chunk_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM chunks
+    )
+    SELECT source, CAST(cum_before // {_PACK_CAPACITY} AS INT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_in_bin
+    FROM packed
+    GROUP BY 1, 2
+    """,
+)
+def llm_pack_sequences(spark, sf_dir):
+    """Sequence packing: the document chunks are packed, per source
+    shard, into fixed-capacity context bins (capacity 64 tokens) by a
+    running token count — the final prep step between chunking and
+    tokenizer batching in a training pipeline. The cumulative sum is
+    windowed PER SOURCE, so packing parallelizes across shards; a
+    single global pack would serialize the corpus through one partition
+    (and is exactly what a 100 TB pipeline avoids by packing within
+    shards). Bins may overrun capacity by at most window-1 tokens
+    (chunks are never split) — the standard greedy-packing contract.
+    Integer-only arithmetic keeps the oracle hash-exact."""
+    from pyspark.sql.window import Window
+
+    d = Tables(spark, sf_dir).documents
+    chunks = chunk_documents(d, _CHUNK_W, _CHUNK_S).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        chunks.select(
+            "source",
+            "n_tokens",
+            F.floor(cum_before / _PACK_CAPACITY).cast("int").alias("bin_id"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("tokens_in_bin"),
+        )
+    )
