@@ -362,3 +362,88 @@ def scan_jdbc_agg_pushdown(spark, sf_dir):
             F.col("max_sk").cast("long").alias("max_sk"),
         )
     )
+
+
+@query(
+    "scan_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN value IS NULL OR value < 0 THEN 1 END)
+                AS BIGINT) AS n_bad_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    """,
+)
+def scan_observed_metrics(spark, sf_dir):
+    """Data-quality observability via the `observe()` API: named
+    aggregate metrics piggyback on a pass the pipeline already makes —
+    no second scan, no separate validation job. At 100 TB this is the
+    difference between free row-count/null-rate telemetry and doubling
+    the read; in streaming the same metrics surface per micro-batch via
+    QueryProgressEvent. The query returns the observed values (a
+    metadata-sized driver row, not a data materialization) so the
+    contract is oracle-checkable."""
+    from pyspark.sql import Observation
+
+    t = Tables(spark, sf_dir)
+    obs = Observation("quality")
+    observed = t.events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(
+            F.when(F.col("value").isNull() | (F.col("value") < 0), 1)
+        ).alias("n_bad_value"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_bad_value"], m["value_cents"])],
+        "n_rows long, n_bad_value long, value_cents long",
+    )
+
+
+_COMPACT_TARGET_FILES = 4
+
+
+@query(
+    "sink_compacted",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sink_compacted(spark, sf_dir):
+    """Small-file compaction — the perennial 100 TB sink problem: a
+    shuffle-heavy job can leave one file per reducer task (here the
+    uncompacted write fans out over every shuffle partition), and a
+    downstream scan then pays per-file open/footer costs thousands of
+    times over. The compaction pass rewrites with repartition(N) sized
+    to the data (N=4 here; at scale, total_bytes / target_file_size).
+    The query returns an aggregate over the compacted copy, proving the
+    rewrite is content-preserving; the unit test asserts the file-count
+    drop."""
+    t = Tables(spark, sf_dir)
+    scattered = _tmp(sf_dir, "lineitem_scattered")
+    compacted = _tmp(sf_dir, "lineitem_compacted")
+    cols = ["l_orderkey", "l_returnflag", "l_extendedprice"]
+    # the "bad" layout: one file per shuffle partition of a wide shuffle
+    t.lineitem.select(*cols).repartition(32, "l_orderkey").write.mode(
+        "overwrite"
+    ).parquet(scattered)
+    spark.read.parquet(scattered).repartition(_COMPACT_TARGET_FILES).write.mode(
+        "overwrite"
+    ).parquet(compacted)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+    )

@@ -249,3 +249,27 @@ def test_multibatch_progression_is_actually_incremental(spark, sf_dir):
     out = all_queries()["stream_multibatch_progression"](spark, sf_dir)
     assert out.count() > 0
     assert ops.LAST_RUN_BATCHES.get("mem_multibatch") == 4
+
+
+def test_sink_compaction_reduces_file_count(spark, sf_dir):
+    # The compaction rewrite must actually consolidate: the scattered
+    # layout has one file per shuffle partition (32), the compacted one
+    # exactly _COMPACT_TARGET_FILES — and content is preserved (the
+    # oracle checks that part).
+    from pathlib import Path
+
+    from distributed_query_engine_spark.plans.sources import (
+        _COMPACT_TARGET_FILES,
+        _tmp,
+    )
+    from distributed_query_engine_spark.registry import all_queries
+
+    all_queries()["sink_compacted"](spark, sf_dir).collect()
+    n_scattered = len(
+        list(Path(_tmp(sf_dir, "lineitem_scattered")).glob("part-*.parquet"))
+    )
+    n_compacted = len(
+        list(Path(_tmp(sf_dir, "lineitem_compacted")).glob("part-*.parquet"))
+    )
+    assert n_compacted == _COMPACT_TARGET_FILES
+    assert n_scattered > n_compacted
