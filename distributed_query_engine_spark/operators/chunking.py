@@ -22,10 +22,16 @@ def chunk_documents(
     stride: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc) → (doc_id, chunk_id, n_tokens, chunk_text) over whitespace
     tokens. ``stride < window`` gives overlapping chunks; the grid
-    covers every token (the last start is < n by construction)."""
+    covers every token (the last start is < n by construction).
+
+    ``passthrough`` columns are carried onto every chunk row — doing it
+    here costs a projection, while recovering them downstream would
+    cost a chunks⋈documents join (a full shuffle of the exploded
+    relation at corpus scale)."""
     if not 0 < stride <= window:
         raise ValueError("require 0 < stride <= window")
     t = F.split(F.col(text_col), " ")
@@ -36,8 +42,10 @@ def chunk_documents(
     last_chunk = F.floor(
         (F.greatest(n - window, F.lit(0)) + (stride - 1)) / stride
     ).cast("int")
+    extra = [F.col(c) for c in passthrough]
     grid = docs.select(
         F.col(id_col).alias("doc_id"),
+        *extra,
         t.alias("t"),
         n.alias("n"),
         F.explode(F.sequence(F.lit(0), last_chunk)).alias("chunk_id"),
@@ -45,6 +53,7 @@ def chunk_documents(
     start = F.col("chunk_id") * stride
     return grid.select(
         "doc_id",
+        *[F.col(c) for c in passthrough],
         F.col("chunk_id").cast("int").alias("chunk_id"),
         F.least(F.lit(window), F.col("n") - start).cast("int").alias("n_tokens"),
         F.array_join(F.slice(F.col("t"), start + 1, F.lit(window)), " ").alias(

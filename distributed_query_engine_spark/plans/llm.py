@@ -1281,13 +1281,14 @@ def llm_pack_sequences(spark, sf_dir):
     (and is exactly what a 100 TB pipeline avoids by packing within
     shards). Bins may overrun capacity by at most window-1 tokens
     (chunks are never split) — the standard greedy-packing contract.
-    Integer-only arithmetic keeps the oracle hash-exact."""
+    Integer-only arithmetic keeps the oracle hash-exact. ``source``
+    rides through the chunker as a passthrough column — recovering it
+    with a chunks⋈documents join would shuffle the exploded relation a
+    second time for a value the scan already had in hand."""
     from pyspark.sql.window import Window
 
     d = Tables(spark, sf_dir).documents
-    chunks = chunk_documents(d, _CHUNK_W, _CHUNK_S).join(
-        d.select("doc_id", "source"), "doc_id"
-    )
+    chunks = chunk_documents(d, _CHUNK_W, _CHUNK_S, passthrough=("source",))
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id", "chunk_id")
