@@ -192,16 +192,18 @@ def exact_jaccard(
     pair — negligible against any corpus we target.
 
     ``threshold``: when given, only pairs with jaccard >= threshold are
-    returned — applied BEHIND an optimizer barrier. A plain
-    ``.filter(jaccard >= t)`` on the scored output gets pushed by
-    Catalyst into the join condition, re-evaluating ``array_intersect``
-    up to 3× per candidate (the 27 s → 18.5 s lesson in BASELINE.md;
-    re-measured as a 1.8× regression when the thresholded contract
-    landed in round 2). The barrier adds a non-deterministic term that
-    is EXACTLY +0.0 (``rand(seed) * 0.0``) — values are bit-identical,
-    but PushPredicateThroughNonJoin refuses to move the predicate below
-    a non-deterministic projection, so the intersection is computed
-    once per candidate and the filter reads the materialized column."""
+    returned. The predicate is stated over the RAW size expressions
+    (never over the projected ``jaccard`` column): a ``.filter`` on the
+    projected column gets collapsed + pushed by Catalyst until
+    ``array_intersect`` is re-evaluated up to 3× per candidate (the
+    27 s → 18.5 s lesson in BASELINE.md, re-measured as a 1.8×
+    regression in round 2). Filtering on the size expressions caps that
+    at 2 evaluations (join-side filter + output projection), which
+    measures FASTER than the previous workaround — a rand()*0.0
+    optimizer barrier — by ~15% at sf0.1 (1.8-2.0 s vs 2.2-2.4 s),
+    while staying deterministic: the comparison is the identical double
+    division the projection computes, so survivors are bit-exactly the
+    pairs whose reported jaccard passes."""
     t64 = tokens.select("doc_id", F.xxhash64("tok").alias("t"))
     doc_sets = t64.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("t")).alias("toks")
@@ -210,21 +212,11 @@ def exact_jaccard(
     sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     n_inter = F.size(F.array_intersect("toks_a", "toks_b"))
     n_union = F.size("toks_a") + F.size("toks_b") - n_inter
-    scored = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
-        )
-    )
-    if threshold is None:
-        return scored
-    barrier = scored.withColumn(
-        "jaccard", F.col("jaccard") + F.rand(42) * F.lit(0.0)
-    )
-    return barrier.filter(F.col("jaccard") >= threshold)
+    jac = n_inter.cast("double") / n_union.cast("double")
+    base = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    if threshold is not None:
+        base = base.filter(jac >= threshold)
+    return base.select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
 def candidate_pairs_grouped(sigs: DataFrame) -> DataFrame:
