@@ -63,7 +63,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # llm_dedup_clusters / llm_corpus_curation (star-edge + thresholded-output
 # rewrite), llm_dedup_ngram (banded-bigram rewrite), llm_dedup_embcos
 # (LSH blocking + empty-vector filter), window_sessionize_batch (tiebreak
-# change), llm_token_count (token_count_bpe_ish fix).
+# change), llm_token_count (token_count_bpe_ish fix). Dropped late round
+# 3: llm_similarity_ann_lsh (the shared _LSH_BUCKET_CTES oracle gained
+# the empty-vector left join; re-verified locally, but the driver should
+# see it early too).
 _R1_GREEN: tuple[str, ...] = (
     "subquery_scalar", "subquery_correlated", "subquery_exists", "subquery_in",
     "pivot_sum", "unpivot_stack", "agg_stats_family", "agg_median",
@@ -74,7 +77,7 @@ _R1_GREEN: tuple[str, ...] = (
     "tpch_q10_returned_items", "llm_text_stats", "llm_lang_id",
     "llm_quality_score", "llm_fingerprint",
     "llm_dedup_exact", "llm_dedup_simhash",
-    "llm_similarity_topk", "llm_similarity_ann_lsh",
+    "llm_similarity_topk",
     "llm_similarity_ivf", "flagship", "scan_parquet", "project_prune",
     "project_struct_field", "filter_comparison", "filter_in", "filter_like",
     "filter_null", "filter_between", "filter_boolean_logic",
