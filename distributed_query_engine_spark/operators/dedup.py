@@ -525,8 +525,21 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     are verified with exact bigram Jaccard; only pairs at/above
     ``threshold`` are reported (same output contract as
     :func:`minhash_dedup_pairs`)."""
-    grams = word_ngrams(docs, 2)
-    sigs = signatures_for(grams)
+    # repartition(N, key): the corpus often arrives as one parquet file
+    # at test scale, and a single scan partition serializes the
+    # expensive part (bigram explode + md5 ids, ~3 s single-threaded at
+    # sf0.1, paid in BOTH the signature and verify lineages) through
+    # one task. The explicit N pins the fan-out — a keyed repartition
+    # without N gets AQE-coalesced right back to one partition at small
+    # row counts. At 100 TB the scan is already thousands of partitions
+    # and this is a cheap rebalance.
+    n_par = docs.sparkSession.sparkContext.defaultParallelism
+    grams = word_ngrams(docs.repartition(n_par, "doc_id"), 2)
+    # hashed=True: the bigram vocabulary is an order of magnitude wider
+    # than the word vocabulary, so the dictionary path's global sort is
+    # at its worst here — the row-local md5-mod-P ids cost one
+    # expression instead.
+    sigs = signatures_for(grams, hashed=True)
     pairs = candidate_pairs_grouped(sigs)
     return exact_jaccard(pairs, grams, threshold=threshold).select(
         "doc_a", "doc_b", "jaccard", (F.col("jaccard") >= threshold).alias("is_dup")

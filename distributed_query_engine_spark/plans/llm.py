@@ -871,12 +871,14 @@ def llm_dedup_simhash(spark, sf_dir):
     "llm_dedup_ngram",
     # Mirrors operators/dedup.py::ngram_jaccard_pairs — the SAME banded-
     # minhash LSH as the word-token pipeline, run over distinct word
-    # BIGRAMS. candidate_pairs_grouped is pair-set-identical to the
-    # plain distinct band self-join (identical-signature members share
-    # every band with their representative), so the oracle states the
-    # simple form.
+    # BIGRAMS with dictionary-FREE md5-mod-P token ids (hashed=True on
+    # both sides: the bigram vocabulary is too wide to sort globally).
+    # candidate_pairs_grouped is pair-set-identical to the plain
+    # distinct band self-join (identical-signature members share every
+    # band with their representative), so the oracle states the simple
+    # form.
     oracle=f"""
-    WITH {_tokens_cte(_BIGRAM_LIST)},
+    WITH {_tokens_cte(_BIGRAM_LIST, hashed=True)},
     sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
     bands AS ({_BAND_SELECTS}),
     cand AS (
