@@ -133,3 +133,36 @@ def test_chunk_documents_covers_and_reconstructs(spark, sizes, window, data):
             covered.update(range(start, start + len(expect)))
         # every token of the doc appears in at least one chunk
         assert covered == set(range(n)), (i, n, window, stride)
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 5)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_salted_two_phase_equals_plain_aggregate(spark, rows):
+    # The salted rewrite (phase 1 on (key, salt(user)), phase 2 on key)
+    # must be value-identical to the direct aggregate for ANY input —
+    # the salt is a function of the distinct column, so per-salt
+    # distinct sets partition the true distinct set.
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "k string, u long")
+    salt = F.pmod(F.xxhash64("u"), F.lit(4)).cast("int")
+    salted = (
+        df.withColumn("s", salt)
+        .groupBy("k", "s")
+        .agg(F.countDistinct("u").alias("du"), F.count(F.lit(1)).alias("n"))
+        .groupBy("k")
+        .agg(F.sum("du").alias("n_users"), F.sum("n").alias("n_rows"))
+    )
+    got = {r.k: (r.n_users, r.n_rows) for r in salted.collect()}
+    expected = {}
+    for k, u in rows:
+        users, cnt = expected.get(k, (set(), 0))
+        users.add(u)
+        expected[k] = (users, cnt + 1)
+    assert got == {k: (len(us), n) for k, (us, n) in expected.items()}, rows
