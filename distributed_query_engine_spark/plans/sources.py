@@ -299,8 +299,10 @@ def scan_jdbc_pushdown(spark, sf_dir):
 @query(
     "scan_jdbc_agg_pushdown",
     oracle="""
-    SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
-           MIN(s_suppkey) AS min_sk, MAX(s_suppkey) AS max_sk
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(s_suppkey) AS BIGINT) AS min_sk,
+           CAST(MAX(s_suppkey) AS BIGINT) AS max_sk
     FROM supplier GROUP BY s_nationkey
     """,
 )
