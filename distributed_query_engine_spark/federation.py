@@ -273,24 +273,65 @@ _HIVE_TYPES: dict[str, T.DataType] = {
     "boolean": T.BooleanType(),
     "date": T.DateType(),
     "timestamp": T.TimestampType(),
+    # SQL TIME has no Spark analog (the reference's SqlTimeType,
+    # diff:221): coerced to TimestampType — the time-of-day lands on
+    # the epoch date, the standard JDBC java.sql.Time treatment.
+    "time": T.TimestampType(),
     "binary": T.BinaryType(),
 }
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at angle-bracket nesting depth 0."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
 
 
 def hive_type_to_spark(data_type: str) -> T.DataType:
     """One ``DESCRIBE`` data_type cell → Spark type. Parameterized
     types (``varchar(64)``, ``decimal(12,2)``) resolve on the base
-    name; unknown types raise (the reference's non-exhaustive match
-    does the same, diff:237-243)."""
-    base = data_type.strip().lower().split("(", 1)[0].split("<", 1)[0]
-    if base == "decimal":
-        inside = data_type[data_type.index("(") + 1 : data_type.index(")")]
-        p, s = (int(x) for x in inside.split(","))
-        return T.DecimalType(p, s)
-    try:
-        return _HIVE_TYPES[base]
-    except KeyError:
-        raise ValueError(f"unsupported Hive type: {data_type!r}") from None
+    name; complex types (``array<...>``, ``map<...>``, ``struct<...>``)
+    parse recursively. Anything unrecognized lands on StringType — a
+    CONCRETE type the scan can always carry (SURVEY.md watch-list #2:
+    the reference's non-exhaustive match throws a MatchError here,
+    diff:237-243, a gap this engine deliberately does not reproduce;
+    Hive's own JDBC driver renders unknown values as strings)."""
+    s = data_type.strip()
+    low = s.lower()
+    base = low.split("(", 1)[0].split("<", 1)[0].strip()
+    if base == "decimal" and "(" in s:
+        inside = s[s.index("(") + 1 : s.index(")")]
+        p, sc = (int(x) for x in inside.split(","))
+        return T.DecimalType(p, sc)
+    if base in ("array", "map", "struct") and "<" in s:
+        inner = s[s.index("<") + 1 : s.rindex(">")]
+        if base == "array":
+            return T.ArrayType(hive_type_to_spark(inner), True)
+        if base == "map":
+            k, v = _split_top_level(inner)
+            return T.MapType(
+                hive_type_to_spark(k), hive_type_to_spark(v), True
+            )
+        fields = []
+        for part in _split_top_level(inner):
+            name, _, ftype = part.partition(":")
+            fields.append(
+                T.StructField(name.strip(), hive_type_to_spark(ftype), True)
+            )
+        return T.StructType(fields)
+    return _HIVE_TYPES.get(base, T.StringType())
 
 
 def hive_describe_schema(describe_rows: list[tuple[str, str]]) -> T.StructType:
