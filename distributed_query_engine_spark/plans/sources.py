@@ -449,3 +449,29 @@ def sink_compacted(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "scan_text_lines",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(MAX(strlen(text)) AS INT) AS max_line
+    FROM documents
+    """,
+)
+def scan_text_lines(spark, sf_dir):
+    """Line-oriented text source (``spark.read.text``) — the raw-corpus
+    ingestion format every training pipeline starts from. One line per
+    row, splittable by line boundaries, so a 100 TB dump parallelizes
+    by byte ranges with no schema work at all. Stage the documents as
+    text, read them back, and account for every line and character."""
+    t = Tables(spark, sf_dir)
+    path = _tmp(sf_dir, "docs_txt_lines")
+    t.documents.select("text").write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value").cast("long")).alias("total_chars"),
+        F.max(F.length("value")).cast("int").alias("max_line"),
+    )
