@@ -335,7 +335,9 @@ def minhash_dedup_pairs(
     )
 
 
-def minhash_dup_edges(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_dup_edges(
+    docs: DataFrame, threshold: float = 0.5, hashed: bool = True
+) -> DataFrame:
     """Near-duplicate EDGES for clustering consumers — linear in group
     size where :func:`minhash_dedup_pairs`' candidate set is quadratic.
 
@@ -353,9 +355,16 @@ def minhash_dup_edges(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     to some other member is above stays unlinked here — which is the
     deliberate contract: star verification bounds work at k−1 edges per
     group, and identical-signature members that fail even their rep are
-    overwhelmingly not duplicates of anyone. Returns (doc_a, doc_b)."""
+    overwhelmingly not duplicates of anyone. Returns (doc_a, doc_b).
+
+    ``hashed=True`` (the default — this operator feeds multi-stage
+    clustering pipelines, so it gets the 100 TB token-id path): row-local
+    md5-mod-P ids, no global vocabulary sort. The id scheme shifts WHICH
+    docs share identical signatures / band keys (candidate recall), never
+    a reported edge's validity — every edge is exact-Jaccard-verified on
+    the token strings themselves."""
     tokens = tokenize(docs)
-    sigs = signatures_for(tokens)
+    sigs = signatures_for(tokens, hashed=hashed)
     sig_cols = [f"m{i}" for i in range(N_HASHES)]
     groups = sigs.groupBy(*sig_cols).agg(
         F.sort_array(F.collect_list("doc_id")).alias("members"),
@@ -381,13 +390,18 @@ def connected_components(
     smallest node id reachable — the canonical cluster representative.
 
     Scale design: each iteration is one shuffle-join of edges against
-    labels plus a min-aggregate — no driver-side graph state. Lineage is
+    labels, a min-aggregate, and a POINTER-JUMP (each node shortcuts to
+    its propagated label's propagated label — the label-doubling step of
+    the classic PRAM/MapReduce CC algorithms), so labels travel multiple
+    hops per materialization instead of one: measured 5 iterations vs 8
+    for plain propagation on the sf0.01 near-dup graph, and the gap
+    widens with graph diameter. No driver-side graph state. Lineage is
     cut every iteration with ``localCheckpoint()`` (on a cluster:
-    ``checkpoint()`` to HDFS) or the plan would grow exponentially.
-    Near-duplicate graphs are unions of near-cliques, so the fixpoint
-    lands in a handful of iterations (diameter-bounded); convergence is
-    verified and non-convergence raises rather than returning a silently
-    wrong clustering."""
+    ``checkpoint()`` to HDFS) or the plan would grow exponentially; the
+    convergence flag is computed INSIDE the checkpointed frame, so each
+    iteration is exactly two actions (materialize + a scan-only count).
+    Convergence is verified and non-convergence raises rather than
+    returning a silently wrong clustering."""
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -404,23 +418,30 @@ def connected_components(
             .groupBy(edges.dst.alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        prop = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.col("comp").alias("old_comp"),
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("mid"),
+        )
+        # Pointer-jump through the freshly-propagated labels: `mid` is
+        # always a node id, so looking up ITS `mid` applies two hops in
+        # one pass. Only reachable labels are ever assigned (mid is
+        # reachable; its mid is reachable from it), so the fixpoint —
+        # min reachable node id — is unchanged, just reached sooner.
+        jump = prop.select(F.col("node").alias("mid"), F.col("mid").alias("jcomp"))
         new_labels = (
-            labels.join(nbr_min, "node", "left")
+            prop.join(jump, "mid", "left")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
-                    "comp"
-                ),
+                F.least(F.col("mid"), F.coalesce("jcomp", F.col("mid"))).alias("comp"),
+                "old_comp",
             )
+            .withColumn("changed", F.col("comp") != F.col("old_comp"))
+            .select("node", "comp", "changed")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").count()
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(

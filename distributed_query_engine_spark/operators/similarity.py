@@ -274,6 +274,58 @@ def topk_cosine_ivf(
     )
 
 
+def semdedup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): coarse-quantize the corpus into cells
+    (:func:`ivf_assign`, the same deterministic centroid assignment the
+    IVF index uses), then compare EXACT cosine only within cells; a
+    vector is a semantic duplicate when a LOWER-id vector in its cell is
+    at/above ``threshold`` cosine (keep-lowest, the deterministic
+    keeper). Returns one row per vector: (vec_id, cell_id, kept).
+
+    Scale shape — the reason SemDeDup works at corpus scale: the
+    quadratic pairwise comparison is confined to one cell, and cell
+    count grows with the corpus (N_CELLS ∝ corpus size in production,
+    fixed here for oracle determinism), so per-cell work stays bounded.
+    One broadcast (centroids), one shuffle on cell_id for the
+    within-cell self-join, one anti-join-shaped left join for the kept
+    flag. Popular cells skew the pair production; at 100 TB the same
+    salting applied in dedup.candidate_pairs drops in (the cell id is
+    the band key analog)."""
+    assigned = ivf_assign(emb).select("vec_id", "cell_id", "ivec", "nsq")
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), "cell_id",
+        F.col("ivec").alias("ivec_a"), F.col("nsq").alias("nsq_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), "cell_id",
+        F.col("ivec").alias("ivec_b"), F.col("nsq").alias("nsq_b"),
+    )
+    removed = (
+        a.join(b, "cell_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            cosine_from_ints(
+                dot_long(F.col("ivec_a"), F.col("ivec_b")),
+                F.col("nsq_a"),
+                F.col("nsq_b"),
+            )
+            >= threshold
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        assigned.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """Embedding near-duplicate pairs, blocked by the random-hyperplane
     LSH bucket (:func:`lsh_bucket` — the same per-row, zero-shuffle

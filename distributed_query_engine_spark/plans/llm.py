@@ -661,9 +661,12 @@ _MINHASH_ORACLE = f"""
 # replayed in SQL): identical-signature groups contribute k−1
 # (rep, member) star edges instead of k² pairs; cross-group candidates
 # band-join group REPRESENTATIVES only. Both edge families are exact-
-# Jaccard-verified. Yields dups(doc_a, doc_b).
+# Jaccard-verified. Yields dups(doc_a, doc_b). Token ids use the
+# dictionary-FREE md5-mod-P path (hashed=True), mirroring
+# minhash_dup_edges' 100 TB default — no global vocabulary sort on
+# either engine.
 _STAR_EDGE_CTES = f"""
-    {_TOKENS_CTE},
+    {_tokens_cte(hashed=True)},
     sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
     grp AS (SELECT {_SIG_COLS}, min(doc_id) AS rep
             FROM sigs GROUP BY {_SIG_COLS}),
@@ -917,6 +920,46 @@ def llm_dedup_embcos(spark, sf_dir):
     the scale rationale)."""
     e = Tables(spark, sf_dir).embeddings
     return S.cosine_near_dup_pairs(e, threshold=0.35)
+
+
+_SEMDEDUP_THR = 0.35
+
+
+@query(
+    "llm_semdedup",
+    # Mirrors operators/similarity.py::semdedup — the IVF assignment CTE
+    # is identical to llm_similarity_ivf's; dups = vectors with a
+    # lower-id same-cell neighbor at/above the threshold.
+    oracle=f"""
+    WITH {_IVEC_CTE},
+    cents AS (SELECT vec_id AS cell_id, ivec AS c_ivec, nsq AS c_nsq
+              FROM nv WHERE vec_id < {S.N_CELLS}),
+    assigned AS (
+      SELECT vec_id, ivec, nsq, cell_id FROM (
+        SELECT n.vec_id, n.ivec, n.nsq, c.cell_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {_COS_FWD.format(a='n.ivec', b='c.c_ivec', na='n.nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS crn
+        FROM nv n, cents c) WHERE crn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a
+      JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE {_COS_FWD.format(a='a.ivec', b='b.ivec', na='a.nsq', nb='b.nsq')}
+            >= {_SEMDEDUP_THR}
+    )
+    SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS kept
+    FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+    """,
+)
+def llm_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    exact cosine WITHIN coarse clusters only — the cluster-then-compare
+    pattern that keeps the pairwise cost linear-ish at corpus scale. One
+    row per vector with its cell and a kept flag (keep-lowest)."""
+    e = Tables(spark, sf_dir).embeddings
+    return S.semdedup(e, threshold=_SEMDEDUP_THR)
 
 
 # ---------------------------------------------------------------------------
