@@ -924,6 +924,10 @@ def llm_dedup_embcos(spark, sf_dir):
 
 _SEMDEDUP_THR = 0.35
 
+_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+)
+
 
 @query(
     "llm_semdedup",
@@ -938,7 +942,7 @@ _SEMDEDUP_THR = 0.35
       SELECT vec_id, ivec, nsq, cell_id FROM (
         SELECT n.vec_id, n.ivec, n.nsq, c.cell_id,
                row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                 {_COS_FWD.format(a='n.ivec', b='c.c_ivec', na='n.nsq', nb='c.c_nsq')} DESC,
+                 {_COS.format(a='n.ivec', b='c.c_ivec', na='n.nsq', nb='c.c_nsq')} DESC,
                  c.cell_id) AS crn
         FROM nv n, cents c) WHERE crn = 1
     ),
@@ -946,7 +950,7 @@ _SEMDEDUP_THR = 0.35
       SELECT DISTINCT b.vec_id
       FROM assigned a
       JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-      WHERE {_COS_FWD.format(a='a.ivec', b='b.ivec', na='a.nsq', nb='b.nsq')}
+      WHERE {_COS.format(a='a.ivec', b='b.ivec', na='a.nsq', nb='b.nsq')}
             >= {_SEMDEDUP_THR}
     )
     SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS kept
@@ -1020,11 +1024,6 @@ def llm_similarity_topk(spark, sf_dir):
 def llm_similarity_ann_lsh(spark, sf_dir):
     e = Tables(spark, sf_dir).embeddings
     return S.topk_cosine_ann(e, _QUERY_IDS, k=5)
-
-
-_COS = (
-    "list_dot_product({a}, {b}) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
-)
 
 
 @query(
