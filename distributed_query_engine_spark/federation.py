@@ -282,14 +282,21 @@ _HIVE_TYPES: dict[str, T.DataType] = {
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split on commas at angle-bracket nesting depth 0."""
-    parts, depth, cur = [], 0, []
+    """Split on commas at nesting depth 0 — tracking BOTH angle brackets
+    and parentheses, so parameterized types nested inside complex types
+    (``struct<a:decimal(12,2),b:int>``, ``map<string,decimal(10,2)>``)
+    split on the right commas only."""
+    parts, angle, paren, cur = [], 0, 0, []
     for ch in s:
         if ch == "<":
-            depth += 1
+            angle += 1
         elif ch == ">":
-            depth -= 1
-        if ch == "," and depth == 0:
+            angle -= 1
+        elif ch == "(":
+            paren += 1
+        elif ch == ")":
+            paren -= 1
+        if ch == "," and angle == 0 and paren == 0:
             parts.append("".join(cur))
             cur = []
         else:
@@ -331,6 +338,17 @@ def hive_type_to_spark(data_type: str) -> T.DataType:
                 T.StructField(name.strip(), hive_type_to_spark(ftype), True)
             )
         return T.StructType(fields)
+    if base not in _HIVE_TYPES:
+        # Concrete fallback (see docstring) — but make schema drift
+        # VISIBLE: a typo'd or genuinely new Hive type (interval,
+        # uniontype, ...) scanned silently as string can corrupt
+        # downstream instead of failing fast at schema time.
+        import warnings
+
+        warnings.warn(
+            f"unknown Hive type {data_type!r}: falling back to StringType",
+            stacklevel=2,
+        )
     return _HIVE_TYPES.get(base, T.StringType())
 
 

@@ -35,7 +35,7 @@ _DAVG_TOTALPRICE = (
 
 @query(
     "subquery_scalar",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH a AS (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
                         / COUNT(*) AS ap
                FROM part)
@@ -61,7 +61,7 @@ def subquery_scalar(spark, sf_dir):
 
 @query(
     "subquery_correlated",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders o
     WHERE o_totalprice > (SELECT {_DAVG_TOTALPRICE}
@@ -348,7 +348,7 @@ def qualify_latest_per_key(spark, sf_dir):
 
 @query(
     "sample_hash_mod",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT l_returnflag, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
     FROM lineitem WHERE l_orderkey % 20 = 7
     GROUP BY l_returnflag
@@ -373,7 +373,7 @@ _STRATA_RATES = {"A": 25, "N": 10, "R": 50}
 
 @query(
     "sample_stratified",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH keyed AS (
       SELECT l_returnflag, l_quantity,
              CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
@@ -435,7 +435,7 @@ _HIST_BUCKETS = 10
 
 @query(
     "agg_histogram",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH c AS (
       SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
       FROM lineitem
@@ -678,7 +678,7 @@ def window_sessionize_batch(spark, sf_dir):
 
 @query(
     "join_range_bucketized",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH months AS (
       SELECT unnest(range(TIMESTAMP '1995-01-01', TIMESTAMP '2002-01-01',
                           INTERVAL 1 MONTH)) AS month_start
@@ -781,7 +781,7 @@ def _bucketed_tables(spark, sf_dir):
 
 @query(
     "join_bucketed_colocated",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT o_orderpriority, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -806,7 +806,7 @@ def join_bucketed_colocated(spark, sf_dir):
 
 @query(
     "tpch_q3_shipping_priority",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT l_orderkey,
            {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
            o_orderdate, o_orderpriority
@@ -840,7 +840,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
 
 @query(
     "tpch_q5_region_revenue",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -877,7 +877,7 @@ def tpch_q5_region_revenue(spark, sf_dir):
 
 @query(
     "tpch_q10_returned_items",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT c_custkey, c_name,
            {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM customer

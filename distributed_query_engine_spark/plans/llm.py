@@ -227,7 +227,7 @@ def llm_text_stats(spark, sf_dir):
 
 @query(
     "llm_lang_id",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT doc_id, lang,
            {_sql_lang_hits('en')} AS h_en, {_sql_lang_hits('es')} AS h_es,
            {_sql_lang_hits('de')} AS h_de, {_sql_lang_hits('fr')} AS h_fr,
@@ -276,7 +276,7 @@ _QUALITY_SQL = """round((
 
 @query(
     "llm_quality_score",
-    oracle=f"SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents",
+    oracle=lambda: f"SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents",
 )
 def llm_quality_score(spark, sf_dir):
     d = Tables(spark, sf_dir).documents
@@ -584,7 +584,7 @@ _CHUNK_S = 24
     # DuckDB list_slice(l, b, e) is 1-based inclusive-of-e; Spark
     # slice(l, b, length) takes a length — both sides below produce the
     # window [start+1, start+W] clipped to n.
-    oracle=f"""
+    oracle=lambda: f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t,
              len(string_split(text, ' ')) AS n
@@ -697,7 +697,7 @@ _STAR_EDGE_CTES = f"""
     # md5-prefix-mod-P hash, so there is no global vocabulary sort — the
     # one scale-sensitive step of the default path. The oracle replays
     # the identical hash (md5 is byte-identical across engines).
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_tokens_cte(hashed=True)},
     sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
     bands AS ({_BAND_SELECTS}),
@@ -733,7 +733,7 @@ def llm_dedup_minhash(spark, sf_dir):
 
 @query(
     "llm_dedup_clusters",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH RECURSIVE {_STAR_EDGE_CTES},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM dups
@@ -767,7 +767,7 @@ def llm_dedup_clusters(spark, sf_dir):
 
 @query(
     "llm_corpus_curation",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH RECURSIVE {_STAR_EDGE_CTES},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM dups
@@ -854,7 +854,7 @@ _SIMHASH_VALUE = " + ".join(
 
 @query(
     "llm_dedup_simhash",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_TOKENS_CTE},
     sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tt GROUP BY doc_id),
     sh AS (SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM sums)
@@ -880,7 +880,7 @@ def llm_dedup_simhash(spark, sf_dir):
     # distinct band self-join (identical-signature members share every
     # band with their representative), so the oracle states the simple
     # form.
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_tokens_cte(_BIGRAM_LIST, hashed=True)},
     sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
     bands AS ({_BAND_SELECTS}),
@@ -901,7 +901,7 @@ def llm_dedup_ngram(spark, sf_dir):
 
 @query(
     "llm_dedup_embcos",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_IVEC_CTE},
     {_LSH_BUCKET_CTES},
     nb AS (SELECT nv.vec_id, nv.ivec, nv.nsq, b.bucket
@@ -934,7 +934,7 @@ _COS = (
     # Mirrors operators/similarity.py::semdedup — the IVF assignment CTE
     # is identical to llm_similarity_ivf's; dups = vectors with a
     # lower-id same-cell neighbor at/above the threshold.
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_IVEC_CTE},
     cents AS (SELECT vec_id AS cell_id, ivec AS c_ivec, nsq AS c_nsq
               FROM nv WHERE vec_id < {S.N_CELLS}),
@@ -975,7 +975,7 @@ _QUERY_IDS = [0, 1, 2, 3, 4]
 
 @query(
     "llm_similarity_topk",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_IVEC_CTE},
     q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
           FROM nv WHERE vec_id IN (0,1,2,3,4)),
@@ -999,7 +999,7 @@ def llm_similarity_topk(spark, sf_dir):
 
 @query(
     "llm_similarity_ann_lsh",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_IVEC_CTE},
     {_LSH_BUCKET_CTES},
     nb AS (SELECT nv.vec_id, nv.ivec, nv.nsq, b.bucket
@@ -1028,7 +1028,7 @@ def llm_similarity_ann_lsh(spark, sf_dir):
 
 @query(
     "llm_similarity_ivf",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_IVEC_CTE},
     cents AS (SELECT vec_id AS cell_id, ivec AS c_ivec, nsq AS c_nsq
               FROM nv WHERE vec_id < {S.N_CELLS}),
@@ -1079,7 +1079,7 @@ def llm_similarity_ivf(spark, sf_dir):
     # arithmetic as their individual oracles) and intersects. This is
     # the quality metric that justifies N_PLANES / N_CELLS / N_PROBE —
     # measured, not folklore (PLANS.md records the numbers per sf).
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_IVEC_CTE},
     {_LSH_BUCKET_CTES},
     nb AS (SELECT nv.vec_id, nv.ivec, nv.nsq, b.bucket
@@ -1281,7 +1281,7 @@ _PACK_CAPACITY = 64
 
 @query(
     "llm_pack_sequences",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH toks AS (
       SELECT doc_id, source, string_split(text, ' ') AS t,
              len(string_split(text, ' ')) AS n

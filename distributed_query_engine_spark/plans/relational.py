@@ -35,7 +35,7 @@ from distributed_query_engine_spark.registry import query
 
 @query(
     "flagship",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity')} AS sum_qty,
            {sql_dsum('l_extendedprice')} AS sum_base_price,
@@ -430,7 +430,7 @@ def join_asof_event(spark, sf_dir):
 
 @query(
     "agg_groupby_sum_avg_min_max_count",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT event_type,
            COUNT(*) AS cnt,
            {sql_dsum('value')} AS value_sum,
@@ -502,7 +502,7 @@ def agg_collect_nested(spark, sf_dir):
 
 @query(
     "agg_rollup",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS cnt, {sql_dsum('o_totalprice')} AS total
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -529,7 +529,7 @@ def agg_cube(spark, sf_dir):
 
 @query(
     "agg_grouping_sets",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
            {sql_dsum('o_totalprice')} AS total
     FROM orders

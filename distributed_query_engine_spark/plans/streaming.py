@@ -13,7 +13,7 @@ from distributed_query_engine_spark.streaming import ops
 
 @query(
     "stream_tumbling_window_agg",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT date_trunc('hour', ts) AS window_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
            event_type,

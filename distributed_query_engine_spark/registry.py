@@ -14,17 +14,24 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+Oracle = "str | Callable[[], str]"
 
 _QUERIES: dict[str, QueryFn] = {}
-_ORACLES: dict[str, str] = {}
+_ORACLES: dict[str, str | Callable[[], str]] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | Callable[[], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
     """Register a named query. ``oracle`` is ANSI SQL DuckDB runs over the
     same parquet tables (views: region nation customer supplier part
-    orders lineitem events documents embeddings). Omit ``oracle`` only for
-    genuinely non-SQL-expressible operators (driver then records a weaker
-    rows-only check)."""
+    orders lineitem events documents embeddings) — either a plain string
+    or a zero-arg callable returning the SQL (LAZY form; preferred for
+    f-strings that interpolate helper fragments, so a typo in one oracle
+    fails that one query at render time instead of killing the whole
+    module import — the round-2/round-3 failure mode). Omit ``oracle``
+    only for genuinely non-SQL-expressible operators (driver then records
+    a weaker rows-only check)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
@@ -97,6 +104,27 @@ def all_queries() -> dict[str, QueryFn]:
 
 
 def all_oracles() -> dict[str, str]:
+    """Render every registered oracle to SQL. Callables are invoked here
+    (lazily); a broken oracle is dropped with a warning so the driver
+    degrades that one query to a rows-only check instead of losing all
+    131 queries to a single NameError (tests/test_registry.py asserts
+    every oracle renders, so CI still fails loudly on a typo)."""
+    import warnings
+
     import distributed_query_engine_spark.plans  # noqa: F401
 
-    return {n: _ORACLES[n] for n in _driver_order(list(_ORACLES))}
+    rendered: dict[str, str] = {}
+    for n in _driver_order(list(_ORACLES)):
+        o = _ORACLES[n]
+        if callable(o):
+            try:
+                rendered[n] = o()
+            except Exception as ex:  # degrade to rows-only, loudly
+                warnings.warn(
+                    f"oracle for {n!r} failed to render ({ex!r}); "
+                    f"query degrades to rows-only check",
+                    stacklevel=2,
+                )
+        else:
+            rendered[n] = o
+    return rendered

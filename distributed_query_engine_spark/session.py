@@ -61,24 +61,44 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def _shuffle_partitions_explicitly_set(spark: SparkSession) -> bool:
+    """True iff ``spark.sql.shuffle.partitions`` was EXPLICITLY
+    configured (builder conf or a runtime ``spark.conf.set``), as
+    opposed to merely resolving to Spark's built-in 200 default — so a
+    user who deliberately set 200 is respected (ADVICE r3)."""
+    key = "spark.sql.shuffle.partitions"
+    if spark.sparkContext.getConf().contains(key):
+        return True
+    try:
+        # SQLConf.settings holds only explicitly-set entries; resolving
+        # the key through spark.conf.get cannot distinguish them from
+        # the global default.
+        return bool(
+            spark._jsparkSession.sessionState().conf().settings().containsKey(key)
+        )
+    except Exception:  # pragma: no cover — py4j surface moved
+        return spark.conf.get(key, "200") != "200"
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply our runtime-settable defaults to an externally-provided
     session (the driver hands ``entry()`` a session we didn't build).
 
     Also sizes ``spark.sql.shuffle.partitions`` to the local core count
-    when it is still at Spark's 200 default (an explicit non-default
-    setting is respected). This matters doubly for streaming: the state
-    store creates one instance per shuffle partition — a stream-stream
-    join at 200 partitions pays 4×200 state stores of checkpoint I/O
-    per micro-batch (measured 112 s → 3-7 s at sf0.01 going 200 → 32/8
-    on local[8]). Batch queries are covered either way by AQE partition
-    coalescing, which cannot help streaming state."""
+    when the key was never explicitly configured (an explicit setting is
+    respected — even an explicit 200). This matters doubly for
+    streaming: the state store creates one instance per shuffle
+    partition — a stream-stream join at 200 partitions pays 4×200 state
+    stores of checkpoint I/O per micro-batch (measured 112 s → 3-7 s at
+    sf0.01 going 200 → 32/8 on local[8]). Batch queries are covered
+    either way by AQE partition coalescing, which cannot help streaming
+    state."""
     for k, v in _DEFAULTS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # static confs (e.g. spark.ui.enabled) — ignore
             pass
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+    if not _shuffle_partitions_explicitly_set(spark):
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(default_parallelism())
         )

@@ -99,7 +99,42 @@ def test_hive_describe_schema_maps_types_and_skips_banners():
         ]
     )
     assert FED.hive_type_to_spark("time") == T.TimestampType()
-    assert FED.hive_type_to_spark("uniontype<int,string>") == T.StringType()
+    with pytest.warns(UserWarning, match="unknown Hive type"):
+        assert (
+            FED.hive_type_to_spark("uniontype<int,string>") == T.StringType()
+        )
+
+
+def test_hive_parameterized_types_nested_in_complex_types():
+    # DESCRIBE emits e.g. struct<a:decimal(12,2),b:int> — the comma
+    # inside decimal(12,2) is NOT a field separator. _split_top_level
+    # must track '(' / ')' depth alongside '<' / '>' (ADVICE r3).
+    assert FED.hive_type_to_spark(
+        "struct<a:decimal(12,2),b:int>"
+    ) == T.StructType(
+        [
+            T.StructField("a", T.DecimalType(12, 2), True),
+            T.StructField("b", T.IntegerType(), True),
+        ]
+    )
+    assert FED.hive_type_to_spark("map<string,decimal(10,2)>") == T.MapType(
+        T.StringType(), T.DecimalType(10, 2), True
+    )
+    assert FED.hive_type_to_spark(
+        "array<struct<x:varchar(64),y:decimal(38,18)>>"
+    ) == T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("x", T.StringType(), True),
+                T.StructField("y", T.DecimalType(38, 18), True),
+            ]
+        ),
+        True,
+    )
+    assert FED._split_top_level("a:decimal(12,2),b:map<string,int>") == [
+        "a:decimal(12,2)",
+        "b:map<string,int>",
+    ]
 
 
 def test_jdbc_v2_limit_not_pushed_to_derby(spark, sf_dir):
