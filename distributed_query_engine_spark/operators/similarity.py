@@ -31,6 +31,10 @@ from distributed_query_engine_spark.functions.vectors import (
     norm_sq_long,
 )
 
+# Defaults the REGISTERED QUERIES pin explicitly (oracle arithmetic
+# parity needs fixed values at both engines); library callers can pass
+# their own or leave the knob None to have it derived from the corpus
+# size (suggest_n_planes / suggest_n_cells below).
 N_PLANES = 8
 MIX = 2_654_435_761  # Knuth multiplicative constant
 M32 = 1 << 32
@@ -44,13 +48,40 @@ M32 = 1 << 32
 # recall becomes competitive while the corpus side still never reshuffles
 # (the probe set expands on the tiny broadcast query side).
 MULTIPROBE_H = 2
-PROBE_MASKS = [
-    m for m in range(1 << N_PLANES) if bin(m).count("1") <= MULTIPROBE_H
-]
+
+
+def probe_masks(n_planes: int = N_PLANES, h: int = MULTIPROBE_H) -> list[int]:
+    """All n_planes-bit XOR masks with popcount <= h (the multi-probe
+    neighborhood)."""
+    return [m for m in range(1 << n_planes) if bin(m).count("1") <= h]
+
+
+PROBE_MASKS = probe_masks()
 # Mixing stride between planes in the (plane, dim) → ±1 hash. A fixed
 # constant of the hash definition — NOT the embedding dimensionality;
 # both the Spark and oracle sides iterate the actual vector length.
 PLANE_STRIDE = 64
+
+# Corpus-size-derived knob defaults (used when a caller passes None).
+# Both are the standard heuristics, not magic: LSH wants expected bucket
+# population n / 2^planes near a scan-batch sweet spot; IVF wants
+# ~sqrt(n) cells so cell population and cell count grow together
+# (probing n_probe cells then scans ~n_probe*sqrt(n) vectors).
+TARGET_BUCKET_POP = 1024
+
+
+def suggest_n_planes(n_vectors: int, target_pop: int = TARGET_BUCKET_POP) -> int:
+    import math
+
+    if n_vectors <= target_pop:
+        return 4
+    return min(24, max(4, math.ceil(math.log2(n_vectors / target_pop))))
+
+
+def suggest_n_cells(n_vectors: int) -> int:
+    import math
+
+    return min(65536, max(4, int(math.isqrt(max(n_vectors, 1)))))
 
 
 def plane_sign(j, d):
@@ -66,18 +97,18 @@ def with_int_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def lsh_bucket(df: DataFrame) -> DataFrame:
+def lsh_bucket(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """Add an int bucket id: bit j = sign(v · h_j).
 
-    Computed entirely PER ROW with `zip_with` + `aggregate` (8 plane dots
-    × 64 dims of exact integer arithmetic inside codegen) — zero
+    Computed entirely PER ROW with `zip_with` + `aggregate` (n_planes
+    plane dots of exact integer arithmetic inside codegen) — zero
     shuffles. The previous formulation exploded a (vec, dim, plane)
     relation and re-aggregated it twice: a 512× row blow-up plus three
     shuffles, per corpus scan, for something that is a pure row-local
     function of the vector."""
     dims = F.sequence(F.lit(0), F.size("ivec") - 1)
     bucket = F.lit(0).cast("long")
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         pdot = F.aggregate(
             F.zip_with(
                 F.col("ivec"), dims, lambda x, d: x * plane_sign(F.lit(j), d).cast("long")
@@ -129,17 +160,29 @@ def topk_cosine_ann(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
+    n_planes: int | None = N_PLANES,
+    multiprobe_h: int = MULTIPROBE_H,
 ) -> DataFrame:
     """LSH-bucketed ANN top-k with MULTI-PROBE: each query searches
-    every bucket within Hamming distance MULTIPROBE_H of its own sign
-    pattern (probe buckets = q_bucket XOR mask). The probe expansion
-    happens on the broadcast query side (|queries| × |PROBE_MASKS| tiny
-    rows); the corpus is still scanned once and hash-joined on its
+    every bucket within Hamming distance ``multiprobe_h`` of its own
+    sign pattern (probe buckets = q_bucket XOR mask). The probe
+    expansion happens on the broadcast query side (|queries| × |masks|
+    tiny rows); the corpus is still scanned once and hash-joined on its
     bucket id — no index shuffles. Each (query, candidate) pair meets at
     exactly one mask, so no dedup pass is needed. Approximate (may miss
     beyond-radius neighbors) but every step is deterministic, so results
-    are still oracle-exact."""
-    base = lsh_bucket(with_int_vec(emb).select("vec_id", "ivec", "nsq"))
+    are still oracle-exact.
+
+    ``n_planes=None`` derives the plane count from the corpus size
+    (:func:`suggest_n_planes`; one count() action) — the scale default.
+    The registered query pins ``n_planes=N_PLANES`` so the oracle can
+    replay the arithmetic."""
+    if n_planes is None:
+        n_planes = suggest_n_planes(emb.count())
+    masks = probe_masks(n_planes, multiprobe_h)
+    base = lsh_bucket(
+        with_int_vec(emb).select("vec_id", "ivec", "nsq"), n_planes=n_planes
+    )
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"),
         F.col("ivec").alias("q_ivec"),
@@ -151,7 +194,7 @@ def topk_cosine_ann(
         "q_ivec",
         "q_nsq",
         "q_bucket",
-        F.explode(F.array(*[F.lit(m) for m in PROBE_MASKS])).alias("mask"),
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
     ).select(
         "q_id",
         "q_ivec",
@@ -183,23 +226,77 @@ N_CELLS = 16
 N_PROBE = 4
 
 
-def ivf_assign(emb: DataFrame) -> DataFrame:
-    """IVF coarse quantizer: assign every vector to its nearest centroid
-    cell by cosine (ties → lowest cell id).
+def ivf_centroids(
+    base: DataFrame,
+    n_cells: int,
+    strategy: str = "lowest_id",
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """Pick/refine the IVF coarse centroids → (cell_id, c_ivec, c_nsq).
 
-    Centroids are the N_CELLS lowest-vec_id vectors — a deterministic
-    "init" chosen so the oracle can reproduce the index arithmetically;
-    a production index would run a few Lloyd iterations (each one is the
-    same broadcast-join + argmax pass as here) before freezing centroids.
-    At 100 TB: centroids broadcast, the corpus is scanned once, and the
-    only shuffle is the per-vector argmax (bounded at |corpus| × N_CELLS
-    rows pre-aggregation)."""
-    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
-    cents = base.filter(F.col("vec_id") < N_CELLS).select(
+    ``strategy``:
+      - ``lowest_id``: the n_cells lowest-vec_id vectors. Fully
+        arithmetic, so a SQL oracle can replay it — what the registered
+        queries pin. Degenerate as a quantizer when early ids are
+        correlated (ingest order is rarely random).
+      - ``hash_spread``: the n_cells vectors with the smallest
+        xxhash64(vec_id) — same cost, still deterministic, but the seeds
+        are spread pseudo-randomly across the corpus instead of taking
+        the first block. The production-ish init.
+
+    ``lloyd_iters`` > 0 runs that many Lloyd refinement steps: assign
+    every vector to its nearest centroid (broadcast join + argmax — the
+    same pass ivf_assign runs), then recompute each cell's centroid as
+    the element-wise mean of its members, rounded back to the integer
+    grid so the result stays deterministic. Each iteration costs one
+    corpus scan plus a (cell_id, dim)-keyed aggregate; empty cells keep
+    their previous centroid. Centroid count, spread, and refinement are
+    the three knobs a 100 TB deployment sizes (n_cells ~ sqrt(corpus),
+    :func:`suggest_n_cells`)."""
+    if strategy == "lowest_id":
+        seeds = base.filter(F.col("vec_id") < n_cells)
+    elif strategy == "hash_spread":
+        # orderBy + limit compiles to TakeOrderedAndProject — a
+        # distributed partial top-k, NOT a single-partition window. The
+        # seed's own vec_id stays the cell label (cell ids need not be
+        # dense).
+        seeds = base.orderBy(F.xxhash64("vec_id"), "vec_id").limit(n_cells)
+    else:
+        raise ValueError(f"unknown centroid strategy {strategy!r}")
+    cents = seeds.select(
         F.col("vec_id").alias("cell_id"),
         F.col("ivec").alias("c_ivec"),
         F.col("nsq").alias("c_nsq"),
     )
+    for _ in range(lloyd_iters):
+        assigned = _assign_to(base, cents)
+        means = (
+            assigned.select("cell_id", F.posexplode("ivec").alias("d", "x"))
+            .groupBy("cell_id", "d")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("d"), F.col("mx")))
+                    ),
+                    lambda s: F.round(s["mx"]).cast("long"),
+                ).alias("c_ivec")
+            )
+            .select(
+                "cell_id", "c_ivec", dot_long("c_ivec", "c_ivec").alias("c_nsq")
+            )
+        )
+        # Empty cells vanish from `means`; keep their previous centroid
+        # so cell ids stay stable across iterations.
+        kept = cents.join(means.select("cell_id"), "cell_id", "left_anti")
+        cents = means.unionByName(kept).localCheckpoint()
+    return cents
+
+
+def _assign_to(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (ties → lowest cell id): broadcast
+    centroids, scan the corpus once, per-vector argmax."""
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "ivec",
@@ -217,24 +314,52 @@ def ivf_assign(emb: DataFrame) -> DataFrame:
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int | None = N_CELLS,
+    strategy: str = "lowest_id",
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    cell by cosine (ties → lowest cell id).
+
+    Centroid choice is delegated to :func:`ivf_centroids` (strategy +
+    optional Lloyd refinement); ``n_cells=None`` derives the cell count
+    from the corpus size (:func:`suggest_n_cells`; one count() action).
+    The registered queries pin ``n_cells=N_CELLS, strategy='lowest_id',
+    lloyd_iters=0`` so the oracle can replay the arithmetic. At 100 TB:
+    centroids broadcast, the corpus is scanned once, and the only
+    shuffle is the per-vector argmax (bounded at |corpus| × n_cells rows
+    pre-aggregation)."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    if n_cells is None:
+        n_cells = suggest_n_cells(base.count())
+    cents = ivf_centroids(base, n_cells, strategy=strategy, lloyd_iters=lloyd_iters)
+    return _assign_to(base, cents)
+
+
 def topk_cosine_ivf(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
     n_probe: int = N_PROBE,
+    n_cells: int | None = N_CELLS,
+    strategy: str = "lowest_id",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN top-k: each query probes its n_probe nearest cells and
     ranks exactly within them. Approximate (misses neighbors assigned to
-    unprobed cells) but fully deterministic, so the oracle is exact.
-    Search cost scales with n_probe/N_CELLS of the corpus instead of all
-    of it — the knob a 100 TB deployment turns."""
-    assigned = ivf_assign(emb)
+    unprobed cells) but fully deterministic with the pinned defaults, so
+    the oracle is exact. Search cost scales with n_probe/n_cells of the
+    corpus instead of all of it — the knobs a 100 TB deployment turns
+    (``n_cells=None`` derives ~sqrt(corpus) via
+    :func:`suggest_n_cells`; ``strategy``/``lloyd_iters`` pick and
+    refine the quantizer, :func:`ivf_centroids`)."""
     base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
-    cents = base.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"),
-        F.col("ivec").alias("c_ivec"),
-        F.col("nsq").alias("c_nsq"),
-    )
+    if n_cells is None:
+        n_cells = suggest_n_cells(base.count())
+    cents = ivf_centroids(base, n_cells, strategy=strategy, lloyd_iters=lloyd_iters)
+    assigned = _assign_to(base, cents)
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"),
         F.col("ivec").alias("q_ivec"),
@@ -274,7 +399,13 @@ def topk_cosine_ivf(
     )
 
 
-def semdedup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int | None = N_CELLS,
+    strategy: str = "lowest_id",
+    lloyd_iters: int = 0,
+) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public): coarse-quantize the corpus into cells
     (:func:`ivf_assign`, the same deterministic centroid assignment the
@@ -285,14 +416,17 @@ def semdedup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
 
     Scale shape — the reason SemDeDup works at corpus scale: the
     quadratic pairwise comparison is confined to one cell, and cell
-    count grows with the corpus (N_CELLS ∝ corpus size in production,
-    fixed here for oracle determinism), so per-cell work stays bounded.
-    One broadcast (centroids), one shuffle on cell_id for the
-    within-cell self-join, one anti-join-shaped left join for the kept
-    flag. Popular cells skew the pair production; at 100 TB the same
-    salting applied in dedup.candidate_pairs drops in (the cell id is
-    the band key analog)."""
-    assigned = ivf_assign(emb).select("vec_id", "cell_id", "ivec", "nsq")
+    count grows with the corpus (``n_cells=None`` derives ~sqrt(corpus)
+    via :func:`suggest_n_cells`; the registered query pins N_CELLS for
+    oracle determinism), so per-cell work stays bounded. One broadcast
+    (centroids), one shuffle on cell_id for the within-cell self-join,
+    one anti-join-shaped left join for the kept flag. Popular cells skew
+    the pair production; at 100 TB the same salting applied in
+    dedup.candidate_pairs drops in (the cell id is the band key
+    analog)."""
+    assigned = ivf_assign(
+        emb, n_cells=n_cells, strategy=strategy, lloyd_iters=lloyd_iters
+    ).select("vec_id", "cell_id", "ivec", "nsq")
     a = assigned.select(
         F.col("vec_id").alias("vec_a"), "cell_id",
         F.col("ivec").alias("ivec_a"), F.col("nsq").alias("nsq_a"),
@@ -326,7 +460,9 @@ def semdedup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     )
 
 
-def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+def cosine_near_dup_pairs(
+    emb: DataFrame, threshold: float, n_planes: int | None = N_PLANES
+) -> DataFrame:
     """Embedding near-duplicate pairs, blocked by the random-hyperplane
     LSH bucket (:func:`lsh_bucket` — the same per-row, zero-shuffle
     bucketing the ANN path uses): exact cosine within buckets,
@@ -345,10 +481,17 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     Zero-length embeddings are excluded up front: cosine against them is
     undefined (0/0), and the SQL oracle's exploded bucket computation
     drops them naturally — filtering here keeps both engines on the same
-    contract (an empty vector is a near-duplicate of nothing)."""
-    base = lsh_bucket(
-        with_int_vec(emb).filter(F.size("ivec") > 0).select("vec_id", "ivec", "nsq")
+    contract (an empty vector is a near-duplicate of nothing).
+
+    ``n_planes=None`` derives the bucket-bit count from the corpus size
+    (:func:`suggest_n_planes`; one count() action); the registered query
+    pins N_PLANES for oracle parity."""
+    vecs = with_int_vec(emb).filter(F.size("ivec") > 0).select(
+        "vec_id", "ivec", "nsq"
     )
+    if n_planes is None:
+        n_planes = suggest_n_planes(vecs.count())
+    base = lsh_bucket(vecs, n_planes=n_planes)
     a = base.select(
         F.col("vec_id").alias("vec_a"), "bucket",
         F.col("ivec").alias("ivec_a"), F.col("nsq").alias("nsq_a"),

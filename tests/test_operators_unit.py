@@ -273,3 +273,62 @@ def test_sink_compaction_reduces_file_count(spark, sf_dir):
     )
     assert n_compacted == _COMPACT_TARGET_FILES
     assert n_scattered > n_compacted
+
+
+def test_ann_knob_suggestions_scale_with_corpus():
+    # Derived defaults must grow with the corpus and stay clamped.
+    assert S.suggest_n_planes(100) == 4
+    assert S.suggest_n_planes(10**6) == 10
+    assert S.suggest_n_planes(10**11) == 24  # 100 TB-ish: clamped
+    assert S.suggest_n_cells(100) == 10
+    assert S.suggest_n_cells(10**6) == 1000
+    assert S.suggest_n_cells(10**11) == 65536  # clamped
+    assert len(S.probe_masks(8, 2)) == 37
+    assert len(S.probe_masks(4, 1)) == 5
+
+
+def test_ivf_hash_spread_and_lloyd_refinement(spark, sf_dir):
+    from distributed_query_engine_spark.catalog import Tables
+
+    e = Tables(spark, sf_dir).embeddings
+    n = e.count()
+    for strategy, iters in (("hash_spread", 0), ("lowest_id", 2)):
+        assigned = S.ivf_assign(e, n_cells=8, strategy=strategy, lloyd_iters=iters)
+        rows = assigned.select("vec_id", "cell_id").collect()
+        assert len(rows) == n  # every vector assigned exactly once
+        assert len({r["vec_id"] for r in rows}) == n
+        cells = {r["cell_id"] for r in rows}
+        assert 1 <= len(cells) <= 8
+        # Deterministic: a second run assigns identically.
+        again = S.ivf_assign(e, n_cells=8, strategy=strategy, lloyd_iters=iters)
+        assert sorted(map(tuple, rows)) == sorted(
+            map(tuple, again.select("vec_id", "cell_id").collect())
+        )
+
+
+def test_ivf_derived_n_cells_uses_corpus_size(spark, sf_dir):
+    from distributed_query_engine_spark.catalog import Tables
+
+    e = Tables(spark, sf_dir).embeddings
+    n = e.count()
+    assigned = S.ivf_assign(e, n_cells=None, strategy="hash_spread")
+    n_cells = assigned.select("cell_id").distinct().count()
+    assert n_cells <= S.suggest_n_cells(n)
+    assert assigned.count() == n
+
+
+def test_semdedup_kept_set_consistent_across_strategies(spark, sf_dir):
+    from distributed_query_engine_spark.catalog import Tables
+
+    e = Tables(spark, sf_dir).embeddings
+    for kwargs in ({"strategy": "hash_spread"}, {"lloyd_iters": 1}):
+        out = S.semdedup(e, threshold=0.35, n_cells=8, **kwargs)
+        rows = out.collect()
+        assert len(rows) == e.count()
+        # keep-lowest: the lowest vec_id of every cell is always kept
+        by_cell = {}
+        for r in rows:
+            by_cell.setdefault(r["cell_id"], []).append(r)
+        for members in by_cell.values():
+            lowest = min(members, key=lambda r: r["vec_id"])
+            assert lowest["kept"]
