@@ -39,31 +39,46 @@ STAR_TABLES = (
 
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` with a nanosecond-timestamp shim.
+    """``spark.read.parquet`` with a timestamp-normalization shim.
 
-    Spark (through 4.x) rejects parquet ``TIMESTAMP(NANOS)`` columns
-    (PARQUET_TYPE_ILLEGAL); the events table is written with ns
-    precision. We read ns columns as raw int64
-    (``spark.sql.legacy.parquet.nanosAsLong``) and floor-divide to
-    microseconds — the same truncation DuckDB applies when casting
-    TIMESTAMP_NS → TIMESTAMP, so oracle comparison stays exact. The
-    driver-side cost is one parquet footer read to detect ns columns.
+    The testdata generator's timestamp encoding has varied across driver
+    rounds, so BOTH hazards are handled by sniffing the footer (one
+    metadata read, no data scan):
+
+    - ``TIMESTAMP(NANOS)``: Spark (through 4.x) rejects it
+      (PARQUET_TYPE_ILLEGAL). Read as raw int64
+      (``spark.sql.legacy.parquet.nanosAsLong``) and floor-divide to
+      microseconds — the same truncation DuckDB applies casting
+      TIMESTAMP_NS → TIMESTAMP, so oracle comparison stays exact.
+    - ``timestamp[us]`` without the UTC flag: Spark 4 infers
+      TIMESTAMP_NTZ, which half the timestamp functions
+      (``unix_micros``, …) reject. Cast to the session-zone TIMESTAMP
+      (session tz is pinned UTC, so values are identical and DuckDB's
+      naive timestamps still compare equal).
+
+    Either way every caller sees one timestamp type: TIMESTAMP (ltz).
     """
+    ns_cols: list[str] = []
+    ntz = False
     try:
         schema = pa_pq.read_schema(path)
-        ns_cols = [
-            f.name
-            for f in schema
-            if pa_types.is_timestamp(f.type) and f.type.unit == "ns"
-        ]
+        for f in schema:
+            if pa_types.is_timestamp(f.type):
+                if f.type.unit == "ns":
+                    ns_cols.append(f.name)
+                elif f.type.tz is None:
+                    ntz = True
     except Exception:
-        ns_cols = []
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        pass
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    if ntz:
+        for f in df.schema.fields:
+            if f.dataType.typeName() == "timestamp_ntz":
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

@@ -188,6 +188,40 @@ class RdbmsRegistry:
         return reg
 
 
+class UserScopedRegistry:
+    """Per-user connector registries — the reference resolves connections
+    through a user-management service, so the SAME database name can
+    carry different credentials per authenticated user
+    (``UserManagers(config).getClient(user).getRDBMSServer(dbName)``,
+    diff:109-114,156). Here each user gets an isolated
+    :class:`RdbmsRegistry`; lookups never fall through to another
+    user's entries."""
+
+    def __init__(self) -> None:
+        self._users: dict[str, RdbmsRegistry] = {}
+
+    def for_user(self, user: str) -> RdbmsRegistry:
+        """The user's registry (created empty on first touch) — the
+        ``getClient(user)`` step."""
+        return self._users.setdefault(user, RdbmsRegistry())
+
+    def register(self, user: str, db: RdbmsDatabase) -> None:
+        self.for_user(user).register(db)
+
+    def get(self, user: str, name: str) -> RdbmsDatabase:
+        """``getRDBMSServer(dbName)`` scoped to ``user`` — a name
+        registered only for another user is NOT visible."""
+        try:
+            return self.for_user(user).get(name)
+        except KeyError:
+            raise KeyError(
+                f"Could not find database entry for: {name} (user: {user})"
+            ) from None
+
+    def users(self) -> list[str]:
+        return sorted(self._users)
+
+
 # ---------------------------------------------------------------------------
 # SQL dialects (identifier quoting + pushdown SELECT generation)
 # ---------------------------------------------------------------------------
@@ -377,6 +411,54 @@ def jdbc_metadata_schema(spark, url: str, table: str, properties: dict) -> T.Str
     metadata-only resolution (a zero-row prepared query), no data
     movement."""
     return spark.read.jdbc(url, table, properties=properties).schema
+
+
+@dataclass(frozen=True)
+class InferenceResult:
+    """Schema-inference outcome as a VALUE, not an exception — the
+    reference models inference failure as a first-class
+    ``FailedInference`` result the caller pattern-matches on
+    (diff:154,195) rather than a raw throw. ``ok`` carries the schema;
+    failures carry the error string and a None schema."""
+
+    schema: T.StructType | None
+    error: str | None = None
+
+    @property
+    def ok(self) -> bool:
+        return self.error is None
+
+    @classmethod
+    def failed(cls, error: str) -> InferenceResult:
+        return cls(schema=None, error=error)
+
+
+def try_hive_describe_schema(
+    describe_rows: list[tuple[str, str]],
+) -> InferenceResult:
+    """:func:`hive_describe_schema` with the reference's
+    ``FailedInference`` contract: malformed DESCRIBE rows (wrong arity,
+    non-string cells) return a failure result instead of raising."""
+    try:
+        return InferenceResult(schema=hive_describe_schema(describe_rows))
+    except Exception as ex:  # malformed rows — structured failure
+        return InferenceResult.failed(f"hive DESCRIBE inference failed: {ex}")
+
+
+def try_jdbc_metadata_schema(
+    spark, url: str, table: str, properties: dict
+) -> InferenceResult:
+    """:func:`jdbc_metadata_schema` with the ``FailedInference``
+    contract: an unreachable URL / missing driver / unknown table
+    returns a failure result the caller can branch on (the reference
+    surfaces these as ``FailedInference(msg)``, diff:195)."""
+    try:
+        return InferenceResult(
+            schema=jdbc_metadata_schema(spark, url, table, properties)
+        )
+    except Exception as ex:
+        first = str(ex).split("\n")[0]
+        return InferenceResult.failed(f"jdbc metadata inference failed: {first}")
 
 
 def federated_scan(

@@ -455,9 +455,12 @@ def sink_compacted(spark, sf_dir):
     "scan_text_lines",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS total_chars,
-           CAST(MAX(strlen(text)) AS INT) AS max_line
-    FROM documents
+           CAST(SUM(CAST(strlen(line) AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(MAX(strlen(line)) AS INT) AS max_line
+    FROM (
+        SELECT regexp_replace(text, '[\\r\\n]', ' ', 'g') AS line
+        FROM documents WHERE text IS NOT NULL
+    )
     """,
 )
 def scan_text_lines(spark, sf_dir):
@@ -465,10 +468,22 @@ def scan_text_lines(spark, sf_dir):
     ingestion format every training pipeline starts from. One line per
     row, splittable by line boundaries, so a 100 TB dump parallelizes
     by byte ranges with no schema work at all. Stage the documents as
-    text, read them back, and account for every line and character."""
+    text, read them back, and account for every line and character.
+
+    A text sink splits embedded newlines into extra lines and cannot
+    carry nulls, so the one-doc-one-line contract is ENFORCED, not
+    assumed (ADVICE r3): newlines are normalized to spaces and nulls
+    filtered before the write — the oracle applies the identical
+    normalization, so a future generator emitting multi-line docs
+    round-trips instead of silently diverging."""
     t = Tables(spark, sf_dir)
     path = _tmp(sf_dir, "docs_txt_lines")
-    t.documents.select("text").write.mode("overwrite").text(path)
+    (
+        t.documents.filter(F.col("text").isNotNull())
+        .select(F.regexp_replace("text", r"[\r\n]", " ").alias("text"))
+        .write.mode("overwrite")
+        .text(path)
+    )
     lines = spark.read.text(path)
     return lines.agg(
         F.count(F.lit(1)).alias("n_lines"),

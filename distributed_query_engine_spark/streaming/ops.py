@@ -25,35 +25,97 @@ from distributed_query_engine_spark.functions.deterministic import cents_sum
 
 _TMP = Path(__file__).resolve().parent.parent.parent / ".tmp"
 
-# events.parquet carries TIMESTAMP(NANOS); the streaming source needs an
-# explicit schema, so we read ts as raw ns int64 and convert — same
-# truncation contract as catalog.read_parquet_table.
-_EVENTS_NS_SCHEMA = (
+# The streaming file source needs an explicit schema. The events table's
+# ts precision is a GENERATOR detail that has changed across driver runs
+# (TIMESTAMP(NANOS) → timestamp[us]), so the unit is sniffed from the
+# parquet footer and the schema/shim chosen to match — same adaptive
+# contract as catalog.read_parquet_table.
+_EVENTS_SCHEMA_NS = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+_EVENTS_SCHEMA_TS = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
 
+def _events_ts_unit(src: Path) -> str:
+    """Timestamp unit ('ns' | 'us' | ...) of events.ts, from the parquet
+    footer — one metadata read, no data scan."""
+    import pyarrow.parquet as pa_pq
+    import pyarrow.types as pa_types
+
+    try:
+        f = pa_pq.read_schema(str(src)).field("ts")
+        if pa_types.is_timestamp(f.type):
+            return f.type.unit
+        return "ns"  # raw int64 ts: the legacy nanosAsLong shape
+    except Exception:
+        return "us"
+
+
+def _events_stream(spark: SparkSession, src_dir: str, unit: str, **options) -> DataFrame:
+    """readStream over a staged events directory with the unit-matched
+    schema; ns sources are read as raw int64 and floor-divided to µs
+    (DuckDB's TIMESTAMP_NS → TIMESTAMP truncation, so oracles stay
+    exact)."""
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        reader = spark.readStream.schema(_EVENTS_SCHEMA_NS).format("parquet")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        raw = reader.load(src_dir)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    reader = spark.readStream.schema(_EVENTS_SCHEMA_TS).format("parquet")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(src_dir)
+
+
+def _source_fingerprint(src: Path) -> str:
+    """Content fingerprint of a parquet source file/dir: (path, mtime_ns,
+    size) per data file. Regenerating the parquet changes mtime/size, so
+    staged derivatives keyed on this string self-invalidate (ADVICE r3:
+    a basename-keyed marker never noticed a rewritten source)."""
+    files = sorted(src.rglob("*")) if src.is_dir() else [src]
+    parts = []
+    for f in files:
+        if f.is_file():
+            st = f.stat()
+            parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    return ";".join(parts)
+
+
+def _staging_key(sf_dir: str) -> str:
+    """Staging-dir key: basename for readability + a hash of the FULL
+    resolved path, so two sf_dirs sharing a basename cannot collide."""
+    import hashlib
+
+    p = Path(sf_dir).resolve()
+    return f"{p.name or 'sf'}-{hashlib.md5(str(p).encode()).hexdigest()[:8]}"
+
+
 def _stage_dir(sf_dir: str) -> str:
     """The file stream source requires a *directory*; stage one holding
-    a symlink to the events parquet (no data copy)."""
-    sf = Path(sf_dir).name or "sf"
-    d = _TMP / "stream_src" / sf
-    d.mkdir(parents=True, exist_ok=True)
-    link = d / "events.parquet"
-    if not link.exists():
-        link.symlink_to(Path(sf_dir) / "events.parquet")
+    a symlink to the events parquet (no data copy). The ``_STAGED``
+    marker records the source fingerprint — a regenerated source
+    restages instead of silently serving the old link."""
+    src = Path(sf_dir) / "events.parquet"
+    d = _TMP / "stream_src" / _staging_key(sf_dir)
+    marker = d / "_STAGED"
+    fp = _source_fingerprint(src)
+    if not marker.exists() or marker.read_text() != fp:
+        shutil.rmtree(d, ignore_errors=True)
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "events.parquet").symlink_to(src)
+        marker.write_text(fp)
     return str(d)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_NS_SCHEMA)
-        .format("parquet")
-        .load(_stage_dir(sf_dir))
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    unit = _events_ts_unit(Path(sf_dir) / "events.parquet")
+    return _events_stream(spark, _stage_dir(sf_dir), unit)
 
 
 # Batches observed by the last run_to_memory call per sink name —
@@ -86,27 +148,24 @@ def run_to_memory(
     return spark.table(name)
 
 
-def read_events_stream_sliced(
-    spark: SparkSession, sf_dir: str, n_slices: int = 4
-) -> DataFrame:
-    """Events as a MULTI-BATCH file stream: the table is staged once
-    into ``n_slices`` deterministic slices (event_id mod n), and
-    ``maxFilesPerTrigger=1`` makes each slice its own micro-batch — so
-    state genuinely accumulates across batches instead of one
-    AvailableNow pass seeing everything. Batch ORDER is an engine
-    detail (file mtime); consumers must aggregate order-independently
-    (complete-mode aggs are), which is exactly the discipline a real
-    incremental pipeline needs."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sf = Path(sf_dir).name or "sf"
-    d = _TMP / "stream_src_sliced" / sf
+def _stage_sliced(spark: SparkSession, sf_dir: str, n_slices: int) -> Path:
+    """Stage the events table as ``n_slices`` single-file parquet slices
+    (event_id mod n) under a flat directory the file stream source can
+    walk one-file-per-trigger. The ``_STAGED`` marker stores the source
+    fingerprint + slice count; a regenerated source (or different
+    n_slices) restages instead of serving stale slices."""
+    from distributed_query_engine_spark.catalog import read_parquet_table
+
+    src = Path(sf_dir) / "events.parquet"
+    d = _TMP / "stream_src_sliced" / _staging_key(sf_dir)
     done = d / "_STAGED"
-    if not done.exists():
+    fp = f"{n_slices}\n{_source_fingerprint(src)}"
+    if not done.exists() or done.read_text() != fp:
         shutil.rmtree(d, ignore_errors=True)
-        raw = (
-            spark.read.schema(_EVENTS_NS_SCHEMA)
-            .parquet(str(Path(sf_dir) / "events.parquet"))
-        )
+        # read_parquet_table normalizes ts to a proper timestamp whatever
+        # the source unit, so staged slices are ALWAYS timestamp[us] and
+        # the sliced stream needs no per-unit shim.
+        raw = read_parquet_table(spark, str(src))
         for i in range(n_slices):
             (
                 raw.filter(F.col("event_id") % n_slices == i)
@@ -120,14 +179,27 @@ def read_events_stream_sliced(
         for i in range(n_slices):
             part = next((d / f"slice_{i}").glob("part-*.parquet"))
             (flat / f"slice_{i}.parquet").symlink_to(part)
-        done.touch()
-    raw = (
-        spark.readStream.schema(_EVENTS_NS_SCHEMA)
-        .format("parquet")
-        .option("maxFilesPerTrigger", "1")
-        .load(str(d / "flat"))
+        done.write_text(fp)
+    return d
+
+
+def read_events_stream_sliced(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> DataFrame:
+    """Events as a MULTI-BATCH file stream: the table is staged once
+    into ``n_slices`` deterministic slices (event_id mod n), and
+    ``maxFilesPerTrigger=1`` makes each slice its own micro-batch — so
+    state genuinely accumulates across batches instead of one
+    AvailableNow pass seeing everything. Batch ORDER is an engine
+    detail (file mtime); consumers must aggregate order-independently
+    (complete-mode aggs are), which is exactly the discipline a real
+    incremental pipeline needs."""
+    d = _stage_sliced(spark, sf_dir, n_slices)
+    # slices are staged as timestamp[us] (see _stage_sliced), so the
+    # stream schema is the plain-timestamp one regardless of source unit
+    return _events_stream(
+        spark, str(d / "flat"), "us", maxFilesPerTrigger="1"
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def run_foreach_batch_parquet(

@@ -155,3 +155,50 @@ def test_jdbc_v2_limit_not_pushed_to_derby(spark, sf_dir):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedTopN" not in plan and "PushedLimit" not in plan, plan
     assert len(q.collect()) == 3
+
+
+def test_user_scoped_registry_isolates_credentials():
+    # reference: UserManagers(config).getClient(user).getRDBMSServer(db)
+    # (diff:109-114) — same db name, different credentials per user.
+    users = FED.UserScopedRegistry()
+    users.register(
+        "alice",
+        FED.PostgresqlDatabase(
+            name="wh", host="h1", port=5432, database="db", username="alice"
+        ),
+    )
+    users.register(
+        "bob",
+        FED.PostgresqlDatabase(
+            name="wh", host="h2", port=5432, database="db", username="bob"
+        ),
+    )
+    assert users.get("alice", "wh").username == "alice"
+    assert users.get("alice", "wh").host == "h1"
+    assert users.get("bob", "wh").username == "bob"
+    assert users.get("bob", "wh").host == "h2"
+    # no cross-user fallthrough: carol sees nothing
+    with pytest.raises(KeyError, match=r"wh \(user: carol\)"):
+        users.get("carol", "wh")
+    assert users.users() == ["alice", "bob", "carol"]
+
+
+def test_failed_inference_returns_result_not_raise(spark):
+    # reference FailedInference (diff:154,195): inference failure is a
+    # pattern-matchable VALUE, not a raw exception.
+    ok = FED.try_hive_describe_schema([("id", "int")])
+    assert ok.ok and ok.schema == T.StructType(
+        [T.StructField("id", T.IntegerType(), True)]
+    )
+    bad = FED.try_hive_describe_schema([("id", "int", "extra", "arity")])
+    assert not bad.ok and bad.schema is None
+    assert "hive DESCRIBE inference failed" in bad.error
+
+    unreachable = FED.try_jdbc_metadata_schema(
+        spark,
+        "jdbc:derby:/nonexistent/dir/that/cannot/be/created/x",
+        "t",
+        {"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    assert not unreachable.ok and unreachable.schema is None
+    assert "jdbc metadata inference failed" in unreachable.error

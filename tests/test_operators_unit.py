@@ -8,6 +8,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_UNIT
 from distributed_query_engine_spark.operators import dedup as D
 from distributed_query_engine_spark.operators import multimodal as MM
 from distributed_query_engine_spark.operators import similarity as S
@@ -332,3 +333,44 @@ def test_semdedup_kept_set_consistent_across_strategies(spark, sf_dir):
         for members in by_cell.values():
             lowest = min(members, key=lambda r: r["vec_id"])
             assert lowest["kept"]
+
+def test_staged_stream_slices_invalidate_on_source_change(spark, tmp_path):
+    # ADVICE r3: the _STAGED marker used to key only on the sf_dir
+    # basename and never invalidate — a regenerated events.parquet (or a
+    # second sf_dir sharing a basename) silently served stale slices.
+    # Now the marker stores a (mtime, size) fingerprint + slice count.
+    import os
+    import shutil as sh
+
+    from distributed_query_engine_spark.streaming import ops
+
+    src_dir = tmp_path / "sfX"
+    src_dir.mkdir()
+    sh.copy(f"{SF_UNIT}/events.parquet", src_dir / "events.parquet")
+
+    d1 = ops._stage_sliced(spark, str(src_dir), 2)
+    marker = d1 / "_STAGED"
+    fp1 = marker.read_text()
+    stamp1 = marker.stat().st_mtime_ns
+
+    # Unchanged source: served from cache, marker untouched.
+    ops._stage_sliced(spark, str(src_dir), 2)
+    assert marker.stat().st_mtime_ns == stamp1
+
+    # Regenerated source (new mtime): restaged, fingerprint changes.
+    st = (src_dir / "events.parquet").stat()
+    os.utime(src_dir / "events.parquet", ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+    d2 = ops._stage_sliced(spark, str(src_dir), 2)
+    assert d2 == d1
+    assert (d2 / "_STAGED").read_text() != fp1
+
+    # Different slice count: also restages.
+    d3 = ops._stage_sliced(spark, str(src_dir), 3)
+    assert len(list((d3 / "flat").iterdir())) == 3
+
+    # Same basename under a different parent must NOT collide.
+    other = tmp_path / "other" / "sfX"
+    other.mkdir(parents=True)
+    sh.copy(f"{SF_UNIT}/events.parquet", other / "events.parquet")
+    d4 = ops._stage_sliced(spark, str(other), 2)
+    assert d4 != d1
