@@ -394,6 +394,80 @@ def minhash_dup_edges(
     return exact_jaccard(cand, tokens, threshold=threshold).select("doc_a", "doc_b")
 
 
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    threshold: float = 0.5,
+    hashed: bool = True,
+) -> DataFrame:
+    """Near-dup detection for a NEW batch against an EXISTING corpus —
+    the steady-state shape of a production ingestion pipeline, where
+    re-pairing the whole corpus per batch (what :func:`minhash_dedup_pairs`
+    does) would be O(corpus) work for O(batch) new data.
+
+    Returns (new_doc, dup_of, jaccard, is_dup): every incoming doc's
+    verified near-duplicates, whether the match is an existing corpus
+    doc or an EARLIER doc of the same batch (``dup_of`` < ``new_doc``
+    for in-batch matches — arrival order by id, so a batch of k mutual
+    dups reports k−1 of them as duplicates, mirroring what sequential
+    ingestion would have done).
+
+    Scale shape — the asymmetry is the whole point:
+
+    - The incoming batch is orders of magnitude smaller than the corpus,
+      so its band relation is ``broadcast()``: the corpus-side band
+      relation NEVER shuffles — candidate generation is a map-side join
+      over the corpus partitions. A mega-bucket band key (boilerplate)
+      fans out per corpus row bounded by the batch's docs in that
+      bucket, spread across every corpus partition — no single-task k².
+    - In-batch candidates reuse :func:`candidate_pairs` (salted,
+      first-collision-deduped) over the SMALL batch band relation.
+    - In production the corpus side of signature generation comes from a
+      SIGNATURE STORE (a parquet sink of ``signatures_for`` keyed by
+      doc_id, appended per ingested batch) rather than re-tokenizing;
+      it is recomputed here so the operator is self-contained against
+      two raw document frames. Exact-Jaccard verification always needs
+      the token relation of BOTH sides (fetch-by-id in production).
+
+    Multi-band collisions dedup via the same earliest-common-band filter
+    as :func:`candidate_pairs` — set-identical to DISTINCT on the pair,
+    without shuffling the pair set."""
+    tok_c = tokenize(corpus)
+    tok_n = tokenize(incoming)
+    bands_c = lsh_bands(signatures_for(tok_c, hashed=hashed))
+    bands_n = lsh_bands(signatures_for(tok_n, hashed=hashed))
+    a = bands_c.alias("a")
+    b = bands_n.alias("b")
+    earlier_collision = F.exists(
+        F.sequence(F.lit(0), F.col("band") - 1),
+        lambda j: F.col("a.band_keys")[j] == F.col("b.band_keys")[j],
+    )
+    first_band = F.when(F.col("band") == 0, F.lit(True)).otherwise(
+        ~earlier_collision
+    )
+    cross = (
+        a.join(F.broadcast(b), ["band", "band_key"])
+        .filter(first_band)
+        .select(
+            F.col("b.doc_id").alias("doc_a"),  # new_doc
+            F.col("a.doc_id").alias("doc_b"),  # dup_of (corpus side)
+        )
+    )
+    # In-batch pairs: candidate_pairs yields doc_a < doc_b; the LATER
+    # arrival is the "new" doc being flagged against the earlier one.
+    within = candidate_pairs(bands_n).select(
+        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    )
+    pairs = cross.unionByName(within)
+    tokens = tok_c.unionByName(tok_n)
+    return exact_jaccard(pairs, tokens, threshold=threshold).select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("dup_of"),
+        "jaccard",
+        (F.col("jaccard") >= threshold).alias("is_dup"),
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:

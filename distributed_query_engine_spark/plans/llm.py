@@ -732,6 +732,51 @@ def llm_dedup_minhash(spark, sf_dir):
 
 
 @query(
+    "llm_dedup_incremental",
+    # The oracle replays the split + both candidate families: incoming
+    # docs (doc_id % 5 = 0) band-join the corpus (cross) and each other
+    # (in-batch, later-arrival-is-new orientation), then the standard
+    # exact-Jaccard verification over the full token relation.
+    oracle=lambda: f"""
+    WITH {_tokens_cte(hashed=True)},
+    sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    candx AS (
+      SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+    ),
+    candn AS (
+      SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+    ),
+    cand AS (SELECT doc_a, doc_b FROM candx
+             UNION ALL SELECT doc_a, doc_b FROM candn),
+    {_jaccard_cte(0.5)}
+    SELECT doc_a AS new_doc, doc_b AS dup_of, jaccard, is_dup
+    FROM verified WHERE is_dup
+    """,
+)
+def llm_dedup_incremental(spark, sf_dir):
+    """INCREMENTAL near-dup detection — a new ingestion batch (docs with
+    doc_id % 5 = 0, ~20% of the table, standing in for today's crawl)
+    checked against the existing corpus (the other 80%) WITHOUT
+    re-pairing the corpus against itself: the batch's band relation
+    broadcasts, the corpus never shuffles, in-batch pairs go through the
+    salted self-join. This is the steady-state production shape of
+    dedup at 100 TB — per-batch cost scales with the batch, not the
+    corpus (operators/dedup.py::incremental_minhash_dedup)."""
+    d = Tables(spark, sf_dir).documents
+    incoming = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_minhash_dedup(corpus, incoming, threshold=0.5)
+
+
+@query(
     "llm_dedup_clusters",
     oracle=lambda: f"""
     WITH RECURSIVE {_STAR_EDGE_CTES},

@@ -91,3 +91,14 @@ def test_salted_distinct_is_two_phase(spark, sf_dir):
     plan = _plan(_q("agg_salted_distinct", spark, sf_dir))
     assert plan.count("HashAggregate") >= 4
     assert "salt" in plan
+
+
+def test_incremental_dedup_broadcasts_batch_side(spark, sf_dir):
+    # The incremental contract: the small incoming batch's band relation
+    # broadcasts, so corpus-side candidate generation is a map-side join
+    # (no corpus shuffle for the cross family) and nothing degrades to a
+    # cartesian/BNL join.
+    plan = _plan(_q("llm_dedup_incremental", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
