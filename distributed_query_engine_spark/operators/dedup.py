@@ -468,6 +468,80 @@ def incremental_minhash_dedup(
     )
 
 
+def incremental_dedup_from_store(
+    spark,
+    store_path: str,
+    corpus: DataFrame,
+    incoming: DataFrame,
+    threshold: float = 0.5,
+    hashed: bool = True,
+) -> DataFrame:
+    """:func:`incremental_minhash_dedup` against a persisted SIGNATURE
+    STORE — the two production mechanics the self-contained variant only
+    documents, made real:
+
+    - Corpus signatures are READ from ``store_path`` (a parquet relation
+      (doc_id, m0..m{N_HASHES-1}) maintained by appending each ingested
+      batch's ``signatures_for`` output), not recomputed: steady-state
+      per-batch cost never re-tokenizes the corpus.
+    - Exact-Jaccard verification tokenizes ONLY the corpus docs that
+      actually appear in a candidate pair (fetch-by-id: a semi-join of
+      the corpus on the candidates' distinct dup-side ids) plus the
+      batch — at 100 TB the candidate-hit set is orders of magnitude
+      smaller than the corpus, so the verify stage's scan cost tracks
+      the batch too.
+
+    Same output contract as :func:`incremental_minhash_dedup`; identical
+    results for identical inputs, since the store holds exactly the
+    signatures the self-contained variant recomputes."""
+    bands_c = lsh_bands(spark.read.parquet(store_path))
+    tok_n = tokenize(incoming)
+    bands_n = lsh_bands(signatures_for(tok_n, hashed=hashed))
+    a = bands_c.alias("a")
+    b = bands_n.alias("b")
+    earlier_collision = F.exists(
+        F.sequence(F.lit(0), F.col("band") - 1),
+        lambda j: F.col("a.band_keys")[j] == F.col("b.band_keys")[j],
+    )
+    first_band = F.when(F.col("band") == 0, F.lit(True)).otherwise(
+        ~earlier_collision
+    )
+    cross = (
+        a.join(F.broadcast(b), ["band", "band_key"])
+        .filter(first_band)
+        .select(
+            F.col("b.doc_id").alias("doc_a"),
+            F.col("a.doc_id").alias("doc_b"),
+        )
+    )
+    within = candidate_pairs(bands_n).select(
+        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    )
+    pairs = cross.unionByName(within)
+    hit_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    corpus_hits = corpus.join(hit_ids, "doc_id", "left_semi")
+    tokens = tokenize(corpus_hits).unionByName(tok_n)
+    return exact_jaccard(pairs, tokens, threshold=threshold).select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("dup_of"),
+        "jaccard",
+        (F.col("jaccard") >= threshold).alias("is_dup"),
+    )
+
+
+def build_signature_store(
+    spark, docs: DataFrame, store_path: str, hashed: bool = True
+) -> None:
+    """Materialize the minhash signature store for a corpus: one parquet
+    row (doc_id, m0..m{N_HASHES-1}) per doc. Production appends each
+    ingested batch's signatures (``mode("append")`` keyed by ingestion
+    date); here the store is (re)built whole for a self-contained
+    query."""
+    signatures_for(tokenize(docs), hashed=hashed).write.mode(
+        "overwrite"
+    ).parquet(store_path)
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:

@@ -777,6 +777,55 @@ def llm_dedup_incremental(spark, sf_dir):
 
 
 @query(
+    "llm_dedup_signature_store",
+    # Stored signatures are bit-identical to recomputed ones, so the
+    # oracle is the same replay as llm_dedup_incremental.
+    oracle=lambda: f"""
+    WITH {_tokens_cte(hashed=True)},
+    sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    candx AS (
+      SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+    ),
+    candn AS (
+      SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+    ),
+    cand AS (SELECT doc_a, doc_b FROM candx
+             UNION ALL SELECT doc_a, doc_b FROM candn),
+    {_jaccard_cte(0.5)}
+    SELECT doc_a AS new_doc, doc_b AS dup_of, jaccard, is_dup
+    FROM verified WHERE is_dup
+    """,
+)
+def llm_dedup_signature_store(spark, sf_dir):
+    """Incremental dedup against a PERSISTED signature store — the
+    production mechanics made real: corpus signatures are materialized
+    to parquet (the per-batch-appended store artifact) and the batch
+    dedups against the STORE, never re-tokenizing the corpus; the
+    exact-Jaccard verify fetches only candidate-hit corpus docs by id
+    (semi-join), so verify scan cost tracks the batch too. Identical
+    output to llm_dedup_incremental — same signatures, same candidates,
+    same verification (operators/dedup.py::incremental_dedup_from_store)."""
+    from distributed_query_engine_spark.plans.sources import _tmp
+
+    d = Tables(spark, sf_dir).documents
+    incoming = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    store = _tmp(sf_dir, "minhash_sig_store")
+    D.build_signature_store(spark, corpus, store, hashed=True)
+    return D.incremental_dedup_from_store(
+        spark, store, corpus, incoming, threshold=0.5
+    )
+
+
+@query(
     "llm_dedup_clusters",
     oracle=lambda: f"""
     WITH RECURSIVE {_STAR_EDGE_CTES},

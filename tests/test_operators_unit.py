@@ -374,3 +374,16 @@ def test_staged_stream_slices_invalidate_on_source_change(spark, tmp_path):
     sh.copy(f"{SF_UNIT}/events.parquet", other / "events.parquet")
     d4 = ops._stage_sliced(spark, str(other), 2)
     assert d4 != d1
+
+
+def test_signature_store_variant_matches_inline_incremental(spark, sf_dir):
+    # The store path must be a pure mechanism change: reading persisted
+    # signatures + fetch-by-id verification yields EXACTLY the pairs the
+    # self-contained variant computes.
+    from distributed_query_engine_spark.registry import all_queries
+
+    qs = all_queries()
+    inline = sorted(map(tuple, qs["llm_dedup_incremental"](spark, sf_dir).collect()))
+    stored = sorted(map(tuple, qs["llm_dedup_signature_store"](spark, sf_dir).collect()))
+    assert len(inline) > 0
+    assert inline == stored
