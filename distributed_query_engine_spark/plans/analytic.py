@@ -261,6 +261,53 @@ def agg_median(spark, sf_dir):
 
 
 @query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75,
+           quantile_cont(l_extendedprice, 0.75)
+             - quantile_cont(l_extendedprice, 0.25) AS iqr,
+           TRUE AS approx_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """Exact quartiles + IQR per group, with the approx path asserted
+    against them. Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share the linear-interpolation definition, so the doubles match
+    bit-for-bit (verified across sf0.001-0.1 on this column). The
+    t-digest ``approx_percentile`` sketch ALSO executes — its estimate
+    is engine-specific, so (as with agg_approx_count_distinct) the
+    oracle-checkable contract is a boolean asserting the p50 estimate
+    lands within 1% of the exact value. At 100 TB the exact path is one
+    sort-based agg per group; the sketch path is the constant-memory
+    default, and this query keeps its accuracy measured instead of
+    assumed."""
+    l = Tables(spark, sf_dir).lineitem
+    p25 = F.percentile("l_extendedprice", F.lit(0.25))
+    p50 = F.percentile("l_extendedprice", F.lit(0.5))
+    p75 = F.percentile("l_extendedprice", F.lit(0.75))
+    agg = l.groupBy("l_returnflag").agg(
+        p25.alias("p25"),
+        p50.alias("p50"),
+        p75.alias("p75"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_a50"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "p25",
+        "p50",
+        "p75",
+        (F.col("p75") - F.col("p25")).alias("iqr"),
+        (
+            F.abs(F.col("_a50") - F.col("p50")) <= 0.01 * F.abs(F.col("p50"))
+        ).alias("approx_within_1pct"),
+    )
+
+
+@query(
     "agg_max_by",
     oracle="""
     SELECT c_nationkey,

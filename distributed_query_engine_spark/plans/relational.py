@@ -423,6 +423,34 @@ def join_asof_event(spark, sf_dir):
     )
 
 
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    WHERE c.ts - p.ts <= INTERVAL '1 hour'
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof``'s
+    ``tolerance=``): the latest purchase at-or-before each click counts
+    only if it happened within the last hour — stale matches are
+    discarded, not replaced by older ones (that is the asof contract:
+    the candidate is the latest predecessor, then the bound applies).
+    Same single-shuffle union + last(ignorenulls) window plan as
+    join_asof_event; the tolerance is a post-window row filter, so the
+    scale shape is unchanged."""
+    base = join_asof_event(spark, sf_dir)
+    return base.filter(
+        F.col("click_ts") - F.col("purchase_ts") <= F.expr("interval 1 hour")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation (RAW QL group-by [P]; nested collections diff:227, :287)
 # ---------------------------------------------------------------------------
