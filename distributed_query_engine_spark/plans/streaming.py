@@ -214,6 +214,59 @@ def stream_foreach_batch_sink(spark, sf_dir):
 
 
 @query(
+    "stream_ingest_dedup",
+    # The multi-batch sink is row-identical to the one-shot batch
+    # variant (order-independent by construction — see
+    # streaming/ops.stream_ingest_dedup), so the oracle is the same
+    # replay as llm_dedup_incremental.
+    oracle=lambda: _ingest_dedup_oracle(),
+)
+def stream_ingest_dedup(spark, sf_dir):
+    """The production corpus-building loop as a stream: document batches
+    arrive one micro-batch per slice, each batch dedups against the
+    persisted signature store (broadcast batch bands; store never
+    shuffles), the report appends to the sink, and the batch's
+    signatures append to the store so later batches see earlier ones.
+    Cross-batch pairs normalize to (greatest, least) so the final sink
+    is batch-schedule-independent — and therefore exactly
+    oracle-checkable."""
+    return ops.stream_ingest_dedup(spark, sf_dir, threshold=0.5, n_slices=4)
+
+
+def _ingest_dedup_oracle() -> str:
+    from distributed_query_engine_spark.plans.llm import (
+        _BAND_SELECTS,
+        _SIG_EXPRS,
+        _jaccard_cte,
+        _tokens_cte,
+    )
+
+    return f"""
+    WITH {_tokens_cte(hashed=True)},
+    sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    candx AS (
+      SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+    ),
+    candn AS (
+      SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+    ),
+    cand AS (SELECT doc_a, doc_b FROM candx
+             UNION ALL SELECT doc_a, doc_b FROM candn),
+    {_jaccard_cte(0.5)}
+    SELECT doc_a AS new_doc, doc_b AS dup_of, jaccard, is_dup
+    FROM verified WHERE is_dup
+    """
+
+
+@query(
     "stream_multibatch_progression",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start,

@@ -202,6 +202,120 @@ def read_events_stream_sliced(
     )
 
 
+_DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _stage_docs_sliced(spark: SparkSession, sf_dir: str, n_slices: int) -> Path:
+    """Stage the INCOMING document batch (doc_id % 5 = 0 — the same
+    split llm_dedup_incremental uses) as ``n_slices`` single-file
+    parquet slices keyed (doc_id div 5) mod n, fingerprint-invalidated
+    like the events slices."""
+    src = Path(sf_dir) / "documents.parquet"
+    d = _TMP / "stream_docs_sliced" / _staging_key(sf_dir)
+    done = d / "_STAGED"
+    fp = f"{n_slices}\n{_source_fingerprint(src)}"
+    if not done.exists() or done.read_text() != fp:
+        shutil.rmtree(d, ignore_errors=True)
+        raw = spark.read.parquet(str(src)).filter(F.col("doc_id") % 5 == 0)
+        for i in range(n_slices):
+            (
+                raw.filter(F.expr(f"(doc_id div 5) % {n_slices}") == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(d / f"slice_{i}"))
+            )
+        flat = d / "flat"
+        flat.mkdir(parents=True, exist_ok=True)
+        for i in range(n_slices):
+            part = next((d / f"slice_{i}").glob("part-*.parquet"))
+            (flat / f"slice_{i}.parquet").symlink_to(part)
+        done.write_text(fp)
+    return d
+
+
+def stream_ingest_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    n_slices: int = 4,
+) -> DataFrame:
+    """STREAMING INGESTION DEDUP — the production corpus-building loop,
+    end-to-end: document batches arrive as micro-batches
+    (maxFilesPerTrigger=1 over deterministic slices), and each
+    ``foreachBatch`` body (1) dedups the batch against the SIGNATURE
+    STORE via :func:`operators.dedup.incremental_dedup_from_store`
+    (batch bands broadcast; store side never shuffles), (2) appends the
+    verified near-dup report to the sink, and (3) appends the batch's
+    own signatures to the store — so later batches see earlier ones,
+    exactly like sequential production ingestion.
+
+    Batch ORDER is an engine detail (file mtime), so the sink contract
+    must be order-independent: a cross-batch pair is discovered exactly
+    once — when the LATER-processed member finds the earlier one in the
+    store — and is normalized to (greatest, least) id orientation,
+    which is also what the one-shot batch variant reports. The final
+    sink is therefore row-identical to ``llm_dedup_incremental``
+    (asserted in tests), making an exact oracle possible for a
+    genuinely incremental multi-batch computation."""
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.operators import dedup as D
+
+    d_all = Tables(spark, sf_dir).documents
+    corpus = d_all.filter(F.col("doc_id") % 5 != 0)
+    store = str(_TMP / "sig_store_stream" / _staging_key(sf_dir))
+    shutil.rmtree(store, ignore_errors=True)
+    D.build_signature_store(spark, corpus, store, hashed=True)
+
+    slices = _stage_docs_sliced(spark, sf_dir, n_slices)
+    batches = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(slices / "flat"))
+    )
+    name = "ingest_dedup"
+    sink = _TMP / "fb_sink" / name
+    ckpt = _TMP / "checkpoints" / name
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        report = D.incremental_dedup_from_store(
+            spark, store, d_all, batch_df, threshold=threshold, hashed=True
+        )
+        both_batch = F.col("dup_of") % 5 == 0
+        normalized = report.select(
+            F.when(both_batch, F.greatest("new_doc", "dup_of"))
+            .otherwise(F.col("new_doc"))
+            .alias("new_doc"),
+            F.when(both_batch, F.least("new_doc", "dup_of"))
+            .otherwise(F.col("dup_of"))
+            .alias("dup_of"),
+            "jaccard",
+            "is_dup",
+        )
+        normalized.write.mode("append").parquet(str(sink))
+        # the production loop's append: this batch becomes part of the
+        # store the NEXT batch dedups against
+        D.signatures_for(D.tokenize(batch_df), hashed=True).write.mode(
+            "append"
+        ).parquet(store)
+
+    q = (
+        batches.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES[name] = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    return spark.read.parquet(str(sink))
+
+
 def run_foreach_batch_parquet(
     result: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
