@@ -124,6 +124,43 @@ def window_range_frame(spark, sf_dir):
 
 
 @query(
+    "window_time_rolling",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS cents_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_rolling(spark, sf_dir):
+    """TIME-interval rolling window (the ops-dashboard staple: per-user
+    activity over the trailing hour at every event). RANGE over the
+    timestamp ordering makes frame membership a time predicate — ties
+    include all peers, so results are engine-independent without a
+    tiebreak column; the sum is integer cents, exact under any
+    evaluation order. One shuffle on user_id; within a partition the
+    frame is a sliding two-pointer over the sorted run, so cost is
+    O(rows), not O(rows × frame)."""
+    e = Tables(spark, sf_dir).events
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(f"count(*) {frame}").alias("n_last_hour"),
+        F.expr(
+            f"sum(cast(round(value * 100) as bigint)) {frame}"
+        ).alias("cents_last_hour"),
+    )
+
+
+@query(
     "window_ntile_percent",
     oracle="""
     SELECT c_custkey,
