@@ -360,7 +360,21 @@ def topk_cosine_ivf(
         n_cells = suggest_n_cells(base.count())
     cents = ivf_centroids(base, n_cells, strategy=strategy, lloyd_iters=lloyd_iters)
     assigned = _assign_to(base, cents)
-    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+    return _ivf_search(cents, assigned, query_ids, k, n_probe)
+
+
+def _ivf_search(
+    cents: DataFrame,
+    assigned: DataFrame,
+    query_ids: list[int],
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """The IVF search given its two index relations: probe selection
+    over broadcast centroids, exact ranking within probed cells. Query
+    vectors come from the assignment relation itself (an index lookup),
+    so search needs NOTHING beyond the index."""
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"),
         F.col("ivec").alias("q_ivec"),
         F.col("nsq").alias("q_nsq"),
@@ -397,6 +411,53 @@ def topk_cosine_ivf(
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "cosine", "rn")
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    index_path: str,
+    n_cells: int | None = N_CELLS,
+    strategy: str = "lowest_id",
+    lloyd_iters: int = 0,
+) -> None:
+    """Materialize the IVF index as the parquet artifact a production
+    deployment maintains: ``centroids/`` (cell_id, c_ivec, c_nsq —
+    broadcast-sized) and ``assignments/`` (vec_id, ivec, nsq, cell_id —
+    the corpus, PARTITIONED BY cell so a probe reads only its cells'
+    files). Built once per corpus version; queries then pay index reads
+    only, never a corpus re-embed/re-assign."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    if n_cells is None:
+        n_cells = suggest_n_cells(base.count())
+    cents = ivf_centroids(base, n_cells, strategy=strategy, lloyd_iters=lloyd_iters)
+    assigned = _assign_to(base, cents)
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{index_path}/assignments"
+    )
+
+
+def topk_cosine_ivf_index(
+    spark,
+    index_path: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF ANN search against a :func:`build_ivf_index` artifact —
+    identical results to :func:`topk_cosine_ivf` for the same corpus
+    and knobs (the index stores exactly the relations that function
+    derives). The assignment relation is partitioned by cell_id, so
+    Spark's partition pruning restricts the scan to probed cells once
+    the probe set is known — at 100 TB that is the difference between
+    reading n_probe/n_cells of the index and reading all of it."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    # partition-column type inference narrows small cell ids to int;
+    # restore the long the in-memory relations carry
+    assigned = spark.read.parquet(f"{index_path}/assignments").withColumn(
+        "cell_id", F.col("cell_id").cast("long")
+    )
+    return _ivf_search(cents, assigned, query_ids, k, n_probe)
 
 
 def semdedup(

@@ -1167,6 +1167,63 @@ def llm_similarity_ivf(spark, sf_dir):
 
 
 @query(
+    "llm_similarity_ivf_index",
+    # The index stores exactly the relations topk_cosine_ivf derives,
+    # so the oracle is the same replay as llm_similarity_ivf's.
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    cents AS (SELECT vec_id AS cell_id, ivec AS c_ivec, nsq AS c_nsq
+              FROM nv WHERE vec_id < {S.N_CELLS}),
+    assigned AS (
+      SELECT vec_id, ivec, nsq, cell_id FROM (
+        SELECT n.vec_id, n.ivec, n.nsq, c.cell_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {_COS.format(a='n.ivec', b='c.c_ivec', na='n.nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS crn
+        FROM nv n, cents c) WHERE crn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
+          FROM nv WHERE vec_id IN (0,1,2,3,4)),
+    probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT q.q_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 {_COS.format(a='q.q_ivec', b='c.c_ivec', na='q.q_nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS prn
+        FROM q, cents c) WHERE prn <= {S.N_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             {_COS.format(a='q.q_ivec', b='a.ivec', na='q.q_nsq', nb='a.nsq')} AS cosine
+      FROM probes p
+      JOIN assigned a ON a.cell_id = p.cell_id
+      JOIN q ON q.q_id = p.q_id
+      WHERE a.vec_id != p.q_id
+    )
+    SELECT q_id, vec_id, cosine, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def llm_similarity_ivf_index(spark, sf_dir):
+    """IVF ANN against a PERSISTED index artifact: centroids + corpus
+    assignments materialized to parquet (assignments hive-partitioned
+    by cell_id, so probing n_probe cells partition-prunes the scan to
+    those cells' files), then searched without touching the embeddings
+    table at all — query vectors are index lookups too. Identical
+    results to llm_similarity_ivf; the build-once/search-many split is
+    what a 100 TB deployment actually operates
+    (operators/similarity.py::build_ivf_index / topk_cosine_ivf_index)."""
+    from distributed_query_engine_spark.plans.sources import _tmp
+
+    e = Tables(spark, sf_dir).embeddings
+    index = _tmp(sf_dir, "ivf_index")
+    S.build_ivf_index(e, index)
+    return S.topk_cosine_ivf_index(spark, index, _QUERY_IDS, k=5)
+
+
+@query(
     "llm_similarity_recall",
     # Exact-oracle recall@5 of both ANN variants against the exact
     # brute-force top-k: the oracle replays all three searches (same

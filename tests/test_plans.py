@@ -102,3 +102,13 @@ def test_incremental_dedup_broadcasts_batch_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_index_search_partition_prunes(spark, sf_dir):
+    # The persisted IVF index is hive-partitioned by cell_id; the probe
+    # join must trigger dynamic partition pruning so the search scans
+    # only probed cells' files — the read-n_probe/n_cells-of-the-index
+    # contract, visible in the plan.
+    plan = _plan(_q("llm_similarity_ivf_index", spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
+    assert "CartesianProduct" not in plan
