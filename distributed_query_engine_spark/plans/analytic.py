@@ -923,6 +923,42 @@ def tpch_q5_region_revenue(spark, sf_dir):
 
 
 @query(
+    "tpch_q6_forecast_revenue",
+    oracle=lambda: f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): pure
+    filter-then-aggregate, the canonical scan-bound query — every
+    predicate pushes to the parquet scan, the aggregate is a map-side
+    partial to one row, zero joins, zero wide shuffles. The revenue sum
+    goes through exact decimal accumulation (functions/deterministic)
+    so both engines report the identical double."""
+    l = Tables(spark, sf_dir).lineitem
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
     "tpch_q10_returned_items",
     oracle=lambda: f"""
     SELECT c_custkey, c_name,

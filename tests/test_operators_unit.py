@@ -431,3 +431,23 @@ def test_stream_ingest_dedup_is_multibatch_and_matches_batch_variant(spark, sf_d
     batch = sorted(map(tuple, qs["llm_dedup_incremental"](spark, sf_dir).collect()))
     assert len(streamed) > 0
     assert streamed == batch
+
+
+def test_incremental_dedup_empty_batch_and_empty_corpus(spark, sf_dir):
+    # Ingestion edges: the first-ever batch (empty corpus) must dedup
+    # purely within itself; a quiet tick (empty batch) must return an
+    # empty report — neither may crash or mis-shape the schema.
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.operators import dedup as DD
+
+    docs = Tables(spark, sf_dir).documents
+    none = docs.filter("doc_id < 0")
+
+    empty_batch = DD.incremental_minhash_dedup(docs, none, threshold=0.5)
+    assert empty_batch.count() == 0
+    assert empty_batch.columns == ["new_doc", "dup_of", "jaccard", "is_dup"]
+
+    first_batch = DD.incremental_minhash_dedup(none, docs.limit(50), threshold=0.5)
+    # within-batch pairs only; all reported pairs orient later-as-new
+    rows = first_batch.collect()
+    assert all(r.new_doc > r.dup_of for r in rows)
