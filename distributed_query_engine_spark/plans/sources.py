@@ -452,6 +452,73 @@ def sink_compacted(spark, sf_dir):
 
 
 @query(
+    "scan_csv_permissive",
+    # The oracle derives every good-row stat from the nation table the
+    # stage is built from; the corrupt count (3 injected bad lines) is a
+    # constant of the query's own staging.
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST((SELECT sum(n_regionkey) FROM nation) AS BIGINT) AS sum_region,
+           CAST((SELECT sum(n_nationkey) FROM nation) AS BIGINT) AS sum_key
+    """,
+)
+def scan_csv_permissive(spark, sf_dir):
+    """Malformed-row ingestion — the PERMISSIVE/corrupt-record contract
+    every real CSV feed needs: stage the nation table as CSV, inject a
+    type-failed row, a short row, and a second type failure, then read
+    with an explicit schema + ``columnNameOfCorruptRecord`` and account
+    for every line. One Spark sharp edge is pinned here: corrupt
+    detection is PROJECTION-DEPENDENT (the CSV parser only parses — and
+    only flags — the columns a query reads; a row whose malformed field
+    is pruned away silently counts as good). The aggregate therefore
+    references EVERY schema column, forcing full-row parsing so all
+    three injected rows are consistently quarantined.
+
+    At scale this is the quarantine pattern: corrupt rows are retained
+    in-band with their raw text, filterable to a dead-letter sink
+    instead of killing the job (FAILFAST) or vanishing silently
+    (DROPMALFORMED)."""
+    import glob as _glob
+    import os as _os
+
+    t = Tables(spark, sf_dir)
+    path = _tmp(sf_dir, "nation_dirty_csv")
+    (
+        t.nation.select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .csv(path)
+    )
+    part = _glob.glob(f"{path}/part-*.csv")[0]
+    with open(part, "a") as f:
+        f.write("not_an_int,BADLAND,9\n")
+        f.write("99,SHORTROW\n")
+        f.write("7,BADREGION,not_an_int\n")
+    for crc in _glob.glob(f"{path}/.*.crc"):
+        _os.remove(crc)  # the append invalidated Hadoop's checksum sidecars
+    df = (
+        spark.read.schema(
+            "n_nationkey int, n_name string, n_regionkey int, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    # n_good/n_corrupt reference _corrupt; sum_region/sum_key reference
+    # the remaining schema columns (n_name via the coalesce guard) — so
+    # every column is projected and the parser cannot prune-away a
+    # malformed field.
+    good = F.col("_corrupt").isNull() & F.col("n_name").isNotNull()
+    return df.agg(
+        F.count(F.when(good, 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("n_regionkey"))).alias("sum_region"),
+        F.sum(F.when(good, F.col("n_nationkey"))).alias("sum_key"),
+    )
+
+
+@query(
     "scan_text_lines",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
