@@ -154,6 +154,37 @@ def sink_orc_roundtrip(spark, sf_dir):
 
 
 @query(
+    "sink_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def sink_xml_roundtrip(spark, sf_dir):
+    # Spark 4 ships a NATIVE XML source (the former spark-xml package
+    # folded into core): rowTag-delimited records, schema-on-read. XML
+    # is the interchange format the schema-on-read reference world is
+    # full of (the RAW host system advertises XML among its source
+    # formats) — here: write the dimension out as XML, read it back,
+    # prove lossless round-trip against the parquet original.
+    t = Tables(spark, sf_dir)
+    path = _tmp(sf_dir, "nation_xml")
+    (
+        t.nation.select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .load(path)
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
     "scan_binaryfile",
     oracle="""
     SELECT CAST(1 AS BIGINT) AS n_files,

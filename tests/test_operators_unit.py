@@ -451,3 +451,30 @@ def test_incremental_dedup_empty_batch_and_empty_corpus(spark, sf_dir):
     # within-batch pairs only; all reported pairs orient later-as-new
     rows = first_batch.collect()
     assert all(r.new_doc > r.dup_of for r in rows)
+
+
+def test_incremental_dedup_equals_full_dedup_restricted(spark, sf_dir):
+    # Cross-validation invariant: per-doc signatures don't depend on
+    # which side of the corpus/batch split a doc lands on, so the
+    # incremental report must equal the FULL all-pairs dedup restricted
+    # to pairs touching the batch — same pairs, bit-identical jaccard.
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.operators import dedup as DD
+
+    docs = Tables(spark, sf_dir).documents
+    incoming = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 <> 0")
+
+    inc = {
+        (min(r.new_doc, r.dup_of), max(r.new_doc, r.dup_of)): r.jaccard
+        for r in DD.incremental_minhash_dedup(
+            corpus, incoming, threshold=0.5, hashed=True
+        ).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.minhash_dedup_pairs(docs, threshold=0.5, hashed=True).collect()
+        if r.doc_a % 5 == 0 or r.doc_b % 5 == 0
+    }
+    assert len(inc) > 0
+    assert inc == full
