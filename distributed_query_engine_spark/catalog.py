@@ -61,7 +61,17 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     ns_cols: list[str] = []
     ntz = False
     try:
-        schema = pa_pq.read_schema(path)
+        from pathlib import Path as _P
+
+        probe = _P(path)
+        if probe.is_dir():
+            # Spark-style directory dataset: sniff the first data file
+            probe = next(
+                p
+                for p in sorted(probe.rglob("*.parquet"))
+                if not p.name.startswith((".", "_"))
+            )
+        schema = pa_pq.read_schema(str(probe))
         for f in schema:
             if pa_types.is_timestamp(f.type):
                 if f.type.unit == "ns":

@@ -201,12 +201,15 @@ class UserScopedRegistry:
         self._users: dict[str, RdbmsRegistry] = {}
 
     def for_user(self, user: str) -> RdbmsRegistry:
-        """The user's registry (created empty on first touch) — the
-        ``getClient(user)`` step."""
-        return self._users.setdefault(user, RdbmsRegistry())
+        """The user's registry (created empty on first REGISTRATION) —
+        the ``getClient(user)`` step. Lookups never create state: an
+        audit/credential-scoping structure must not grow from probes
+        with unknown (possibly attacker-supplied) user names."""
+        reg = self._users.get(user)
+        return reg if reg is not None else RdbmsRegistry()
 
     def register(self, user: str, db: RdbmsDatabase) -> None:
-        self.for_user(user).register(db)
+        self._users.setdefault(user, RdbmsRegistry()).register(db)
 
     def get(self, user: str, name: str) -> RdbmsDatabase:
         """``getRDBMSServer(dbName)`` scoped to ``user`` — a name
@@ -219,6 +222,8 @@ class UserScopedRegistry:
             ) from None
 
     def users(self) -> list[str]:
+        """Users that have REGISTERED at least one connector (failed
+        lookups leave no trace)."""
         return sorted(self._users)
 
 

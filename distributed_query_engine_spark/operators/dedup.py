@@ -219,6 +219,20 @@ def exact_jaccard(
     return base.select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
+def signature_groups(sigs: DataFrame) -> DataFrame:
+    """Collapse identical-signature docs to one group row: (m0..m{n},
+    members sorted, rep = min doc_id). THE grouping contract shared by
+    every grouped candidate path (self-join, star edges, incremental) —
+    change the member ordering or rep tiebreak HERE only, or the
+    documented set-identity between grouped and per-doc candidate
+    generation breaks."""
+    sig_cols = [f"m{i}" for i in range(N_HASHES)]
+    return sigs.groupBy(*sig_cols).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        F.min("doc_id").alias("rep"),
+    )
+
+
 def candidate_pairs_grouped(sigs: DataFrame) -> DataFrame:
     """Candidate pairs via SIGNATURE GROUPING — same pair set as
     ``candidate_pairs(lsh_bands(sigs))``, built the way a boilerplate-
@@ -242,10 +256,7 @@ def candidate_pairs_grouped(sigs: DataFrame) -> DataFrame:
       each unordered doc pair appears exactly once; least/greatest
       restores the doc_a < doc_b convention."""
     sig_cols = [f"m{i}" for i in range(N_HASHES)]
-    groups = sigs.groupBy(*sig_cols).agg(
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
-        F.min("doc_id").alias("rep"),
-    ).localCheckpoint()
+    groups = signature_groups(sigs).localCheckpoint()
     par = SALT_GROUPS * 4
     within = (
         groups.filter(F.size("members") > 1)
@@ -379,10 +390,7 @@ def minhash_dup_edges(
     tokens = tokenize(docs)
     sigs = signatures_for(tokens, hashed=hashed)
     sig_cols = [f"m{i}" for i in range(N_HASHES)]
-    groups = sigs.groupBy(*sig_cols).agg(
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
-        F.min("doc_id").alias("rep"),
-    ).localCheckpoint()
+    groups = signature_groups(sigs).localCheckpoint()
     star = (
         groups.filter(F.size("members") > 1)
         .select(F.col("rep").alias("doc_a"), F.explode("members").alias("doc_b"))
@@ -462,15 +470,8 @@ def _incremental_candidates(sigs_c: DataFrame, sigs_n: DataFrame) -> DataFrame:
     so the rep join catches them at band 0. Returns (doc_a = batch doc,
     doc_b = corpus doc) plus in-batch pairs oriented later-as-new."""
     sig_cols = [f"m{i}" for i in range(N_HASHES)]
-
-    def groups_of(sigs: DataFrame) -> DataFrame:
-        return sigs.groupBy(*sig_cols).agg(
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-            F.min("doc_id").alias("rep"),
-        )
-
-    gc = groups_of(sigs_c)
-    gn = groups_of(sigs_n)
+    gc = signature_groups(sigs_c)
+    gn = signature_groups(sigs_n)
     bands_c = lsh_bands(gc.select(F.col("rep").alias("doc_id"), *sig_cols))
     bands_n = lsh_bands(gn.select(F.col("rep").alias("doc_id"), *sig_cols))
     a = bands_c.alias("a")
@@ -544,7 +545,13 @@ def incremental_dedup_from_store(
     sigs_c = spark.read.parquet(store_path)
     tok_n = tokenize(incoming)
     sigs_n = signatures_for(tok_n, hashed=hashed)
-    pairs = _incremental_candidates(sigs_c, sigs_n)
+    # The pairs relation feeds BOTH the fetch-by-id semi-join and the
+    # verify join; unmaterialized, the whole candidate subplan (store
+    # scan, grouping, band join, explodes) executes twice. Unlike the
+    # token relation (wider than its source — recompute wins there),
+    # pairs is two longs per row, so materializing once is the cheap
+    # side of the trade. On a cluster: persist() / checkpoint().
+    pairs = _incremental_candidates(sigs_c, sigs_n).localCheckpoint()
     hit_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     corpus_hits = corpus.join(hit_ids, "doc_id", "left_semi")
     tokens = tokenize(corpus_hits).unionByName(tok_n)

@@ -731,13 +731,15 @@ def llm_dedup_minhash(spark, sf_dir):
     return D.minhash_dedup_pairs(d, threshold=0.5)
 
 
-@query(
-    "llm_dedup_incremental",
-    # The oracle replays the split + both candidate families: incoming
-    # docs (doc_id % 5 = 0) band-join the corpus (cross) and each other
-    # (in-batch, later-arrival-is-new orientation), then the standard
-    # exact-Jaccard verification over the full token relation.
-    oracle=lambda: f"""
+def incremental_dedup_oracle() -> str:
+    """The ONE oracle replay shared by all three incremental-dedup
+    surfaces (llm_dedup_incremental, llm_dedup_signature_store,
+    stream_ingest_dedup — they produce the identical result set by
+    contract, so their oracles must never drift apart): incoming docs
+    (doc_id % 5 = 0) band-join the corpus (cross) and each other
+    (in-batch, later-arrival-is-new orientation), then the standard
+    exact-Jaccard verification over the full token relation."""
+    return f"""
     WITH {_tokens_cte(hashed=True)},
     sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
     bands AS ({_BAND_SELECTS}),
@@ -759,8 +761,10 @@ def llm_dedup_minhash(spark, sf_dir):
     {_jaccard_cte(0.5)}
     SELECT doc_a AS new_doc, doc_b AS dup_of, jaccard, is_dup
     FROM verified WHERE is_dup
-    """,
-)
+    """
+
+
+@query("llm_dedup_incremental", oracle=incremental_dedup_oracle)
 def llm_dedup_incremental(spark, sf_dir):
     """INCREMENTAL near-dup detection — a new ingestion batch (docs with
     doc_id % 5 = 0, ~20% of the table, standing in for today's crawl)
@@ -779,30 +783,8 @@ def llm_dedup_incremental(spark, sf_dir):
 @query(
     "llm_dedup_signature_store",
     # Stored signatures are bit-identical to recomputed ones, so the
-    # oracle is the same replay as llm_dedup_incremental.
-    oracle=lambda: f"""
-    WITH {_tokens_cte(hashed=True)},
-    sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
-    bands AS ({_BAND_SELECTS}),
-    candx AS (
-      SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
-    ),
-    candn AS (
-      SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                  AND a.doc_id < b.doc_id
-      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
-    ),
-    cand AS (SELECT doc_a, doc_b FROM candx
-             UNION ALL SELECT doc_a, doc_b FROM candn),
-    {_jaccard_cte(0.5)}
-    SELECT doc_a AS new_doc, doc_b AS dup_of, jaccard, is_dup
-    FROM verified WHERE is_dup
-    """,
+    # oracle is the shared incremental replay.
+    oracle=incremental_dedup_oracle,
 )
 def llm_dedup_signature_store(spark, sf_dir):
     """Incremental dedup against a PERSISTED signature store — the

@@ -213,14 +213,17 @@ def stream_foreach_batch_sink(spark, sf_dir):
     return ops.run_foreach_batch_parquet(agg, "fb_type_agg", "complete")
 
 
-@query(
-    "stream_ingest_dedup",
+def _ingest_dedup_oracle() -> str:
     # The multi-batch sink is row-identical to the one-shot batch
     # variant (order-independent by construction — see
-    # streaming/ops.stream_ingest_dedup), so the oracle is the same
-    # replay as llm_dedup_incremental.
-    oracle=lambda: _ingest_dedup_oracle(),
-)
+    # streaming/ops.stream_ingest_dedup), so the oracle is THE shared
+    # incremental replay — one definition for all three surfaces.
+    from distributed_query_engine_spark.plans.llm import incremental_dedup_oracle
+
+    return incremental_dedup_oracle()
+
+
+@query("stream_ingest_dedup", oracle=_ingest_dedup_oracle)
 def stream_ingest_dedup(spark, sf_dir):
     """The production corpus-building loop as a stream: document batches
     arrive one micro-batch per slice, each batch dedups against the
@@ -231,39 +234,6 @@ def stream_ingest_dedup(spark, sf_dir):
     is batch-schedule-independent — and therefore exactly
     oracle-checkable."""
     return ops.stream_ingest_dedup(spark, sf_dir, threshold=0.5, n_slices=4)
-
-
-def _ingest_dedup_oracle() -> str:
-    from distributed_query_engine_spark.plans.llm import (
-        _BAND_SELECTS,
-        _SIG_EXPRS,
-        _jaccard_cte,
-        _tokens_cte,
-    )
-
-    return f"""
-    WITH {_tokens_cte(hashed=True)},
-    sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
-    bands AS ({_BAND_SELECTS}),
-    candx AS (
-      SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
-    ),
-    candn AS (
-      SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                  AND a.doc_id < b.doc_id
-      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
-    ),
-    cand AS (SELECT doc_a, doc_b FROM candx
-             UNION ALL SELECT doc_a, doc_b FROM candn),
-    {_jaccard_cte(0.5)}
-    SELECT doc_a AS new_doc, doc_b AS dup_of, jaccard, is_dup
-    FROM verified WHERE is_dup
-    """
 
 
 @query(

@@ -73,7 +73,10 @@ def query(
 # change), llm_token_count (token_count_bpe_ish fix). Dropped late round
 # 3: llm_similarity_ann_lsh (the shared _LSH_BUCKET_CTES oracle gained
 # the empty-vector left join; re-verified locally, but the driver should
-# see it early too).
+# see it early too). Dropped round 5: llm_similarity_ivf (topk_cosine_ivf
+# refactored onto the shared _ivf_search helper for the persisted-index
+# variant — behavior-preserving and locally re-verified, but the driver
+# should re-sample it).
 _R1_GREEN: tuple[str, ...] = (
     "subquery_scalar", "subquery_correlated", "subquery_exists", "subquery_in",
     "pivot_sum", "unpivot_stack", "agg_stats_family", "agg_median",
@@ -85,7 +88,7 @@ _R1_GREEN: tuple[str, ...] = (
     "llm_quality_score", "llm_fingerprint",
     "llm_dedup_exact", "llm_dedup_simhash",
     "llm_similarity_topk",
-    "llm_similarity_ivf", "flagship", "scan_parquet", "project_prune",
+    "flagship", "scan_parquet", "project_prune",
     "project_struct_field", "filter_comparison", "filter_in", "filter_like",
     "filter_null", "filter_between", "filter_boolean_logic",
     "join_inner_equi", "join_left",

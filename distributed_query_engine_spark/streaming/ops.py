@@ -42,11 +42,20 @@ _EVENTS_SCHEMA_TS = (
 
 def _events_ts_unit(src: Path) -> str:
     """Timestamp unit ('ns' | 'us' | ...) of events.ts, from the parquet
-    footer — one metadata read, no data scan."""
+    footer — one metadata read, no data scan. Handles both a single
+    parquet file and a Spark-style directory (sniff the first data
+    file); an unreadable source falls back to 'us', the current
+    generator's encoding."""
     import pyarrow.parquet as pa_pq
     import pyarrow.types as pa_types
 
     try:
+        if src.is_dir():
+            src = next(
+                p
+                for p in sorted(src.rglob("*.parquet"))
+                if not p.name.startswith((".", "_"))
+            )
         f = pa_pq.read_schema(str(src)).field("ts")
         if pa_types.is_timestamp(f.type):
             return f.type.unit
@@ -275,9 +284,12 @@ def stream_ingest_dedup(
         .option("maxFilesPerTrigger", "1")
         .load(str(slices / "flat"))
     )
+    # sink/checkpoint keyed per sf_dir like the store — two concurrent
+    # runs against different sf_dirs must not interleave one sink
     name = "ingest_dedup"
-    sink = _TMP / "fb_sink" / name
-    ckpt = _TMP / "checkpoints" / name
+    run_key = f"{name}-{_staging_key(sf_dir)}"
+    sink = _TMP / "fb_sink" / run_key
+    ckpt = _TMP / "checkpoints" / run_key
     shutil.rmtree(sink, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
 

@@ -177,10 +177,12 @@ def test_user_scoped_registry_isolates_credentials():
     assert users.get("alice", "wh").host == "h1"
     assert users.get("bob", "wh").username == "bob"
     assert users.get("bob", "wh").host == "h2"
-    # no cross-user fallthrough: carol sees nothing
+    # no cross-user fallthrough: carol sees nothing — and the failed
+    # probe must NOT create state (users() is an audit listing; unknown
+    # or attacker-supplied names growing it unboundedly would be a leak)
     with pytest.raises(KeyError, match=r"wh \(user: carol\)"):
         users.get("carol", "wh")
-    assert users.users() == ["alice", "bob", "carol"]
+    assert users.users() == ["alice", "bob"]
 
 
 def test_failed_inference_returns_result_not_raise(spark):
