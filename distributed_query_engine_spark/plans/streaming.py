@@ -90,10 +90,29 @@ def stream_session_window_agg(spark, sf_dir):
     )
 
 
-@query("stream_watermark_late_data")  # no oracle: output depends on
-# watermark progression across micro-batches (append emits only windows
-# the watermark passed); rows-only check by design.
+@query(
+    "stream_watermark_late_data",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
 def stream_watermark_late_data(spark, sf_dir):
+    """Append-mode watermarked aggregation — long rows-only, now
+    EXACTLY oracle-checkable by deriving the emission rule instead of
+    replaying the engine: over the whole run, append mode's emitted SET
+    is every window the FINAL watermark closed, and the final watermark
+    is max(event_time) − delay no matter how the batches fell. Counts
+    are complete because this source is a single micro-batch (the
+    watermark starts at epoch, so no row is late ON ARRIVAL — drops
+    would need a multi-batch source with late slices). The trailing
+    open windows are withheld — that withholding is the late-data
+    contract the oracle's HAVING clause states."""
     ev = ops.read_events_stream(spark, sf_dir)
     return ops.run_to_memory(
         ops.watermark_window_agg(ev), "mem_watermark", "append"
