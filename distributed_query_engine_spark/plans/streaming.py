@@ -120,6 +120,35 @@ def stream_watermark_late_data(spark, sf_dir):
 
 
 @query(
+    "stream_late_data_drops",
+    oracle=lambda: f"""
+    WITH kept AS (
+      SELECT * FROM events
+      WHERE NOT (ts < TIMESTAMP '{ops.STRAGGLER_CUTOFF}'
+                 AND event_id % {ops.STRAGGLER_MOD} = 0)
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM kept
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
+def stream_late_data_drops(spark, sf_dir):
+    """Late data actually DROPPED, with the drop set derived exactly:
+    the staged source delivers old straggler rows in a second
+    micro-batch after batch 1 advanced the watermark past their
+    windows, so they are discarded on arrival — the emitted counts
+    exclude them, and the oracle (non-straggler rows, windows closed by
+    the final watermark) hash-matches only if the engine really dropped
+    them. Deterministic because slice mtimes pin the batch order
+    (streaming/ops.stream_late_data_drops)."""
+    return ops.stream_late_data_drops(spark, sf_dir)
+
+
+@query(
     "stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -328,6 +328,88 @@ def stream_ingest_dedup(
     return spark.read.parquet(str(sink))
 
 
+STRAGGLER_CUTOFF = "2024-01-06 00:00:00"
+STRAGGLER_MOD = 7
+
+
+def _stage_events_stragglers(spark: SparkSession, sf_dir: str) -> Path:
+    """Stage events as TWO time-skewed slices for the late-data-drop
+    demo: slice_0 = everything except the stragglers (carries the
+    global max event time), slice_1 = the stragglers (old rows:
+    ts < STRAGGLER_CUTOFF and event_id % STRAGGLER_MOD = 0). File
+    mtimes are explicitly staggered so the file source (oldest-first)
+    processes slice_0 first — making the batch order, and therefore
+    the watermark progression, DETERMINISTIC."""
+    import os
+
+    from distributed_query_engine_spark.catalog import read_parquet_table
+
+    src = Path(sf_dir) / "events.parquet"
+    d = _TMP / "stream_stragglers" / _staging_key(sf_dir)
+    done = d / "_STAGED"
+    fp = f"{STRAGGLER_CUTOFF}|{STRAGGLER_MOD}|v2\n{_source_fingerprint(src)}"
+    if not done.exists() or done.read_text() != fp:
+        shutil.rmtree(d, ignore_errors=True)
+        raw = read_parquet_table(spark, str(src))
+        straggler = (
+            F.col("ts") < F.lit(STRAGGLER_CUTOFF).cast("timestamp")
+        ) & (F.col("event_id") % STRAGGLER_MOD == 0)
+        # Watermark ACTIVATION lags one batch (a batch is filtered with
+        # the watermark derived from the batches BEFORE it, and batch
+        # N+1 is the first to see batch N's event times) — so a middle
+        # "tick" batch carrying only the global-max-ts row(s) sits
+        # between the bulk and the stragglers: by the straggler batch,
+        # the bulk-derived watermark is live and the old rows are
+        # genuinely dropped.
+        max_ts = F.lit(
+            raw.agg(F.max("ts")).collect()[0][0]  # one scalar action
+        ).cast("timestamp")
+        tick = F.col("ts") == max_ts
+        slices = (
+            (0, ~straggler & ~tick),
+            (1, ~straggler & tick),
+            (2, straggler),
+        )
+        for i, pred in slices:
+            (
+                raw.filter(pred)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(d / f"slice_{i}"))
+            )
+        flat = d / "flat"
+        flat.mkdir(parents=True, exist_ok=True)
+        now = None
+        for i, _ in slices:
+            part = next((d / f"slice_{i}").glob("part-*.parquet"))
+            (flat / f"slice_{i}.parquet").symlink_to(part)
+            # stagger mtimes: strictly increasing in slice order
+            st = part.stat()
+            now = now or st.st_mtime_ns
+            os.utime(part, ns=(st.st_atime_ns, now + i * 10**9))
+        done.write_text(fp)
+    return d
+
+
+def stream_late_data_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked aggregation with GENUINE late-data drops, exactly
+    oracle-checkable: batch 1 (everything but the stragglers) advances
+    the watermark to max(event_time) − 10 min; batch 2 delivers only
+    old stragglers — every one lands in a window already closed by the
+    watermark and is DROPPED on arrival. The final emitted set is
+    therefore: windows closed by the final watermark, counted over the
+    NON-straggler rows only — which is precisely what the oracle
+    states, and differs from the no-drop watermark query's counts, so
+    the hash-match proves rows were really discarded."""
+    d = _stage_events_stragglers(spark, sf_dir)
+    ev = _events_stream(
+        spark, str(d / "flat"), "us", maxFilesPerTrigger="1"
+    )
+    return run_to_memory(
+        watermark_window_agg(ev), "mem_late_drops", "append"
+    )
+
+
 def run_foreach_batch_parquet(
     result: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -478,3 +478,17 @@ def test_incremental_dedup_equals_full_dedup_restricted(spark, sf_dir):
     }
     assert len(inc) > 0
     assert inc == full
+
+
+def test_late_data_drops_are_real(spark, sf_dir):
+    # The hash-match alone proves the counts exclude stragglers; this
+    # pins the MECHANISM: the straggler batch's rows are reported
+    # dropped by the watermark, and the emitted window set is strictly
+    # smaller than the no-drop watermark query's.
+    from distributed_query_engine_spark.registry import all_queries
+    from distributed_query_engine_spark.streaming import ops
+
+    qs = all_queries()
+    dropped_rows = qs["stream_late_data_drops"](spark, sf_dir).count()
+    no_drop_rows = qs["stream_watermark_late_data"](spark, sf_dir).count()
+    assert 0 < dropped_rows < no_drop_rows
