@@ -218,6 +218,40 @@ def scalar_array(spark, sf_dir):
 
 
 @query(
+    "lateral_explode",
+    oracle="""
+    SELECT doc_id, pos, word, CAST(len(word) AS INT) AS word_len
+    FROM (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(ws))) - 1 AS INT) AS pos,
+             unnest(ws) AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE doc_id % 50 = 0)
+    )
+    """,
+)
+def lateral_explode(spark, sf_dir):
+    """LATERAL VIEW / table-generating projection: posexplode turns each
+    document into one row per word with its position — the relational
+    normalization step under every token-level pipeline. Generate is a
+    narrow (no-shuffle) operator inside whole-stage codegen; output row
+    count scales with total tokens, so the doc_id filter is PUSHED
+    beneath the generator (Catalyst does this automatically — predicate
+    through Generate), keeping the explosion proportional to the
+    selected docs only."""
+    d = Tables(spark, sf_dir).documents.filter(F.col("doc_id") % 50 == 0)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    ).select(
+        "doc_id",
+        "pos",
+        "word",
+        F.length("word").alias("word_len"),
+    )
+
+
+@query(
     "scalar_map",
     oracle="""
     SELECT event_id,
