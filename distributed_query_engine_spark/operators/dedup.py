@@ -304,11 +304,12 @@ def hashed_token_ids(tokens: DataFrame) -> DataFrame:
     return tokens.select("doc_id", tid.alias("tid"))
 
 
-def signatures_for(tokens: DataFrame, hashed: bool = False) -> DataFrame:
-    """(doc, tok) relation → minhash signatures. ``hashed=False``:
+def signatures_for(tokens: DataFrame, hashed: bool = True) -> DataFrame:
+    """(doc, tok) relation → minhash signatures. ``hashed=True`` (the
+    default — the 100 TB path): row-local md5-mod-P ids
+    (:func:`hashed_token_ids`), no vocabulary sort. ``hashed=False``:
     lexicographic dictionary → broadcast tid join (exact oracle parity
-    via row_number arithmetic). ``hashed=True``: row-local md5-mod-P ids
-    (:func:`hashed_token_ids`) — no vocabulary sort, the 100 TB path.
+    via row_number arithmetic; kept as the arithmetic demo path).
     Either way one min-aggregate shuffle on doc_id. Shared by the
     word-token and n-gram pipelines."""
     if hashed:
@@ -320,9 +321,9 @@ def signatures_for(tokens: DataFrame, hashed: bool = False) -> DataFrame:
 
 
 def minhash_dedup_pairs(
-    docs: DataFrame, threshold: float = 0.5, hashed: bool = False
+    docs: DataFrame, threshold: float = 0.5, hashed: bool = True
 ) -> DataFrame:
-    """Full pipeline: tokenize → dictionary → signatures → signature
+    """Full pipeline: tokenize → token ids → signatures → signature
     groups → candidates (within-group + banded cross-group) →
     exact-Jaccard verify → keep pairs at/above threshold.
 
@@ -335,9 +336,10 @@ def minhash_dedup_pairs(
     needing connectivity only should use :func:`minhash_dup_edges`
     (linear edge count) instead of this scored-pairs report.
 
-    ``hashed=True`` switches token ids to the dictionary-free md5-mod-P
-    path (see :func:`signatures_for`) — same verify arithmetic, no
-    global vocabulary sort."""
+    ``hashed=True`` (the default) uses the dictionary-free md5-mod-P
+    token ids (see :func:`signatures_for`) — no global vocabulary sort;
+    ``hashed=False`` keeps the broadcast-dictionary path. Same verify
+    arithmetic either way."""
     # The (doc, tok) relation feeds BOTH the signature lineage and the
     # exact-Jaccard verify lineage, so the corpus is scanned + exploded
     # twice. MEASURED (sf0.1, local[32], 3-run medians): recompute 3.34 s
@@ -679,28 +681,83 @@ def simhash(docs: DataFrame) -> DataFrame:
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-duplicate pairs by simhash: block on the top 16 bits (a real
     LSH — Hamming-close hashes usually share the prefix), then verify
-    bit_count(xor) within blocks. One shuffle on the prefix."""
+    bit_count(xor) within blocks.
+
+    Built the way a boilerplate-heavy corpus demands (the same two-level
+    shape as :func:`candidate_pairs_grouped`): a template shared by k
+    documents yields k IDENTICAL simhash values, so a naive per-doc
+    prefix self-join hands that value's entire k² pair production to one
+    shuffle task. Instead:
+
+    - **collapse** identical simhash values to one group row
+      (value, sorted members) — group count, not doc count;
+    - **within-group** (hamming = 0): every member pair qualifies by
+      definition; generated by a double explode with a repartition
+      between them, so a k-member group's k² expansion spreads across
+      the cluster instead of one Generate task;
+    - **cross-group**: prefix self-join over DISTINCT simhash values
+      only, salted exactly as :func:`candidate_pairs` (side A tagged
+      hash(value) % SALT_GROUPS, side B replicated ×SALT_GROUPS of the
+      tiny distinct-value relation), verify 0 < hamming ≤ max, then
+      expand both member lists — again repartitioning between explodes.
+
+    Groups are disjoint and each doc has one simhash, so each unordered
+    pair appears exactly once; set-identical to the naive join."""
     sh = simhash(docs)
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sh_a"),
-        F.shiftright("simhash", 16).alias("prefix"),
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sh_b"),
-        F.shiftright("simhash", 16).alias("prefix"),
-    )
-    return (
-        a.join(b, "prefix")
+    groups = sh.groupBy("simhash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("members")
+    ).localCheckpoint()
+    par = SALT_GROUPS * 4
+    within = (
+        groups.filter(F.size("members") > 1)
+        .select("members", F.explode("members").alias("doc_a"))
+        .repartition(par, "doc_a")
+        .select("doc_a", F.explode("members").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("long").alias("hamming"))
+    )
+    vals = groups.select("simhash", F.shiftright("simhash", 16).alias("prefix"))
+    a = vals.select(
+        F.col("simhash").alias("sh_a"),
+        "prefix",
+        F.pmod(F.xxhash64("simhash"), F.lit(SALT_GROUPS)).alias("salt"),
+    )
+    b = vals.select(
+        F.col("simhash").alias("sh_b"),
+        "prefix",
+        F.explode(F.array(*[F.lit(g) for g in range(SALT_GROUPS)])).alias("salt"),
+    )
+    val_pairs = (
+        a.join(b, ["prefix", "salt"])
+        .filter(F.col("sh_a") < F.col("sh_b"))
         .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long").alias("hamming"),
+            "sh_a",
+            "sh_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("long")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    cross = (
+        val_pairs.join(
+            groups.select(F.col("simhash").alias("sh_a"), F.col("members").alias("ma")),
+            "sh_a",
+        )
+        .join(
+            groups.select(F.col("simhash").alias("sh_b"), F.col("members").alias("mb")),
+            "sh_b",
+        )
+        .select("hamming", F.explode("ma").alias("xa"), "mb")
+        .repartition(par, "xa")
+        .select("hamming", "xa", F.explode("mb").alias("xb"))
+        .select(
+            F.least("xa", "xb").alias("doc_a"),
+            F.greatest("xa", "xb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross.select("doc_a", "doc_b", "hamming"))
 
 
 # --- n-gram Jaccard --------------------------------------------------------

@@ -482,22 +482,32 @@ def semdedup(
     oracle determinism), so per-cell work stays bounded. One broadcast
     (centroids), one shuffle on cell_id for the within-cell self-join,
     one anti-join-shaped left join for the kept flag. Popular cells skew
-    the pair production; at 100 TB the same salting applied in
-    dedup.candidate_pairs drops in (the cell id is the band key
-    analog)."""
+    the pair production, so the within-cell self-join is SALTED exactly
+    as dedup.candidate_pairs (the cell id is the band key analog): side
+    A is tagged hash(vec_id) % SALT_GROUPS, side B is replicated across
+    all salts (a bounded ×SALT_GROUPS blow-up of the LINEAR vector
+    relation), and the join key becomes (cell_id, salt) — each popular
+    cell's k² pair production spreads over SALT_GROUPS tasks instead of
+    one. Each unordered pair still meets exactly once after the
+    vec_a < vec_b filter, so the result is set-identical to the
+    unsalted join."""
+    from distributed_query_engine_spark.operators.dedup import SALT_GROUPS
+
     assigned = ivf_assign(
         emb, n_cells=n_cells, strategy=strategy, lloyd_iters=lloyd_iters
     ).select("vec_id", "cell_id", "ivec", "nsq")
     a = assigned.select(
         F.col("vec_id").alias("vec_a"), "cell_id",
         F.col("ivec").alias("ivec_a"), F.col("nsq").alias("nsq_a"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(SALT_GROUPS)).alias("salt"),
     )
     b = assigned.select(
         F.col("vec_id").alias("vec_b"), "cell_id",
         F.col("ivec").alias("ivec_b"), F.col("nsq").alias("nsq_b"),
+        F.explode(F.array(*[F.lit(g) for g in range(SALT_GROUPS)])).alias("salt"),
     )
     removed = (
-        a.join(b, "cell_id")
+        a.join(b, ["cell_id", "salt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(
             cosine_from_ints(

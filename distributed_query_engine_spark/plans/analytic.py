@@ -269,7 +269,7 @@ def agg_median(spark, sf_dir):
            quantile_cont(l_extendedprice, 0.75) AS p75,
            quantile_cont(l_extendedprice, 0.75)
              - quantile_cont(l_extendedprice, 0.25) AS iqr,
-           TRUE AS approx_within_1pct
+           TRUE AS approx_within_5pct
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -281,7 +281,10 @@ def agg_percentile(spark, sf_dir):
     t-digest ``approx_percentile`` sketch ALSO executes — its estimate
     is engine-specific, so (as with agg_approx_count_distinct) the
     oracle-checkable contract is a boolean asserting the p50 estimate
-    lands within 1% of the exact value. At 100 TB the exact path is one
+    lands within 5% of the exact value (the same tolerance class as the
+    agg_approx_count_distinct contract — the t-digest has no hard
+    accuracy bound, so a tight 1% assertion could flip spuriously on a
+    regenerated/rescaled dataset). At 100 TB the exact path is one
     sort-based agg per group; the sketch path is the constant-memory
     default, and this query keeps its accuracy measured instead of
     assumed."""
@@ -302,8 +305,8 @@ def agg_percentile(spark, sf_dir):
         "p75",
         (F.col("p75") - F.col("p25")).alias("iqr"),
         (
-            F.abs(F.col("_a50") - F.col("p50")) <= 0.01 * F.abs(F.col("p50"))
-        ).alias("approx_within_1pct"),
+            F.abs(F.col("_a50") - F.col("p50")) <= 0.05 * F.abs(F.col("p50"))
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -691,11 +691,11 @@ _STAR_EDGE_CTES = f"""
 
 
 @query(
-    "llm_dedup_minhash_hashdict",
-    # Same banded-minhash pipeline with the DICTIONARY-FREE token ids
+    "llm_dedup_minhash",
+    # Headline minhash dedup on the DICTIONARY-FREE token ids
     # (operators/dedup.py::hashed_token_ids): tid is a row-local
     # md5-prefix-mod-P hash, so there is no global vocabulary sort — the
-    # one scale-sensitive step of the default path. The oracle replays
+    # one scale-sensitive step of the dictionary path. The oracle replays
     # the identical hash (md5 is byte-identical across engines).
     oracle=lambda: f"""
     WITH {_tokens_cte(hashed=True)},
@@ -711,24 +711,28 @@ _STAR_EDGE_CTES = f"""
     SELECT doc_a, doc_b, jaccard, is_dup FROM verified WHERE is_dup
     """,
 )
-def llm_dedup_minhash_hashdict(spark, sf_dir):
-    """MinHash near-dup pairs on the 100 TB token-id path: no token
-    dictionary, no global sort — ids are computed per row. Output
-    contract identical to llm_dedup_minhash (candidate recall can differ
-    marginally where 31-bit ids collide; verification is exact either
-    way)."""
-    d = Tables(spark, sf_dir).documents
-    return D.minhash_dedup_pairs(d, threshold=0.5, hashed=True)
-
-
-@query("llm_dedup_minhash", oracle=_MINHASH_ORACLE)
 def llm_dedup_minhash(spark, sf_dir):
-    """Scored near-dup pair report: banded-minhash candidates, exact-
-    Jaccard verify, thresholded output (sub-threshold candidates are
-    verified but not reported — the report would otherwise be quadratic
-    in signature-group size; see minhash_dedup_pairs)."""
+    """Scored near-dup pair report on the 100 TB token-id path: no token
+    dictionary, no global sort — ids are computed per row; banded-minhash
+    candidates, exact-Jaccard verify, thresholded output (sub-threshold
+    candidates are verified but not reported — the report would otherwise
+    be quadratic in signature-group size; see minhash_dedup_pairs)."""
     d = Tables(spark, sf_dir).documents
     return D.minhash_dedup_pairs(d, threshold=0.5)
+
+
+@query("llm_dedup_minhash_dict", oracle=_MINHASH_ORACLE)
+def llm_dedup_minhash_dict(spark, sf_dir):
+    """DICTIONARY-variant minhash dedup — the row_number-arithmetic
+    demo: token ids come from a lexicographic vocabulary (broadcast
+    dictionary join; operators/dedup.py::token_ids), which the oracle
+    replays exactly via row_number() OVER (ORDER BY tok). Output
+    contract identical to llm_dedup_minhash (candidate recall can differ
+    marginally where 31-bit hashed ids collide; verification is exact
+    either way). Kept as the demo of exact cross-engine id arithmetic;
+    the hashed path is the scale default."""
+    d = Tables(spark, sf_dir).documents
+    return D.minhash_dedup_pairs(d, threshold=0.5, hashed=False)
 
 
 def incremental_dedup_oracle() -> str:

@@ -42,25 +42,48 @@ _EVENTS_SCHEMA_TS = (
 
 def _events_ts_unit(src: Path) -> str:
     """Timestamp unit ('ns' | 'us' | ...) of events.ts, from the parquet
-    footer — one metadata read, no data scan. Handles both a single
-    parquet file and a Spark-style directory (sniff the first data
-    file); an unreadable source falls back to 'us', the current
-    generator's encoding."""
+    footers — metadata reads only, no data scan. Handles both a single
+    parquet file and a Spark-style directory (sniff EVERY data file and
+    assert they agree — a mixed-unit directory would otherwise surface
+    later inside Spark as an opaque PARQUET_TYPE_ILLEGAL/type-mismatch).
+    An unreadable source falls back to 'us' (the current generator's
+    encoding) with a logged warning carrying the failure context, so the
+    fallback is diagnosable instead of silent."""
+    import logging
+
     import pyarrow.parquet as pa_pq
     import pyarrow.types as pa_types
 
-    try:
-        if src.is_dir():
-            src = next(
-                p
-                for p in sorted(src.rglob("*.parquet"))
-                if not p.name.startswith((".", "_"))
-            )
-        f = pa_pq.read_schema(str(src)).field("ts")
+    def unit_of(path: Path) -> str:
+        f = pa_pq.read_schema(str(path)).field("ts")
         if pa_types.is_timestamp(f.type):
             return f.type.unit
         return "ns"  # raw int64 ts: the legacy nanosAsLong shape
-    except Exception:
+
+    try:
+        if src.is_dir():
+            files = [
+                p
+                for p in sorted(src.rglob("*.parquet"))
+                if not p.name.startswith((".", "_"))
+            ]
+            if not files:
+                raise FileNotFoundError(f"no parquet data files under {src}")
+            units = {unit_of(p) for p in files}
+            if len(units) > 1:
+                raise ValueError(
+                    f"mixed ts units {sorted(units)} across files in {src}"
+                )
+            return units.pop()
+        return unit_of(src)
+    except ValueError:
+        raise  # mixed units is a data bug, not a sniff failure — surface it
+    except Exception as ex:
+        logging.getLogger(__name__).warning(
+            "could not sniff events ts unit from %s (%r); assuming 'us'",
+            src,
+            ex,
+        )
         return "us"
 
 
@@ -132,6 +155,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the query's return contract (a DataFrame).
 LAST_RUN_BATCHES: dict[str, int] = {}
 
+# Total numRowsDroppedByWatermark across the last run's progress events,
+# per sink name — lets tests assert the watermark REALLY discarded rows
+# (the metric, not just a smaller emitted set).
+LAST_RUN_DROPPED: dict[str, int] = {}
+
 
 def run_to_memory(
     result: DataFrame, name: str, output_mode: str
@@ -153,6 +181,11 @@ def run_to_memory(
     q.awaitTermination()
     LAST_RUN_BATCHES[name] = len(
         [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    LAST_RUN_DROPPED[name] = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
     )
     return spark.table(name)
 

@@ -183,6 +183,15 @@ def test_user_scoped_registry_isolates_credentials():
     with pytest.raises(KeyError, match=r"wh \(user: carol\)"):
         users.get("carol", "wh")
     assert users.users() == ["alice", "bob"]
+    # the unknown-user view is read-only: registering through it must
+    # raise instead of silently mutating a detached registry
+    with pytest.raises(TypeError, match="read-only"):
+        users.for_user("carol").register(
+            FED.PostgresqlDatabase(
+                name="wh", host="h3", port=5432, database="db", username="c"
+            )
+        )
+    assert users.users() == ["alice", "bob"]
 
 
 def test_failed_inference_returns_result_not_raise(spark):

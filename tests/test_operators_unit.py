@@ -492,3 +492,6 @@ def test_late_data_drops_are_real(spark, sf_dir):
     dropped_rows = qs["stream_late_data_drops"](spark, sf_dir).count()
     no_drop_rows = qs["stream_watermark_late_data"](spark, sf_dir).count()
     assert 0 < dropped_rows < no_drop_rows
+    # the COVERAGE.md claim, asserted for real: the straggler batch's
+    # rows show up in the engine's numRowsDroppedByWatermark metric
+    assert ops.LAST_RUN_DROPPED["mem_late_drops"] > 0

@@ -112,3 +112,26 @@ def test_ivf_index_search_partition_prunes(spark, sf_dir):
     plan = _plan(_q("llm_similarity_ivf_index", spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairs_salted_no_single_task_bucket(spark, sf_dir):
+    # simhash_near_pairs' de-skew contract (operators/dedup.py): identical
+    # simhash values are collapsed to group rows and the cross-group
+    # prefix self-join is salted — the join key must include the salt
+    # column so one popular prefix can't hand its k² pair production to
+    # a single task, and the member expansion must go through a
+    # repartition (hashpartitioning on the exploded side) between the
+    # two explodes.
+    plan = _plan(_q("llm_dedup_simhash", spark, sf_dir))
+    assert "salt" in plan, plan
+    assert re.search(r"hashpartitioning\([^)]*salt", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_within_cell_join_is_salted(spark, sf_dir):
+    # semdedup's within-cell self-join is the cell_id analog of the
+    # banded candidate join; the salted key must reach the exchange.
+    plan = _plan(_q("llm_semdedup", spark, sf_dir))
+    assert re.search(r"hashpartitioning\([^)]*salt", plan), plan
+    assert "CartesianProduct" not in plan

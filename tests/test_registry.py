@@ -83,3 +83,46 @@ def test_duplicate_query_name_rejected():
 
     finally:
         registry._QUERIES.pop("_test_dup_once", None)
+
+
+def test_driver_order_fronts_unverified_queries():
+    """The driver checks only the first ~50 queries() entries per round.
+    _driver_order must place every query WITHOUT a green CORRECTNESS row
+    (never-checked or latest-row-failed) plus every _FORCE_FRONT
+    (modified-this-round) query ahead of all verified-green ones, so two
+    rounds of rotation cover the full registry."""
+    names = list(registry.all_queries())
+    rows = registry._latest_driver_rows()
+
+    def green(n):
+        r = rows.get(n)
+        return bool(
+            r
+            and not r.get("err")
+            and r.get("rows_match")
+            and r.get("schema_match") is not False
+            and r.get("hash_match") is not False
+        )
+
+    # fronted = unverified, failed, modified-this-round, deferred-new, or
+    # explicitly prioritized; demoted = verified-green and unlisted
+    listed = (
+        set(registry._FORCE_FRONT)
+        | set(registry._DEFER_NEW)
+        | set(registry._PRIORITY)
+    )
+    demoted = [i for i, n in enumerate(names) if green(n) and n not in listed]
+    fronted = [i for i, n in enumerate(names) if not green(n) or n in listed]
+    if demoted and fronted:
+        assert max(fronted) < min(demoted), (
+            "an unverified/modified query is sorted behind a verified-green "
+            "one — it would rotate out of the driver's check window"
+        )
+    # priority names lead the window
+    for i, n in enumerate(registry._PRIORITY):
+        if n in names:
+            assert names.index(n) == i, f"{n} must be checked first"
+    # every modified query is inside or immediately after the ~50 window
+    for n in registry._FORCE_FRONT:
+        if n in names:
+            assert names.index(n) < 55, n
