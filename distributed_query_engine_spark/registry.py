@@ -65,42 +65,49 @@ def query(
 # results automatically rotate fresh unchecked queries into the window.
 #
 # INVARIANT (round-2 lesson): any round that changes a query's semantics,
-# its oracle, or an operator it depends on MUST list it in
-# ``_FORCE_FRONT`` (or ``_PRIORITY`` if it must land inside THIS round's
-# window) — otherwise the changed queries are exactly the ones
-# deprioritized out of re-verification.  Round 6: llm_dedup_simhash
-# (salted prefix self-join de-skew), llm_semdedup (salted within-cell
-# self-join) — both behavior-preserving plan changes, re-sampled right
-# after the never-checked set.
-_FORCE_FRONT: tuple[str, ...] = (
-    "llm_dedup_simhash",
-    "llm_semdedup",
+# its oracle, or an operator it depends on MUST stamp it in ``_CHANGED``
+# with the round number of the change — otherwise the changed queries
+# are exactly the ones deprioritized out of re-verification. A green
+# CORRECTNESS row only counts as verification if it was recorded in a
+# round >= the stamp, so stamped queries automatically re-front until
+# the driver re-samples them, then automatically demote — no manual
+# cleanup in later rounds.
+_CHANGED: dict[str, int] = {
+    # r6: default flipped to the hashed (dictionary-free) token-id path.
+    "llm_dedup_minhash": 6,
+    # r6: grouped + salted prefix self-join de-skew (behavior-preserving).
+    "llm_dedup_simhash": 6,
+    # r6: salted within-cell self-join de-skew (behavior-preserving).
+    "llm_semdedup": 6,
     # r6: approx-p50 tolerance loosened 1% → 5% (column renamed to
     # approx_within_5pct) per ADVICE — the t-digest has no 1% guarantee.
-    "agg_percentile",
-)
+    "agg_percentile": 6,
+}
 
-# Checked first within the front group: the r4 stale-FAIL scalar_string
-# (r5 already restructured its array column to a scalar; needs a fresh
-# row) and llm_dedup_minhash (round 6 flipped its default to the hashed
-# token-id path — semantics changed, must be re-verified THIS round).
+# Checked first within the unverified group (ordering hint only — a
+# verified query is demoted regardless): the r4 stale-FAIL scalar_string
+# and the r6-flipped llm_dedup_minhash must land inside THIS round's
+# ~50-query window.
 _PRIORITY: tuple[str, ...] = ("scalar_string", "llm_dedup_minhash")
 
-# New-this-round queries that are output-equivalent demos of an already
-# driver-green pipeline (or locally verified additions) — safe to check
-# NEXT round, so they sort behind _FORCE_FRONT (keeps this round's
-# 50-query window exactly on the never-checked set + _PRIORITY).
+# New queries that are locally verified additions or output-equivalent
+# demos of an already driver-green pipeline — safe to check NEXT round,
+# so while unverified they sort BEHIND every other unverified query
+# (keeps the current round's window on the longest-unchecked backlog).
 _DEFER_NEW: tuple[str, ...] = ("llm_dedup_minhash_dict", "scan_hive2_thrift")
 
 
-def _latest_driver_rows() -> dict[str, dict]:
-    """Latest driver CORRECTNESS row per query, across all rounds."""
+def _latest_driver_rows() -> dict[str, tuple[int, dict]]:
+    """Latest driver CORRECTNESS (round, row) per query, across rounds."""
     import json
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[1]
-    rows: dict[str, dict] = {}
+    rows: dict[str, tuple[int, dict]] = {}
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", f.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             d = json.loads(f.read_text())
         except (OSError, ValueError):
@@ -108,7 +115,7 @@ def _latest_driver_rows() -> dict[str, dict]:
         if isinstance(d, dict):
             for name, row in d.items():
                 if isinstance(row, dict):
-                    rows[name] = row
+                    rows[name] = (rnd, row)
     return rows
 
 
@@ -116,34 +123,36 @@ def _driver_order(names: list[str]) -> list[str]:
     rows = _latest_driver_rows()
 
     def verified_green(n: str) -> bool:
-        r = rows.get(n)
+        rnd, r = rows.get(n, (0, None))
         # rows-only checks record hash_match/schema_match as None — treat
-        # anything that isn't an explicit mismatch or error as green.
+        # anything that isn't an explicit mismatch or error as green. A
+        # green row older than the query's last semantic change does not
+        # count.
         return bool(
             r
             and not r.get("err")
             and r.get("rows_match")
             and r.get("schema_match") is not False
             and r.get("hash_match") is not False
+            and rnd >= _CHANGED.get(n, 0)
         )
 
-    force = set(_FORCE_FRONT)
     defer = set(_DEFER_NEW)
     prio = {n: i for i, n in enumerate(_PRIORITY)}
-    front = [
-        n
-        for n in names
-        if (not verified_green(n) or n in prio) and n not in force and n not in defer
-    ]
-    front.sort(key=lambda n: prio.get(n, len(prio)))  # stable: ties keep order
-    modified = [n for n in names if n in force]
-    deferred = [n for n in names if n in defer and n not in force]
-    back = [
-        n
-        for n in names
-        if verified_green(n) and n not in force and n not in defer and n not in prio
-    ]
-    return front + modified + deferred + back
+    unverified = [n for n in names if not verified_green(n)]
+    # Window priority within the unverified set: explicit _PRIORITY
+    # names, then queries with NO driver row at all (the longest-
+    # unchecked backlog), then stale-green/changed ones, then deferred
+    # new ones; ties keep registration order (stable sort).
+    unverified.sort(
+        key=lambda n: (
+            1 if n in defer else 0,
+            prio.get(n, len(prio)),
+            1 if n in rows else 0,
+        )
+    )
+    back = [n for n in names if verified_green(n)]
+    return unverified + back
 
 
 def all_queries() -> dict[str, QueryFn]:

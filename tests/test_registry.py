@@ -87,42 +87,84 @@ def test_duplicate_query_name_rejected():
 
 def test_driver_order_fronts_unverified_queries():
     """The driver checks only the first ~50 queries() entries per round.
-    _driver_order must place every query WITHOUT a green CORRECTNESS row
-    (never-checked or latest-row-failed) plus every _FORCE_FRONT
-    (modified-this-round) query ahead of all verified-green ones, so two
-    rounds of rotation cover the full registry."""
+    _driver_order must place every query WITHOUT a counting green
+    CORRECTNESS row (never-checked, latest-row-failed, or green only
+    BEFORE its _CHANGED stamp) ahead of every verified-green one, so a
+    few rounds of rotation cover the full registry."""
     names = list(registry.all_queries())
     rows = registry._latest_driver_rows()
 
     def green(n):
-        r = rows.get(n)
+        rnd, r = rows.get(n, (0, None))
         return bool(
             r
             and not r.get("err")
             and r.get("rows_match")
             and r.get("schema_match") is not False
             and r.get("hash_match") is not False
+            and rnd >= registry._CHANGED.get(n, 0)
         )
 
-    # fronted = unverified, failed, modified-this-round, deferred-new, or
-    # explicitly prioritized; demoted = verified-green and unlisted
-    listed = (
-        set(registry._FORCE_FRONT)
-        | set(registry._DEFER_NEW)
-        | set(registry._PRIORITY)
-    )
-    demoted = [i for i, n in enumerate(names) if green(n) and n not in listed]
-    fronted = [i for i, n in enumerate(names) if not green(n) or n in listed]
+    demoted = [i for i, n in enumerate(names) if green(n)]
+    fronted = [i for i, n in enumerate(names) if not green(n)]
     if demoted and fronted:
         assert max(fronted) < min(demoted), (
-            "an unverified/modified query is sorted behind a verified-green "
+            "an unverified/changed query is sorted behind a verified-green "
             "one — it would rotate out of the driver's check window"
         )
-    # priority names lead the window
+    # priority names lead the window (while they remain unverified)
     for i, n in enumerate(registry._PRIORITY):
-        if n in names:
+        if n in names and not green(n):
             assert names.index(n) == i, f"{n} must be checked first"
-    # every modified query is inside or immediately after the ~50 window
-    for n in registry._FORCE_FRONT:
+    # deferred-new queries sort after every other unverified query
+    non_defer_front = [
+        i for i in fronted if names[i] not in registry._DEFER_NEW
+    ]
+    for n in registry._DEFER_NEW:
+        if n in names and not green(n) and non_defer_front:
+            assert names.index(n) > max(non_defer_front), (
+                f"{n} must not displace backlog queries from the window"
+            )
+    # a changed-stamped query with only a PRE-stamp green row is fronted
+    for n, stamp in registry._CHANGED.items():
         if n in names:
-            assert names.index(n) < 55, n
+            rnd, r = rows.get(n, (0, None))
+            if r and rnd < stamp:
+                assert names.index(n) < min(demoted or [len(names)]), n
+
+
+def test_changed_stamp_invalidates_old_green_rows(monkeypatch):
+    """A green row recorded BEFORE a query's _CHANGED stamp must not
+    demote it; a green row from the stamp round (or later) must."""
+    names = list(registry.all_queries())
+    target = names[-1]  # any query; we fabricate its rows
+    other = names[0]
+    green_row = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 1, "oracle_rows": 1, "err": None,
+    }
+    monkeypatch.setitem(registry._CHANGED, target, 7)
+
+    # `other` is verified (green, no stamp); target's green row predates
+    # its stamp → target must sort AHEAD of the verified query.
+    monkeypatch.setattr(
+        registry,
+        "_latest_driver_rows",
+        lambda: {target: (6, green_row), other: (6, green_row)},
+    )
+    order = registry._driver_order([other, target])
+    assert order == [target, other], (
+        "pre-stamp green row must keep the query fronted"
+    )
+
+    # Once a green row lands at/after the stamp, both are verified and
+    # registration order is restored — no manual cleanup needed.
+    monkeypatch.setattr(
+        registry,
+        "_latest_driver_rows",
+        lambda: {target: (7, green_row), other: (6, green_row)},
+    )
+    order = registry._driver_order([other, target])
+    assert order == [other, target], (
+        "post-stamp green row must demote the query again"
+    )
