@@ -988,3 +988,62 @@ def tpch_q10_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE — iterative fixpoint inside the
+# engine; DuckDB shares the SQL:1999 semantics, so the oracle is the
+# same query text modulo dialect).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE up(custkey, node, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT custkey, CAST(FLOOR(node / 10) AS BIGINT), depth + 1
+      FROM up WHERE node > 0
+    ),
+    depths AS (
+      SELECT custkey, MAX(depth) AS steps FROM up GROUP BY custkey
+    )
+    SELECT CAST(steps AS BIGINT) AS steps,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(custkey) AS BIGINT) AS min_key,
+           CAST(MAX(custkey) AS BIGINT) AS max_key
+    FROM depths GROUP BY steps
+    """,
+)
+def sql_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE — the SQL:1999 iterative fixpoint, executed by
+    Spark 4's recursive-CTE operator (UnionLoop): each customer key
+    walks the functional graph node → floor(node/10) until it reaches
+    0, and the result histograms customers by walk length (= digit
+    count). Recursion depth is data-bounded (~7 at sf1); Spark's
+    spark.sql.cteRecursionLevelLimit (default 100) guards runaways. At
+    100 TB each iteration is a distributed self-union — no driver-side
+    looping — which is the point: the fixpoint loop lives INSIDE the
+    engine, unlike the driver-orchestrated connected_components
+    iteration (operators/dedup.py) that needs per-round checkpointing."""
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("customer_rcte_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE up(custkey, node, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer_rcte_v
+          UNION ALL
+          SELECT custkey, CAST(FLOOR(node / 10) AS BIGINT), depth + 1
+          FROM up WHERE node > 0
+        ),
+        depths AS (
+          SELECT custkey, MAX(depth) AS steps FROM up GROUP BY custkey
+        )
+        SELECT CAST(steps AS BIGINT) AS steps,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(custkey) AS BIGINT) AS min_key,
+               CAST(MAX(custkey) AS BIGINT) AS max_key
+        FROM depths GROUP BY steps
+        """
+    )

@@ -1488,3 +1488,147 @@ def llm_pack_sequences(spark, sf_dir):
             F.sum("n_tokens").alias("tokens_in_bin"),
         )
     )
+
+
+# The deterministic md5 permille bucket of a doc_id — the engine-portable
+# sampling idiom (see sample_stratified): both engines hash the same
+# UTF-8 bytes, so membership is reproducible anywhere. A FUNCTION, not a
+# module constant: Column construction needs an active SparkContext, and
+# this module imports long before any session exists.
+def _doc_permille():
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+
+_SQL_DOC_PERMILLE = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000"
+)
+
+
+@query(
+    "llm_domain_mix_sample",
+    oracle=lambda: f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_orig,
+             CAST(CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 4
+                  + 1 AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(n_orig) AS total_docs, SUM(w) AS total_w FROM per_src
+    ),
+    rates AS (
+      SELECT source, n_orig, w,
+             CAST(((tot.total_docs // 4) * w) // tot.total_w
+                  AS BIGINT) AS target_docs,
+             CAST(least(1000, ((((tot.total_docs // 4) * w) // tot.total_w)
+                               * 1000) // n_orig) AS BIGINT) AS keep_permille
+      FROM per_src, tot
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS kept_docs
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE {_SQL_DOC_PERMILLE} < r.keep_permille
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_orig, r.target_docs, r.keep_permille,
+           CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+)
+def llm_domain_mix_sample(spark, sf_dir):
+    """Training-mix construction: sample each domain (``source``) toward
+    a TARGET weight with rates DERIVED FROM THE DATA, entirely in
+    integer arithmetic so the sample is bit-reproducible across engines
+    and re-runs. Pipeline shape: (1) one aggregate pass computes
+    per-domain counts and weights (weight = src_num % 4 + 1, standing
+    in for a curated mix table); (2) the global budget (total/4 docs)
+    is apportioned per domain by integer division; (3) the tiny rate
+    table broadcasts back onto the corpus and a ROW-LOCAL md5-permille
+    filter keeps each doc independently — no shuffle of the corpus, no
+    per-domain limit() (which would serialize through one task and be
+    order-dependent). At 100 TB: two scans + one broadcast join; the
+    kept-rate arithmetic is exact, so the realized mix is auditable
+    against target_docs in the output."""
+    d = Tables(spark, sf_dir).documents
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_orig"))
+    per_src = per_src.withColumn(
+        "w",
+        (F.regexp_extract("source", r"src(\d+)", 1).cast("long") % 4 + 1),
+    )
+    tot = per_src.agg(
+        F.sum("n_orig").alias("total_docs"), F.sum("w").alias("total_w")
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_docs",
+            F.expr("((total_docs div 4) * w) div total_w"),
+        )
+        .withColumn(
+            "keep_permille",
+            F.least(F.lit(1000), F.expr("(target_docs * 1000) div n_orig")),
+        )
+        .select("source", "n_orig", "target_docs", "keep_permille")
+    )
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(_doc_permille() < F.col("keep_permille"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_docs"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_orig",
+            "target_docs",
+            "keep_permille",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
+        )
+    )
+
+
+@query(
+    "llm_train_val_test_split",
+    oracle=lambda: f"""
+    WITH bucketed AS (
+      SELECT CASE WHEN {_SQL_DOC_PERMILLE} < 800 THEN 'train'
+                  WHEN {_SQL_DOC_PERMILLE} < 900 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars, lang
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM bucketed GROUP BY split
+    """,
+)
+def llm_train_val_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by md5 permille of
+    doc_id — the reproducible alternative to randomSplit() (whose
+    assignment depends on partitioning and seed plumbing). Membership
+    is a row-local expression: any engine, any partitioning, any
+    subset of the corpus assigns each doc to the same split, which is
+    what makes held-out contamination checks meaningful. One scan, one
+    tiny aggregate."""
+    d = Tables(spark, sf_dir).documents
+    split = (
+        F.when(_doc_permille() < 800, "train")
+        .when(_doc_permille() < 900, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+        )
+    )

@@ -94,7 +94,13 @@ _PRIORITY: tuple[str, ...] = ("scalar_string", "llm_dedup_minhash")
 # demos of an already driver-green pipeline — safe to check NEXT round,
 # so while unverified they sort BEHIND every other unverified query
 # (keeps the current round's window on the longest-unchecked backlog).
-_DEFER_NEW: tuple[str, ...] = ("llm_dedup_minhash_dict", "scan_hive2_thrift")
+_DEFER_NEW: tuple[str, ...] = (
+    "llm_dedup_minhash_dict",
+    "scan_hive2_thrift",
+    "sql_recursive_cte",
+    "llm_domain_mix_sample",
+    "llm_train_val_test_split",
+)
 
 
 def _latest_driver_rows() -> dict[str, tuple[int, dict]]:
