@@ -1047,3 +1047,57 @@ def sql_recursive_cte(spark, sf_dir):
         FROM depths GROUP BY steps
         """
     )
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_pruned(spark, sf_dir):
+    """Runtime BLOOM-FILTER join pruning — the non-partition-column
+    analog of dynamic partition pruning: the selective build side
+    (urgent orders) is aggregated into a bloom filter at runtime and
+    injected as a ``might_contain(l_orderkey)`` predicate INTO THE FACT
+    SCAN, so most lineitem rows die before the shuffle instead of
+    after it. At 100 TB this is the difference between shuffling the
+    whole fact table and shuffling ~the matching fraction.
+
+    Conf isolation: bloom injection needs a shuffle join and
+    scan-size thresholds met, so the knobs are set on a FORKED session
+    (``spark.newSession()`` — same context, private conf) rather than
+    mutated on the caller's session where they would leak into every
+    subsequent query of a driver run. Plan-asserted in
+    tests/test_plans.py::test_bloom_filter_reaches_fact_scan."""
+    from distributed_query_engine_spark.session import tune_session
+
+    s2 = spark.newSession()
+    tune_session(s2)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    t = Tables(s2, sf_dir)
+    o = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = t.lineitem.select("l_orderkey", "l_quantity")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+    )

@@ -298,3 +298,61 @@ def scalar_json(spark, sf_dir):
         F.from_json("props", "k long").getField("k").alias("k_num"),
         F.to_json(F.struct(F.col("event_type").alias("t"))).alias("packed"),
     )
+
+
+@query(
+    "scalar_variant",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(json_extract(js, '$.key') AS BIGINT) AS v_key,
+           json_extract_string(js, '$.pri') AS v_pri,
+           CAST(json_extract(js, '$.price') AS BIGINT) AS v_price_cents,
+           CAST(json_extract(js, '$.tags[1]') AS BIGINT) AS v_tag1,
+           CAST(json_array_length(js, '$.tags') AS BIGINT) AS v_ntags
+    FROM (
+      SELECT o_orderkey,
+             concat('{"key":', o_orderkey,
+                    ',"pri":"', o_orderpriority,
+                    '","price":', CAST(round(o_totalprice * 100) AS BIGINT),
+                    ',"tags":[', o_orderkey % 10, ',', o_orderkey % 7, ']}')
+               AS js
+      FROM orders
+    )
+    """,
+)
+def scalar_variant(spark, sf_dir):
+    """VARIANT — Spark 4's semi-structured type (open-format binary
+    JSON): ``parse_json`` once, then typed ``variant_get`` path
+    extraction, nested array indexing included. Unlike repeated
+    ``get_json_object`` (which re-parses the string per call,
+    scalar_json), the variant is parsed ONCE into a binary encoding and
+    every extraction is a cheap path walk — the 100 TB answer to wide
+    semi-structured event payloads. The JSON document is constructed
+    deterministically from orders columns so DuckDB can replay the
+    identical extraction with its JSON functions (prices in integer
+    cents — exact in both engines)."""
+    o = Tables(spark, sf_dir).orders
+    js = F.concat(
+        F.lit('{"key":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"pri":"'),
+        F.col("o_orderpriority"),
+        F.lit('","price":'),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit(',"tags":['),
+        (F.col("o_orderkey") % 10).cast("string"),
+        F.lit(","),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    base = o.select("o_orderkey", F.parse_json(js).alias("v"))
+    return base.select(
+        "o_orderkey",
+        F.variant_get("v", "$.key", "bigint").alias("v_key"),
+        F.variant_get("v", "$.pri", "string").alias("v_pri"),
+        F.variant_get("v", "$.price", "bigint").alias("v_price_cents"),
+        F.variant_get("v", "$.tags[1]", "bigint").alias("v_tag1"),
+        F.size(F.variant_get("v", "$.tags", "array<bigint>"))
+        .cast("long")
+        .alias("v_ntags"),
+    )

@@ -635,3 +635,62 @@ def scan_text_lines(spark, sf_dir):
         F.sum(F.length("value").cast("long")).alias("total_chars"),
         F.max(F.length("value")).cast("int").alias("max_line"),
     )
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT CAST(range AS BIGINT) AS id,
+           CAST(range % 7 AS BIGINT) AS bucket,
+           CAST((range * range) % 1000 AS BIGINT) AS score
+    FROM range(1000)
+    """,
+)
+def scan_python_datasource(spark, sf_dir):
+    """CUSTOM PYTHON DATA SOURCE (Spark 4 ``pyspark.sql.datasource``
+    API) — the modern extension point for sources Spark lacks a native
+    reader for (internal services, bespoke formats, synthetic
+    generators). The source declares a schema, splits itself into
+    ``partitions()`` (each an independently readable InputPartition —
+    the distributed-claim contract), and yields Arrow-batched rows per
+    partition. Here: a deterministic strided generator, so the oracle
+    replays it exactly with a SQL range(). The classes are defined
+    inside the query so cloudpickle ships them BY VALUE to python
+    workers — no import-path requirements on the executor side."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class RangeDocsReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.parts = int(options.get("parts", 8))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            i = partition.value
+            for rid in range(i, self.n, self.parts):
+                yield (rid, rid % 7, (rid * rid) % 1000)
+
+    class RangeDocsSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "rangedocs"
+
+        def schema(self):
+            return "id BIGINT, bucket BIGINT, score BIGINT"
+
+        def reader(self, schema):
+            return RangeDocsReader(self.options)
+
+    spark.dataSource.register(RangeDocsSource)
+    return (
+        spark.read.format("rangedocs")
+        .option("n", "1000")
+        .option("parts", "8")
+        .load()
+    )

@@ -319,3 +319,50 @@ def stream_multibatch_progression(spark, sf_dir):
         )
     )
     return ops.run_to_memory(agg, "mem_multibatch", "complete")
+
+
+@query(
+    "stream_stream_outer_interval_join",
+    # Derived-emission oracle (same discipline as
+    # stream_watermark_late_data): matched pairs always emit; a click
+    # with NO in-window purchase emits a null-extension row only if its
+    # 30-minute window fully expired under the FINAL watermark —
+    # min(max click ts, max purchase ts) − 1h (each side's watermark is
+    # tracked post-filter; the join takes the minimum).
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+      FROM events c
+      JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT c.event_id, NULL, c.user_id, c.ts, NULL
+    FROM events c, wm
+    WHERE c.event_type = 'click'
+      AND c.ts + INTERVAL 30 MINUTE < wm.w
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+    """,
+)
+def stream_stream_outer_interval_join(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join — the shape that makes
+    watermarks non-optional: null-extension rows can only emit once the
+    watermark proves the click's match window is closed, so state stays
+    bounded AND results stay prefix-consistent. The no-data micro-batch
+    after the last data batch advances the watermark to its final value
+    and flushes exactly the derivable unmatched set (see
+    streaming/ops.interval_join_outer_clicks)."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(
+        ops.interval_join_outer_clicks(ev), "mem_outer_interval_join", "append"
+    )

@@ -100,6 +100,10 @@ _DEFER_NEW: tuple[str, ...] = (
     "sql_recursive_cte",
     "llm_domain_mix_sample",
     "llm_train_val_test_split",
+    "join_bloom_pruned",
+    "scan_python_datasource",
+    "stream_stream_outer_interval_join",
+    "scalar_variant",
 )
 
 

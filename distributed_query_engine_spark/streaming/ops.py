@@ -711,3 +711,41 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join_outer_clicks(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, matched to
+    purchases within 30 minutes after it — clicks with no purchase
+    emit ONCE with nulls, but only after the watermark proves no match
+    can still arrive (their join window has fully expired). Until the
+    watermark passes click_ts + 30min the click sits in state: emitting
+    earlier could produce a (click, null) later contradicted by a
+    matching purchase. The emission rule is therefore exactly
+    derivable: matches always emit; null-extensions emit iff
+    click_ts + 30min < final watermark (min of both sides' max event
+    time − 1h). That derived set is what the registered oracle states."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")

@@ -135,3 +135,13 @@ def test_semdedup_within_cell_join_is_salted(spark, sf_dir):
     plan = _plan(_q("llm_semdedup", spark, sf_dir))
     assert re.search(r"hashpartitioning\([^)]*salt", plan), plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    # join_bloom_pruned's contract: the runtime bloom filter built from
+    # the selective dimension side must appear as a might_contain
+    # predicate on the fact side of the plan — rows are pruned BEFORE
+    # the join shuffle, the non-partition-column analog of DPP.
+    plan = _plan(_q("join_bloom_pruned", spark, sf_dir))
+    assert "might_contain" in plan, plan
+    assert "CartesianProduct" not in plan
