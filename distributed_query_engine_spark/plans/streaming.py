@@ -366,3 +366,41 @@ def stream_stream_outer_interval_join(spark, sf_dir):
     return ops.run_to_memory(
         ops.interval_join_outer_clicks(ev), "mem_outer_interval_join", "append"
     )
+
+
+@query(
+    "stream_state_store_read",
+    # The state store after an append-mode run holds exactly the windows
+    # the final watermark did NOT close — the complement of
+    # stream_watermark_late_data's emitted set.
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm)
+    """,
+)
+def stream_state_store_read(spark, sf_dir):
+    """STATE STORE INTROSPECTION (Spark 4 ``statestore`` data source):
+    run the watermarked tumbling aggregation to completion, then read
+    the checkpoint's state store back as a DataFrame. Append mode
+    evicts every window it emits, so the surviving state is precisely
+    the trailing windows the final watermark left open — the oracle is
+    the exact complement of the append emission rule. This is the
+    production debugging surface for stateful pipelines (inspect a live
+    job's state without stopping it); here it doubles as a proof that
+    state eviction really happened."""
+    from pyspark.sql import functions as F
+
+    ev = ops.read_events_stream(spark, sf_dir)
+    ops.run_to_memory(ops.watermark_window_agg(ev), "mem_state_read", "append")
+    ckpt = str(ops._TMP / "checkpoints" / "mem_state_read")
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.window.end").alias("window_end"),
+        F.col("value.count").cast("long").alias("cnt"),
+    )

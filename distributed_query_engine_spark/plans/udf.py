@@ -197,3 +197,48 @@ def udf_cogrouped_pandas(spark, sf_dir):
             "n_orders long, order_cents long",
         )
     )
+
+
+@query(
+    "udtf_polymorphic",
+    oracle="""
+    SELECT n_nationkey,
+           string_split(n_name, '_')[1] AS c0,
+           string_split(n_name, '_')[2] AS c1
+    FROM nation
+    """,
+)
+def udtf_polymorphic(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark ≥4.0): the output schema is not
+    declared statically but computed by a static ``analyze`` method
+    from the call-site arguments — here ``split_cols(n_name, 2)``
+    yields columns c0..c{n-1} for literal n, so the same UDTF serves
+    any width. analyze() runs at PLAN time on the driver; eval() runs
+    distributed — the contract that makes table functions schema-safe
+    without per-use wrapper classes."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class SplitCols:
+        @staticmethod
+        def analyze(text, n):
+            width = int(n.value)
+            schema = StructType()
+            for i in range(width):
+                schema = schema.add(f"c{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            parts = (text or "").split("_")
+            row = [parts[i] if i < len(parts) else None for i in range(n)]
+            yield tuple(row)
+
+    split_cols = udtf(SplitCols)
+    spark.udtf.register("split_cols", split_cols)
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("_udtf_nation")
+    return spark.sql(
+        "SELECT n.n_nationkey, t.c0, t.c1 FROM _udtf_nation n, "
+        "LATERAL split_cols(n.n_name, 2) t"
+    )

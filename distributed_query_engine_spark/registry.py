@@ -104,6 +104,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "scan_python_datasource",
     "stream_stream_outer_interval_join",
     "scalar_variant",
+    "stream_state_store_read",
+    "udtf_polymorphic",
 )
 
 
