@@ -1101,3 +1101,111 @@ def join_bloom_pruned(spark, sf_dir):
             F.sum("l_quantity").cast("long").alias("sum_qty"),
         )
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counted AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    ranked AS (
+      SELECT l_returnflag, l_quantity, cnt,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_quantity DESC) AS rn
+      FROM counted
+    )
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS mode_qty,
+           CAST(cnt AS BIGINT) AS mode_cnt
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """MODE with a PINNED tie-break — the built-in ``mode()`` aggregate
+    picks an arbitrary value among equally-frequent candidates (engine-
+    and partitioning-dependent), which can never pass a cross-engine
+    hash check and silently breaks reproducible pipelines. The
+    deterministic form is two aggregates: count per (group, value),
+    then max_by over the (count, value) tuple — ties break toward the
+    LARGEST value, by construction, in any engine. Same two-shuffle
+    cost class as the naive mode at 100 TB (first agg is map-side
+    combinable)."""
+    l = Tables(spark, sf_dir).lineitem
+    counted = l.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counted.groupBy("l_returnflag").agg(
+        F.max_by("l_quantity", F.struct("cnt", "l_quantity"))
+        .cast("long")
+        .alias("mode_qty"),
+        F.max("cnt").cast("long").alias("mode_cnt"),
+    )
+
+
+@query(
+    "subquery_not_in_nulls",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_not_in_clean,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, 1)
+                                    FROM customer)) AS n_not_in_nullable
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_custkey IS NOT NULL)
+    """,
+)
+def subquery_not_in_nulls(spark, sf_dir):
+    """NOT IN under THREE-VALUED LOGIC — the classic silent-wrong-
+    results trap: if the subquery produces even one NULL, ``x NOT IN
+    (...)`` is never TRUE (it is NULL for non-members), so the whole
+    result collapses to empty. A plain null-rejecting anti-join would
+    return the non-members and be WRONG. Both engines implement the
+    SQL standard (Spark plans NOT IN as NullAwareAntiJoin); this query
+    pins the two cases side by side: the clean subquery counts real
+    non-members, the NULLIF-poisoned one must count 0."""
+    o = Tables(spark, sf_dir).orders
+    c = Tables(spark, sf_dir).customer
+    o.createOrReplaceTempView("_nin_orders")
+    c.createOrReplaceTempView("_nin_customer")
+    return spark.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_not_in_clean,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM _nin_orders
+                WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, 1)
+                                        FROM _nin_customer))
+                 AS n_not_in_nullable
+        FROM _nin_orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM _nin_customer
+                                WHERE c_custkey IS NOT NULL)
+        """
+    )
+
+
+@query(
+    "groupby_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY ALL
+    """,
+)
+def groupby_all(spark, sf_dir):
+    """GROUP BY ALL — every non-aggregate select item becomes a grouping
+    key (Spark 4 and DuckDB share the extension). Saves the classic
+    drift bug where a projection edit silently desynchronizes from the
+    GROUP BY list."""
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM _gba_orders GROUP BY ALL
+        """
+    )

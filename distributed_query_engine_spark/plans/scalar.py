@@ -356,3 +356,43 @@ def scalar_variant(spark, sf_dir):
         .cast("long")
         .alias("v_ntags"),
     )
+
+
+@query(
+    "scalar_try_family",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE CAST(o_totalprice / NULLIF(o_orderkey % 10, 0)
+                          AS DOUBLE) END AS safe_div,
+           TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS good_cast,
+           CAST(o_orderkey AS BIGINT) * 0 + 1 AS stable_one
+    FROM orders
+    """,
+)
+def scalar_try_family(spark, sf_dir):
+    """The ``try_*`` escape hatches for ANSI mode (Spark 4 runs ANSI ON
+    by default, so division-by-zero and bad casts THROW): try_divide
+    yields NULL instead of an error, try_cast NULL instead of a parse
+    failure. Cross-engine: DuckDB's division by NULLIF(0) and TRY_CAST
+    state the identical semantics. ANSI-by-default plus explicit try_*
+    at known-dirty boundaries is the 100 TB posture — a corrupt row
+    NULLs out instead of either killing the job or (worse, pre-ANSI)
+    silently wrapping."""
+    o = Tables(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 10).alias(
+            "safe_div"
+        ),
+        F.try_to_number(F.col("o_orderpriority"), F.lit("9")).cast("long").alias(
+            "bad_cast"
+        ),
+        F.expr("TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").alias(
+            "good_cast"
+        ),
+        (F.try_multiply(F.col("o_orderkey").cast("long"), F.lit(0)) + 1).alias(
+            "stable_one"
+        ),
+    )

@@ -106,6 +106,10 @@ _DEFER_NEW: tuple[str, ...] = (
     "scalar_variant",
     "stream_state_store_read",
     "udtf_polymorphic",
+    "agg_mode_deterministic",
+    "subquery_not_in_nulls",
+    "groupby_all",
+    "scalar_try_family",
 )
 
 
