@@ -404,3 +404,23 @@ def stream_state_store_read(spark, sf_dir):
         F.col("key.window.end").alias("window_end"),
         F.col("value.count").cast("long").alias("cnt"),
     )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    # A single AvailableNow pass sees every row while the watermark is
+    # still at its initial value, so no seen-key entry is evicted
+    # mid-run and the emitted set equals the exact batch DISTINCT —
+    # while the operator itself carries the bounded-state contract.
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """Bounded-state streaming dedup — dropDuplicatesWithinWatermark
+    evicts seen keys once the watermark passes them, so state tracks
+    the watermark horizon, not the stream's history (the 100 TB
+    correction to stream_dedup's grow-forever state; see
+    streaming/ops.stream_dedup_keys_within_watermark)."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(
+        ops.stream_dedup_keys_within_watermark(ev), "mem_dedup_wm", "append"
+    )

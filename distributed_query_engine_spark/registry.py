@@ -110,6 +110,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "subquery_not_in_nulls",
     "groupby_all",
     "scalar_try_family",
+    "stream_dedup_within_watermark",
 )
 
 

@@ -749,3 +749,22 @@ def interval_join_outer_clicks(events: DataFrame) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
         "leftOuter",
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
+def stream_dedup_keys_within_watermark(events: DataFrame) -> DataFrame:
+    """BOUNDED-STATE streaming dedup: ``dropDuplicatesWithinWatermark``
+    evicts a seen-key entry once the watermark passes its event time +
+    delay, so state size tracks the watermark horizon instead of the
+    whole history. Plain ``dropDuplicates`` (stream_dedup_keys) keeps
+    every key forever — correct, but state grows without bound; this is
+    the form that survives an unbounded 100 TB stream. Deduplication is
+    exact for duplicates arriving within the delay of each other (the
+    realistic duplicate source: at-least-once delivery retries), and
+    the output is restricted to the key columns so the surviving-row
+    choice cannot leak nondeterminism."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
