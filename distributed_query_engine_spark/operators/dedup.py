@@ -10,11 +10,13 @@ Design for 100 TB:
   whole pipeline (signatures, bands, candidate pairs) is reproducible in
   any engine — which is what makes an exact SQL oracle possible.
 - Token ids come in two interchangeable flavors (``signatures_for``):
-  the default global ``row_number`` dictionary (exact oracle parity via
-  pure arithmetic), and the dictionary-FREE ``hashed=True`` path — a
-  row-local md5-prefix-mod-P id (``hashed_token_ids``) with no distinct,
-  no global sort, and no join, which is the 100 TB default; it stays
-  oracle-exact too because md5 is defined identically in both engines.
+  the DEFAULT dictionary-FREE ``hashed=True`` path — a row-local
+  md5-prefix-mod-P id (``hashed_token_ids``) with no distinct, no
+  global sort, and no join (the 100 TB path; oracle-exact because md5
+  is defined identically in both engines) — and the ``hashed=False``
+  global ``row_number`` dictionary, kept as the pure-arithmetic parity
+  demo (its vocabulary sort is a single task: fine locally, fatal at
+  scale).
 - Candidate verification (exact Jaccard) runs only on LSH candidates:
   the quadratic blow-up is confined to near-duplicate buckets.
 """

@@ -145,3 +145,19 @@ def test_bloom_filter_reaches_fact_scan(spark, sf_dir):
     plan = _plan(_q("join_bloom_pruned", spark, sf_dir))
     assert "might_contain" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_domain_mix_sample_broadcasts_rates(spark, sf_dir):
+    # The tiny per-domain rate table must broadcast onto the corpus and
+    # the keep filter must stay a row-local expression — no corpus
+    # shuffle for candidate selection.
+    plan = _plan(_q("llm_domain_mix_sample", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recursive_cte_runs_in_engine(spark, sf_dir):
+    # WITH RECURSIVE must plan as Spark's recursive-CTE execution (a
+    # union loop), not a driver-side iteration.
+    plan = _plan(_q("sql_recursive_cte", spark, sf_dir))
+    assert "UnionLoop" in plan or "Recursion" in plan, plan
