@@ -668,10 +668,11 @@ def simhash_expr_terms() -> list[Column]:
 
 def simhash(docs: DataFrame) -> DataFrame:
     """doc_id → 32-bit simhash (bit j set iff the weighted bit-majority
-    is positive; ties → 0, so the value is deterministic)."""
-    tokens = tokenize(docs)
-    dict_df = token_ids(tokens)
-    tokens_tid = tokens.join(F.broadcast(dict_df), "tok").select("doc_id", "tid")
+    is positive; ties → 0, so the value is deterministic). Token ids
+    are the dictionary-free md5-mod-P hash (r6, matching the minhash
+    default): the previous row_number dictionary was a single-task
+    global vocabulary sort — fine locally, fatal at 100 TB."""
+    tokens_tid = hashed_token_ids(tokenize(docs))
     sums = tokens_tid.groupBy("doc_id").agg(*simhash_expr_terms())
     sh = None
     for j in range(SIMHASH_BITS):

@@ -934,8 +934,11 @@ _SIMHASH_VALUE = " + ".join(
 
 @query(
     "llm_dedup_simhash",
+    # hashed=True tokens CTE: simhash shares the dictionary-free
+    # md5-mod-P token ids with the minhash default (r6) — no global
+    # vocabulary sort on either engine.
     oracle=lambda: f"""
-    WITH {_TOKENS_CTE},
+    WITH {_tokens_cte(hashed=True)},
     sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tt GROUP BY doc_id),
     sh AS (SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM sums)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -166,3 +166,29 @@ def test_salted_two_phase_equals_plain_aggregate(spark, rows):
         users.add(u)
         expected[k] = (users, cnt + 1)
     assert got == {k: (len(us), n) for k, (us, n) in expected.items()}, rows
+
+
+@SET
+@given(docs=docs_st)
+def test_simhash_grouped_pairs_equal_naive_prefix_join(spark, docs):
+    """simhash_near_pairs' grouped+salted construction (r6 de-skew) must
+    be SET-IDENTICAL to the naive per-doc prefix self-join it replaced —
+    identical-hash groups (hamming 0) and cross-group candidates
+    included. The dense duplicate structure of the tiny alphabet makes
+    multi-member groups overwhelmingly likely, which is exactly the
+    shape the grouping rewrites."""
+    rows = [(i, " ".join(toks), "en") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_near_pairs(df, max_hamming=6).collect()
+    }
+    sh = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    want = set()
+    for a in sorted(sh):
+        for b in sorted(sh):
+            if a < b and (sh[a] >> 16) == (sh[b] >> 16):
+                ham = bin(sh[a] ^ sh[b]).count("1")
+                if ham <= 6:
+                    want.add((a, b, ham))
+    assert got == want
