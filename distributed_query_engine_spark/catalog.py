@@ -38,6 +38,19 @@ STAR_TABLES = (
 )
 
 
+def staging_key(sf_dir: str) -> str:
+    """Staging-dir key for ANY per-sf_dir derived artifact (streaming
+    stage dirs, sink round-trips, signature stores, IVF indexes):
+    basename for readability + a hash of the FULL resolved path, so two
+    sf_dirs sharing a basename cannot collide. One definition — batch
+    and streaming staging must never fork their keying scheme."""
+    import hashlib
+    from pathlib import Path
+
+    p = Path(sf_dir).resolve()
+    return f"{p.name or 'sf'}-{hashlib.md5(str(p).encode()).hexdigest()[:8]}"
+
+
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` with a timestamp-normalization shim.
 

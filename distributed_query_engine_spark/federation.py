@@ -506,6 +506,14 @@ def federated_scan(
     db = registry.get(db_name)
     url = db.connection_string()
     if session_conf:
+        # '?k=v;k2=v2' is the hive2 conf-list grammar specifically —
+        # other vendors use '&'-separated query params with different
+        # semantics, so silently appending would build a malformed URL.
+        if vendor_from_connection_string(url) != "hive2":
+            raise ValueError(
+                "session_conf is only supported for hive2 connectors "
+                f"(got {vendor_from_connection_string(url)!r})"
+            )
         url += "?" + ";".join(f"{k}={v}" for k, v in sorted(session_conf.items()))
     sql = dialect_for(db.connection_string()).select_sql(
         table, columns, predicates, schema=schema
@@ -527,17 +535,36 @@ def start_thrift_server(spark, timeout_s: float = 60.0) -> int:
 
     The port is pid-derived so a concurrently running second process
     (e.g. a test suite next to the grading driver) binds its own
-    listener instead of colliding. JDBC connections fork their own
-    remote session, which sees GLOBAL temp views only — callers must
-    publish tables via ``createOrReplaceGlobalTempView`` and address
-    them as ``global_temp.<name>``."""
+    listener instead of colliding — and verified FREE with a bind test
+    before the server starts: the post-start connect probe cannot tell
+    our listener from a foreign one (a leaked server from a previous
+    session would otherwise be cached and silently served stale or
+    missing views), so a taken candidate port is skipped, not adopted.
+    JDBC connections fork their own remote session, which sees GLOBAL
+    temp views only — callers must publish tables via
+    ``createOrReplaceGlobalTempView`` and address them as
+    ``global_temp.<name>``."""
     import os
     import socket
     import time
 
     if "port" in _THRIFT_STATE:
         return _THRIFT_STATE["port"]
-    port = 10200 + os.getpid() % 900
+
+    def port_free(p: int) -> bool:
+        with socket.socket() as s:
+            s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            try:
+                s.bind(("127.0.0.1", p))
+                return True
+            except OSError:
+                return False
+
+    port = next(
+        p
+        for p in (10200 + (os.getpid() + i) % 900 for i in range(900))
+        if port_free(p)
+    )
     spark.conf.set("hive.server2.thrift.port", str(port))
     jvm = spark._jvm
     jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(

@@ -25,13 +25,13 @@ _TMP = Path(__file__).resolve().parent.parent.parent / ".tmp"
 
 
 def _tmp(sf_dir: str, name: str) -> str:
-    # Keyed on basename + full-path hash (same contract as
-    # streaming/ops._staging_key): two sf_dirs sharing a basename must
-    # not overwrite each other's staged artifacts (minhash_sig_store,
-    # ivf_index, roundtrip sinks, ...).
-    from distributed_query_engine_spark.streaming.ops import _staging_key
+    # Keyed on basename + full-path hash (catalog.staging_key — the ONE
+    # keying scheme shared with streaming staging): two sf_dirs sharing
+    # a basename must not overwrite each other's staged artifacts
+    # (minhash_sig_store, ivf_index, roundtrip sinks, ...).
+    from distributed_query_engine_spark.catalog import staging_key
 
-    p = _TMP / _staging_key(sf_dir) / name
+    p = _TMP / staging_key(sf_dir) / name
     p.parent.mkdir(parents=True, exist_ok=True)
     return str(p)
 

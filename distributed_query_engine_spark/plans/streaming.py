@@ -397,8 +397,7 @@ def stream_state_store_read(spark, sf_dir):
 
     ev = ops.read_events_stream(spark, sf_dir)
     ops.run_to_memory(ops.watermark_window_agg(ev), "mem_state_read", "append")
-    ckpt = str(ops._TMP / "checkpoints" / "mem_state_read")
-    st = spark.read.format("statestore").load(ckpt)
+    st = spark.read.format("statestore").load(ops.LAST_RUN_CKPT["mem_state_read"])
     return st.select(
         F.col("key.window.start").alias("window_start"),
         F.col("key.window.end").alias("window_end"),

