@@ -423,3 +423,54 @@ def stream_dedup_within_watermark(spark, sf_dir):
     return ops.run_to_memory(
         ops.stream_dedup_keys_within_watermark(ev), "mem_dedup_wm", "append"
     )
+
+
+@query(
+    "stream_session_window_dynamic_gap",
+    # Gaps-and-islands with a PER-ROW gap: each event claims
+    # [ts, ts + gap(event_type)); a new session starts exactly when an
+    # event's ts exceeds the running max of all previously claimed ends
+    # (merging is transitive through any member's claim, hence the
+    # cumulative max, not lag-of-one).
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             ts + CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+                       ELSE INTERVAL 5 MINUTE END AS wend
+      FROM events
+    ),
+    x AS (
+      SELECT user_id, ts, wend,
+             max(wend) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_end
+      FROM g
+    ),
+    marks AS (
+      SELECT user_id, ts, wend,
+             CASE WHEN prev_end IS NULL OR ts > prev_end
+                  THEN 1 ELSE 0 END AS is_new
+      FROM x
+    ),
+    sess AS (
+      SELECT user_id, ts, wend,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(wend) AS session_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window_dynamic_gap(spark, sf_dir):
+    """Session windows with an event-dependent gap expression — see
+    streaming/ops.session_window_dynamic_gap_agg. The oracle derives
+    the merge semantics exactly: running-max claimed end per user, new
+    session iff the next event starts strictly after it."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(
+        ops.session_window_dynamic_gap_agg(ev), "mem_session_dyn", "complete"
+    )

@@ -111,6 +111,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "groupby_all",
     "scalar_try_family",
     "stream_dedup_within_watermark",
+    "stream_session_window_dynamic_gap",
 )
 
 

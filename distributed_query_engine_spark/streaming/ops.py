@@ -796,3 +796,26 @@ def stream_dedup_keys_within_watermark(events: DataFrame) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+def session_window_dynamic_gap_agg(events: DataFrame) -> DataFrame:
+    """Per-user session windows whose inactivity gap is an EXPRESSION of
+    the row (clicks keep a session alive 10 minutes, everything else 5)
+    — ``session_window(ts, gap_expr)``. Each event claims the range
+    [ts, ts + its own gap); overlapping-or-adjacent claims merge, so a
+    session's end is the max claimed end among its members. Dynamic
+    gaps are the realistic shape (engagement-dependent timeouts); the
+    merge state is identical to the static case."""
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
