@@ -1209,3 +1209,393 @@ def groupby_all(spark, sf_dir):
         FROM _gba_orders GROUP BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# r6 additions: large-order report (TPC-H Q18 shape), CDC merge/upsert,
+# SCD2 history build, and mergeable HLL sketch rollup — the warehouse
+# maintenance patterns a 100 TB corpus pipeline runs daily.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=lambda: f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {sql_dsum('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the aggregate-filtered
+    semi-join report. The only wide shuffle is the lineitem pre-
+    aggregation by order key (map-side combinable); the >300-quantity
+    filter makes the qualifying-order set TINY, so it broadcasts into
+    semi-joins that prune BOTH the lineitem and orders scans before the
+    report join — at 100 TB nothing but the qualifying orders' rows
+    ever leaves the scan stage, and the final grouping runs over a
+    relation the size of the answer. Customer is a broadcast dim."""
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_qty"))
+        .filter(F.col("_qty") > 300)
+        .select("l_orderkey")
+    )
+    l_big = t.lineitem.join(F.broadcast(big), "l_orderkey", "left_semi")
+    o_big = t.orders.join(
+        F.broadcast(big),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    return (
+        l_big.join(F.broadcast(o_big), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "merge_upsert_cdc",
+    oracle="""
+    WITH cdc AS (
+      SELECT c_custkey AS k, 'U' AS op, c_acctbal + 100.0 AS new_bal
+      FROM customer WHERE c_custkey % 97 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', NULL
+      FROM customer WHERE c_custkey % 89 = 3 AND c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I', 0.0
+      FROM customer WHERE c_custkey % 101 = 5
+    )
+    SELECT s.c_custkey, s.c_name, s.c_nationkey,
+           CASE WHEN c.op = 'U' THEN c.new_bal ELSE s.c_acctbal END
+             AS c_acctbal,
+           s.c_mktsegment
+    FROM customer s LEFT JOIN cdc c ON s.c_custkey = c.k
+    WHERE c.op IS NULL OR c.op = 'U'
+    UNION ALL
+    SELECT k, 'Customer#' || CAST(k AS VARCHAR),
+           CAST(k % 25 AS INTEGER), 0.0, 'NEW'
+    FROM cdc WHERE op = 'I'
+    """,
+)
+def merge_upsert_cdc(spark, sf_dir):
+    """MERGE / CDC-apply without a table format: apply a change batch
+    (update / delete / insert ops) to a dimension snapshot. The naive
+    plan is a FULL OUTER join — an unavoidable both-sides shuffle of
+    the whole snapshot. Because a CDC batch is tiny relative to the
+    dimension, the scale-correct plan is ONE scan of the snapshot with
+    a BROADCAST left join against the batch (deletes filtered, updates
+    coalesced in the projection), plus a union of the insert rows: the
+    100 TB snapshot is never shuffled or scanned twice. The batch here
+    is derived deterministically from the snapshot itself (update keys
+    % 97, delete keys % 89 made disjoint from updates, insert keys
+    offset into fresh key-space) so the oracle replays the identical
+    merge. Plan-asserted broadcast in tests/test_plans.py."""
+    s = Tables(spark, sf_dir).customer
+    k = F.col("c_custkey")
+    updates = s.filter(k % 97 == 0).select(
+        k.alias("k"),
+        F.lit("U").alias("op"),
+        (F.col("c_acctbal") + 100.0).alias("new_bal"),
+    )
+    deletes = s.filter((k % 89 == 3) & (k % 97 != 0)).select(
+        k.alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_bal"),
+    )
+    inserts = s.filter(k % 101 == 5).select(
+        (k + 1000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit(0.0).alias("new_bal"),
+    )
+    cdc = updates.unionByName(deletes).unionByName(inserts)
+    merged = (
+        s.join(
+            F.broadcast(cdc.filter(F.col("op") != "I")),
+            s.c_custkey == F.col("k"),
+            "left",
+        )
+        .filter(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    new_rows = cdc.filter(F.col("op") == "I").select(
+        F.col("k").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("k").cast("string")).alias("c_name"),
+        (F.col("k") % 25).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return merged.unionByName(new_rows)
+
+
+@query(
+    "scd2_from_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) AS BIGINT)
+             AS version
+    FROM changes
+    """,
+)
+def scd2_from_events(spark, sf_dir):
+    """SCD TYPE-2 history build from an event log: collapse each user's
+    event stream into change intervals — one row per event_type CHANGE,
+    with [valid_from, valid_to) validity and a version counter; the
+    open current row has valid_to NULL. Change detection is lag() over
+    (user_id, ts, event_id); interval close is lead() over the change
+    rows. Both windows share the user_id partitioning, so the whole
+    build costs ONE hash exchange of the log at 100 TB — the filter
+    between the two window passes preserves distribution and Catalyst
+    plans no second exchange (the event_id tiebreak pins tie order in
+    both engines)."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return ch.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
+
+
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT r_name,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_5pct
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_hll_sketch_merge(spark, sf_dir):
+    """MERGEABLE HLL SKETCHES (Spark 4 Apache DataSketches binding):
+    build one HLL sketch per nation, then UNION the sketch VALUES up to
+    region level — the pre-aggregation pattern that makes 100 TB
+    cardinality rollups cheap: fine-grained sketches are materialized
+    once (map-side combinable, constant bytes per group) and every
+    coarser rollup merges sketches instead of re-touching raw rows.
+    Sketch bytes are engine-specific, so the oracle contract mirrors
+    agg_approx_count_distinct: emit the exact distinct count plus a
+    boolean asserting the merged-sketch estimate lands within 5%. The
+    exact region count is the SUM of per-nation exact counts — valid
+    because c_custkey spaces are disjoint across nations (each customer
+    has exactly one nation), i.e. the same mergeability the sketch
+    provides for OVERLAPPING key spaces."""
+    t = Tables(spark, sf_dir)
+    per_nation = (
+        t.customer.join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(
+            F.hll_sketch_agg("c_custkey").alias("sk"),
+            F.countDistinct("c_custkey").alias("_exact"),
+        )
+    )
+    rolled = (
+        per_nation.join(
+            F.broadcast(t.region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+            F.sum("_exact").cast("long").alias("exact_customers"),
+        )
+    )
+    return rolled.select(
+        "r_name",
+        "exact_customers",
+        (
+            F.abs(F.col("_est") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s1) AS view_to_click,
+           CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s2) AS click_to_purchase
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """ORDERED-STEP FUNNEL (view → click → purchase) in ONE shuffle.
+    The SQL formulation is three chained aggregate+join stages — at
+    100 TB that is three exchanges of the event log plus two joins on a
+    users-sized relation too big to broadcast. The Spark-first plan
+    groups each user's step events ONCE (sort_array over collect_list)
+    and runs the funnel state machine as a JVM higher-order
+    ``F.aggregate`` lambda over the sorted array: stage k advances only
+    on the matching event type with ts STRICTLY after the previous
+    advance — exactly the ``MIN(ts) > prev`` semantics of the SQL, so
+    the oracle is the 3-CTE formulation while the engine pays one hash
+    exchange and zero Python. Per-user state is one (stage, ts) struct;
+    per-user arrays are bounded by that user's step-event count."""
+    ev = Tables(spark, sf_dir).events
+    steps = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "ts", "event_type")
+    per_user = steps.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp").alias("t"),
+    )
+    staged = per_user.select(
+        F.aggregate(
+            "seq",
+            init,
+            lambda acc, x: (
+                F.when(
+                    (acc.stage == 0) & (x.event_type == F.lit("view")),
+                    F.struct(F.lit(1).alias("stage"), x.ts.alias("t")),
+                )
+                .when(
+                    (acc.stage == 1)
+                    & (x.event_type == F.lit("click"))
+                    & (x.ts > acc.t),
+                    F.struct(F.lit(2).alias("stage"), x.ts.alias("t")),
+                )
+                .when(
+                    (acc.stage == 2)
+                    & (x.event_type == F.lit("purchase"))
+                    & (x.ts > acc.t),
+                    F.struct(F.lit(3).alias("stage"), x.ts.alias("t")),
+                )
+                .otherwise(acc)
+            ),
+        )["stage"].alias("stage")
+    )
+    return staged.agg(
+        F.sum((F.col("stage") >= 1).cast("long")).alias("n_view"),
+        F.sum((F.col("stage") >= 2).cast("long")).alias("n_click"),
+        F.sum((F.col("stage") >= 3).cast("long")).alias("n_purchase"),
+    ).select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        (F.col("n_click").cast("double") / F.col("n_view")).alias("view_to_click"),
+        (F.col("n_purchase").cast("double") / F.col("n_click")).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle=lambda: f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 100
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL PIPE SYNTAX (Spark 4, SQL:2023-style ``|>`` chains): each
+    stage consumes the previous stage's relation top-down —
+    scan |> filter |> aggregate |> post-agg filter |> order — the
+    linear form of the same logical plan the nested SELECT produces.
+    Catalyst compiles both to the identical plan (pushdown, partial
+    aggregation, TakeOrdered all still apply), so the oracle is the
+    classic GROUP BY/HAVING formulation. Registered because a user
+    migrating pipelines benefits from the operator-at-a-time reading
+    order; semantically it is pure surface syntax."""
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("_pipe_lineitem")
+    return spark.sql(
+        """
+        FROM _pipe_lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 100
+        |> ORDER BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, sum_qty
+        """
+    )

@@ -112,6 +112,12 @@ _DEFER_NEW: tuple[str, ...] = (
     "scalar_try_family",
     "stream_dedup_within_watermark",
     "stream_session_window_dynamic_gap",
+    "tpch_q18_large_orders",
+    "merge_upsert_cdc",
+    "scd2_from_events",
+    "agg_hll_sketch_merge",
+    "funnel_conversion",
+    "sql_pipe_syntax",
 )
 
 

@@ -167,3 +167,48 @@ def test_recursive_cte_runs_in_engine(spark, sf_dir):
     # union loop), not a driver-side iteration.
     plan = _plan(_q("sql_recursive_cte", spark, sf_dir))
     assert "UnionLoop" in plan or "Recursion" in plan, plan
+
+
+def test_merge_upsert_snapshot_never_shuffles(spark, sf_dir):
+    # The CDC-apply claim: ONE scan of the snapshot, batch applied via
+    # broadcast — a full-outer/sort-merge plan would shuffle the 100 TB
+    # snapshot twice.
+    plan = _plan(_q("merge_upsert_cdc", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_tpch_q18_semi_joins_broadcast(spark, sf_dir):
+    # The qualifying-order set must broadcast into LeftSemi prunes of
+    # both fact scans; the only allowed wide exchange is the lineitem
+    # pre-aggregation by order key.
+    plan = _plan(_q("tpch_q18_large_orders", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    # Change-detect window + interval-close window share the user_id
+    # partitioning: the whole history build must cost exactly one hash
+    # exchange of the event log.
+    plan = _plan(_q("scd2_from_events", spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_hll_rollup_is_sketch_merge(spark, sf_dir):
+    # Region rollup must merge nation-level sketch VALUES (hll_union_agg
+    # over the sketch column), not re-aggregate raw customer rows.
+    plan = _plan(_q("agg_hll_sketch_merge", spark, sf_dir))
+    assert "hll_union_agg" in plan
+    assert "hll_sketch_agg" in plan
+
+
+def test_funnel_single_user_exchange_no_python(spark, sf_dir):
+    # The funnel claim: one hash exchange (the user grouping; the final
+    # global aggregate is a SinglePartition exchange over 3 longs) and
+    # the state machine runs as a JVM higher-order lambda — no Python
+    # eval node anywhere.
+    plan = _plan(_q("funnel_conversion", spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan
