@@ -495,3 +495,57 @@ def test_late_data_drops_are_real(spark, sf_dir):
     # the COVERAGE.md claim, asserted for real: the straggler batch's
     # rows show up in the engine's numRowsDroppedByWatermark metric
     assert ops.LAST_RUN_DROPPED["mem_late_drops"] > 0
+
+
+def test_merge_upsert_cdc_invariants(spark, sf_dir):
+    # Semantic invariants of the CDC apply, independent of the oracle:
+    # |result| = |snapshot| - |deletes| + |inserts|; every update key's
+    # balance moved by exactly +100; inserted keys live in fresh
+    # key-space and carry the synthesized dimension attributes.
+    from distributed_query_engine_spark.registry import all_queries
+    from pyspark.sql import functions as F
+    from distributed_query_engine_spark.catalog import Tables
+
+    snap = Tables(spark, sf_dir).customer
+    k = F.col("c_custkey")
+    n_snap = snap.count()
+    n_upd = snap.filter(k % 97 == 0).count()
+    n_del = snap.filter((k % 89 == 3) & (k % 97 != 0)).count()
+    n_ins = snap.filter(k % 101 == 5).count()
+    assert n_upd > 0 and n_del > 0 and n_ins > 0  # the batch is non-trivial
+
+    merged = all_queries()["merge_upsert_cdc"](spark, sf_dir)
+    assert merged.count() == n_snap - n_del + n_ins
+
+    old = {r["c_custkey"]: r["c_acctbal"]
+           for r in snap.filter(k % 97 == 0).collect()}
+    new = {r["c_custkey"]: r["c_acctbal"]
+           for r in merged.filter(k % 97 == 0).filter(k < 1000000).collect()}
+    assert set(new) == set(old)
+    assert all(abs(new[key] - old[key] - 100.0) < 1e-9 for key in old)
+
+    ins = merged.filter(k >= 1000000)
+    assert ins.count() == n_ins
+    assert ins.filter(F.col("c_mktsegment") != "NEW").count() == 0
+
+
+def test_scd2_intervals_partition_time(spark, sf_dir):
+    # SCD2 output is a valid history: per user, intervals are disjoint,
+    # ordered, versions are 1..n, exactly one open (NULL valid_to) row,
+    # and consecutive rows change event_type.
+    from distributed_query_engine_spark.registry import all_queries
+
+    rows = all_queries()["scd2_from_events"](spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(1 for r in hist if r["valid_to"] is None) == 1
+        assert hist[-1]["valid_to"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to"] == b["valid_from"]  # contiguous intervals
+            assert a["valid_from"] < b["valid_from"]
+            assert a["event_type"] != b["event_type"]
