@@ -1599,3 +1599,107 @@ def sql_pipe_syntax(spark, sf_dir):
         |> SELECT l_returnflag, l_linestatus, n, sum_qty
         """
     )
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB replay of the exact fixed-point PageRank (operators/graph.py):
+    5 chained CTE iterations of the identical integer arithmetic."""
+    from distributed_query_engine_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        UNIT,
+    )
+
+    base = (DAMP_DEN - DAMP_NUM) * UNIT
+    its = []
+    for k in range(1, 6):
+        its.append(
+            f"""r{k} AS (
+      SELECT e.dst AS node,
+             CAST(CAST({base} AS BIGINT) // ({DAMP_DEN} * nn.n)
+                  + ({DAMP_NUM} * CAST(SUM(r{k - 1}.r // deg.d) AS BIGINT))
+                    // {DAMP_DEN} AS BIGINT) AS r
+      FROM edges e
+      JOIN r{k - 1} ON e.src = r{k - 1}.node
+      JOIN deg ON e.src = deg.src
+      CROSS JOIN nn
+      GROUP BY e.dst, nn.n
+    )"""
+        )
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    r0 AS (
+      SELECT src AS node, CAST(CAST({UNIT} AS BIGINT) // nn.n AS BIGINT) AS r
+      FROM deg CROSS JOIN nn
+    ),
+    {chain}
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           r AS rank_fp,
+           CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+    FROM r5
+    ORDER BY rank_fp DESC, node
+    LIMIT 25
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle)
+def graph_pagerank(spark, sf_dir):
+    """Distributed PAGERANK over the customer–supplier trade graph
+    (edges = distinct (customer, supplier) pairs linked by an order
+    line, symmetrized so every node has degree >= 1). The second
+    iterative algorithm family next to connected components: a FIXED
+    iteration count of damped score diffusion, one rank-join + one
+    aggregation per iteration. Ranks are exact BIGINT micro-units
+    (operators/graph.py) so the 5 iterations are bit-replicable by the
+    DuckDB CTE-chain oracle — no float drift under any partitioning.
+    The iteration-invariant edge relation is hash-partitioned by src
+    and localCheckpoint-ed ONCE (at cluster scale: ``checkpoint``), so
+    per-iteration cost is moving the node-sized rank relation, not
+    re-deriving the trade graph."""
+    from distributed_query_engine_spark.operators.graph import pagerank_fixed_point
+
+    t = Tables(spark, sf_dir)
+    pairs = (
+        t.orders.join(
+            t.lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    ranks = pagerank_fixed_point(edges, iterations=5)
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.col("r").alias("rank_fp"),
+            (F.col("r").cast("double") / F.lit(1e12)).alias("rank"),
+        )
+        .orderBy(F.col("rank_fp").desc(), "node")
+        .limit(25)
+    )

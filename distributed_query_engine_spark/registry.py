@@ -118,6 +118,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "agg_hll_sketch_merge",
     "funnel_conversion",
     "sql_pipe_syntax",
+    "graph_pagerank",
 )
 
 

@@ -549,3 +549,42 @@ def test_scd2_intervals_partition_time(spark, sf_dir):
             assert a["valid_to"] == b["valid_from"]  # contiguous intervals
             assert a["valid_from"] < b["valid_from"]
             assert a["event_type"] != b["event_type"]
+
+
+def test_pagerank_fixed_point_matches_python_reference(spark):
+    # The integer recurrence is engine-independent by construction:
+    # replay it in plain Python over a small asymmetric graph and
+    # require bit-equality with the distributed result.
+    from distributed_query_engine_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        UNIT,
+        pagerank_fixed_point,
+    )
+
+    raw = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1), (1, 4), (3, 4), (4, 3)]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    got = {
+        r["node"]: r["r"]
+        for r in pagerank_fixed_point(edges, iterations=5).collect()
+    }
+
+    out = {}
+    for s, d in raw:
+        out.setdefault(s, []).append(d)
+    n = len(out)
+    ranks = {v: UNIT // n for v in out}
+    for _ in range(5):
+        recv = {}
+        for s, targets in out.items():
+            c = ranks[s] // len(targets)
+            for d in targets:
+                recv[d] = recv.get(d, 0) + c
+        ranks = {
+            v: (DAMP_DEN - DAMP_NUM) * UNIT // (DAMP_DEN * n)
+            + DAMP_NUM * s_ // DAMP_DEN
+            for v, s_ in recv.items()
+        }
+    assert got == ranks
+    # mass conservation up to integer-truncation loss
+    assert 0.98 * UNIT < sum(got.values()) <= UNIT

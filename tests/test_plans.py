@@ -212,3 +212,12 @@ def test_funnel_single_user_exchange_no_python(spark, sf_dir):
     plan = _plan(_q("funnel_conversion", spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "EvalPython" not in plan
+
+
+def test_pagerank_iterations_reuse_checkpointed_edges(spark, sf_dir):
+    # The trade graph must be derived (orders ⋈ lineitem) exactly once:
+    # after the localCheckpoint, all 5 iterations read the materialized
+    # edge relation — no parquet scan may survive into the rank plan.
+    plan = _plan(_q("graph_pagerank", spark, sf_dir))
+    assert "ExistingRDD" in plan
+    assert "parquet" not in plan.lower(), plan[:2000]
