@@ -1703,3 +1703,76 @@ def graph_pagerank(spark, sf_dir):
         .orderBy(F.col("rank_fp").desc(), "node")
         .limit(25)
     )
+
+
+@query(
+    "timeseries_resample_ffill",
+    oracle=lambda: f"""
+    WITH ev AS (SELECT * FROM events WHERE user_id < 8),
+    per_hour AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             {sql_dsum('value')} AS hour_value
+      FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM ev GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    joined AS (
+      SELECT g.user_id, g.hour, p.hour_value
+      FROM grid g LEFT JOIN per_hour p
+        ON g.user_id = p.user_id AND g.hour = p.hour
+    )
+    SELECT user_id, hour, hour_value,
+           hour_value IS NULL AS is_gap,
+           LAST_VALUE(hour_value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value
+    FROM joined
+    """,
+)
+def timeseries_resample_ffill(spark, sf_dir):
+    """TIME-SERIES RESAMPLE + GAP-FILL: align each user's irregular
+    event stream to a fixed hourly grid (sequence() exploded between
+    per-user bounds — generated DISTRIBUTED, one row group per user,
+    never on the driver), left-join the hourly aggregates, and
+    forward-fill gaps with last(ignorenulls) over the time order. The
+    hourly aggregation, the grid join, and the fill window all share
+    the user partitioning; the fill is a running frame, so state per
+    user is one value. At 100 TB the grid explode is linear in
+    user-hours and the only wide exchanges are the per-hour aggregate
+    and the per-user window — no driver-side calendar materialization
+    anywhere."""
+    ev = Tables(spark, sf_dir).events.filter(F.col("user_id") < 8)
+    per_hour = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(dsum("value", "hour_value"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    joined = grid.join(per_hour, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        "hour_value",
+        F.col("hour_value").isNull().alias("is_gap"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+    )

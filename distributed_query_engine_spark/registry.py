@@ -119,6 +119,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "funnel_conversion",
     "sql_pipe_syntax",
     "graph_pagerank",
+    "timeseries_resample_ffill",
 )
 
 

@@ -221,3 +221,12 @@ def test_pagerank_iterations_reuse_checkpointed_edges(spark, sf_dir):
     plan = _plan(_q("graph_pagerank", spark, sf_dir))
     assert "ExistingRDD" in plan
     assert "parquet" not in plan.lower(), plan[:2000]
+
+
+def test_resample_grid_is_generated_distributed(spark, sf_dir):
+    # The hourly grid must come from an exploded sequence() inside the
+    # plan (a Generate node), never a driver-built calendar, and the
+    # whole resample+fill stays JVM-side.
+    plan = _plan(_q("timeseries_resample_ffill", spark, sf_dir))
+    assert "Generate explode" in plan, plan[:1500]
+    assert "EvalPython" not in plan
