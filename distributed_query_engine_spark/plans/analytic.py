@@ -1267,31 +1267,13 @@ def tpch_q18_large_orders(spark, sf_dir):
     )
 
 
-@query(
-    "merge_upsert_cdc",
-    oracle="""
-    WITH cdc AS (
-      SELECT c_custkey AS k, 'U' AS op, c_acctbal + 100.0 AS new_bal
-      FROM customer WHERE c_custkey % 97 = 0
-      UNION ALL
-      SELECT c_custkey, 'D', NULL
-      FROM customer WHERE c_custkey % 89 = 3 AND c_custkey % 97 <> 0
-      UNION ALL
-      SELECT c_custkey + 1000000, 'I', 0.0
-      FROM customer WHERE c_custkey % 101 = 5
-    )
-    SELECT s.c_custkey, s.c_name, s.c_nationkey,
-           CASE WHEN c.op = 'U' THEN c.new_bal ELSE s.c_acctbal END
-             AS c_acctbal,
-           s.c_mktsegment
-    FROM customer s LEFT JOIN cdc c ON s.c_custkey = c.k
-    WHERE c.op IS NULL OR c.op = 'U'
-    UNION ALL
-    SELECT k, 'Customer#' || CAST(k AS VARCHAR),
-           CAST(k % 25 AS INTEGER), 0.0, 'NEW'
-    FROM cdc WHERE op = 'I'
-    """,
-)
+def _merge_oracle() -> str:
+    from distributed_query_engine_spark.operators.cdc import MERGE_ORACLE_SQL
+
+    return MERGE_ORACLE_SQL
+
+
+@query("merge_upsert_cdc", oracle=_merge_oracle)
 def merge_upsert_cdc(spark, sf_dir):
     """MERGE / CDC-apply without a table format: apply a change batch
     (update / delete / insert ops) to a dimension snapshot. The naive
@@ -1300,54 +1282,15 @@ def merge_upsert_cdc(spark, sf_dir):
     dimension, the scale-correct plan is ONE scan of the snapshot with
     a BROADCAST left join against the batch (deletes filtered, updates
     coalesced in the projection), plus a union of the insert rows: the
-    100 TB snapshot is never shuffled or scanned twice. The batch here
-    is derived deterministically from the snapshot itself (update keys
-    % 97, delete keys % 89 made disjoint from updates, insert keys
-    offset into fresh key-space) so the oracle replays the identical
-    merge. Plan-asserted broadcast in tests/test_plans.py."""
+    100 TB snapshot is never shuffled or scanned twice. The batch
+    derivation and the apply live in operators/cdc.py, SHARED with the
+    streaming maintenance loop (stream_cdc_apply) so both provably run
+    the same merge and share the same oracle. Plan-asserted broadcast
+    in tests/test_plans.py."""
+    from distributed_query_engine_spark.operators.cdc import apply_cdc, cdc_batch
+
     s = Tables(spark, sf_dir).customer
-    k = F.col("c_custkey")
-    updates = s.filter(k % 97 == 0).select(
-        k.alias("k"),
-        F.lit("U").alias("op"),
-        (F.col("c_acctbal") + 100.0).alias("new_bal"),
-    )
-    deletes = s.filter((k % 89 == 3) & (k % 97 != 0)).select(
-        k.alias("k"),
-        F.lit("D").alias("op"),
-        F.lit(None).cast("double").alias("new_bal"),
-    )
-    inserts = s.filter(k % 101 == 5).select(
-        (k + 1000000).alias("k"),
-        F.lit("I").alias("op"),
-        F.lit(0.0).alias("new_bal"),
-    )
-    cdc = updates.unionByName(deletes).unionByName(inserts)
-    merged = (
-        s.join(
-            F.broadcast(cdc.filter(F.col("op") != "I")),
-            s.c_custkey == F.col("k"),
-            "left",
-        )
-        .filter(F.col("op").isNull() | (F.col("op") == "U"))
-        .select(
-            "c_custkey",
-            "c_name",
-            "c_nationkey",
-            F.when(F.col("op") == "U", F.col("new_bal"))
-            .otherwise(F.col("c_acctbal"))
-            .alias("c_acctbal"),
-            "c_mktsegment",
-        )
-    )
-    new_rows = cdc.filter(F.col("op") == "I").select(
-        F.col("k").alias("c_custkey"),
-        F.concat(F.lit("Customer#"), F.col("k").cast("string")).alias("c_name"),
-        (F.col("k") % 25).cast("int").alias("c_nationkey"),
-        F.lit(0.0).alias("c_acctbal"),
-        F.lit("NEW").alias("c_mktsegment"),
-    )
-    return merged.unionByName(new_rows)
+    return apply_cdc(s, cdc_batch(s))
 
 
 @query(

@@ -474,3 +474,20 @@ def stream_session_window_dynamic_gap(spark, sf_dir):
     return ops.run_to_memory(
         ops.session_window_dynamic_gap_agg(ev), "mem_session_dyn", "complete"
     )
+
+
+def _cdc_oracle() -> str:
+    from distributed_query_engine_spark.operators.cdc import MERGE_ORACLE_SQL
+
+    return MERGE_ORACLE_SQL
+
+
+@query("stream_cdc_apply", oracle=_cdc_oracle)
+def stream_cdc_apply(spark, sf_dir):
+    """Streaming dimension maintenance: CDC micro-batches folded onto a
+    versioned parquet snapshot via the shared broadcast merge
+    (operators/cdc.py) — the final snapshot is exactly the one-shot
+    batch merge (disjoint-key batches commute), so the oracle is the
+    same MERGE SQL the batch query uses. See streaming/ops.py for the
+    copy-on-write version/pointer mechanism."""
+    return ops.stream_cdc_apply(spark, sf_dir)

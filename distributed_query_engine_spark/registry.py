@@ -120,6 +120,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "sql_pipe_syntax",
     "graph_pagerank",
     "timeseries_resample_ffill",
+    "stream_cdc_apply",
 )
 
 

@@ -588,3 +588,19 @@ def test_pagerank_fixed_point_matches_python_reference(spark):
     assert got == ranks
     # mass conservation up to integer-truncation loss
     assert 0.98 * UNIT < sum(got.values()) <= UNIT
+
+
+def test_stream_cdc_apply_is_multibatch_and_matches_batch_merge(spark, sf_dir):
+    # The streaming loop must run one micro-batch per CDC slice and
+    # land on EXACTLY the one-shot batch merge (disjoint-key batches
+    # commute) — the same discipline stream_ingest_dedup pins.
+    from distributed_query_engine_spark.registry import all_queries
+    from distributed_query_engine_spark.streaming import ops
+
+    qs = all_queries()
+    streamed = qs["stream_cdc_apply"](spark, sf_dir)
+    batch = qs["merge_upsert_cdc"](spark, sf_dir)
+    assert ops.LAST_RUN_BATCHES["cdc_apply"] == 3
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
