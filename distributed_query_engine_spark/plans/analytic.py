@@ -1719,3 +1719,44 @@ def timeseries_resample_ffill(spark, sf_dir):
         F.col("hour_value").isNull().alias("is_gap"),
         F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT n.n_name, l.c_custkey, l.c_name, l.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey, c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 3) l
+    """,
+)
+def join_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery with ORDER BY + LIMIT — "for each
+    nation, its top-3 customers by balance" written the way a SQL user
+    thinks it (a per-row subquery). Naively that is a re-executed query
+    per outer row; Catalyst DECORRELATES it into one distributed
+    partial top-k (WindowGroupLimit: per-partition prune, then final
+    prune after the exchange — plan-asserted) joined to the outer
+    relation — the identical plan class as the hand-written
+    topk_per_group, so the declarative form costs nothing at 100 TB.
+    The c_custkey tiebreak pins tied balances for the exact oracle.
+
+    Plan gotcha this query pins: the sort keys must appear in the
+    subquery's SELECT list. If an ORDER BY column (here c_custkey) is
+    NOT projected, Catalyst can't fold the sort into the row_number
+    window and instead plans a GLOBAL range-sort of the inner relation
+    before the per-group limit — a full-table sort at 100 TB. The
+    plan assertion fails on that shape (rangepartitioning forbidden)."""
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("_lat_nation")
+    t.customer.createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_custkey, l.c_name, l.c_acctbal
+        FROM _lat_nation n,
+        LATERAL (SELECT c_custkey, c_name, c_acctbal FROM _lat_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 3) l
+        """
+    )

@@ -121,6 +121,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "graph_pagerank",
     "timeseries_resample_ffill",
     "stream_cdc_apply",
+    "join_lateral_topn",
 )
 
 

@@ -230,3 +230,17 @@ def test_resample_grid_is_generated_distributed(spark, sf_dir):
     plan = _plan(_q("timeseries_resample_ffill", spark, sf_dir))
     assert "Generate explode" in plan, plan[:1500]
     assert "EvalPython" not in plan
+
+
+def test_lateral_topn_decorrelates_to_group_limit(spark, sf_dir):
+    # The per-nation LATERAL subquery must compile to ONE distributed
+    # partial top-k (WindowGroupLimit) + join, never a per-outer-row
+    # re-execution (which would appear as a nested loop over the inner
+    # query or a cartesian).
+    plan = _plan(_q("join_lateral_topn", spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    # the un-projected-sort-key trap (see docstring): a global range
+    # sort of the inner relation means decorrelation fell back to
+    # sort-then-limit — a full-table sort at scale
+    assert "rangepartitioning" not in plan
