@@ -192,3 +192,48 @@ def test_simhash_grouped_pairs_equal_naive_prefix_join(spark, docs):
                 if ham <= 6:
                     want.add((a, b, ham))
     assert got == want
+
+
+events_st = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # tiny ts domain → guaranteed collisions
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=300, deadline=None)  # pure Python — explore widely
+@given(events=events_st)
+def test_funnel_state_machine_equals_chained_min_sql(events):
+    # The funnel query's core claim (plans/analytic.funnel_conversion):
+    # the greedy strict-advance state machine over the (ts, type)-sorted
+    # event array computes the SAME stage as the SQL oracle's chained
+    # "MIN(ts) strictly after the previous step" formulation — including
+    # on equal-timestamp collisions, which the fixed testdata never hits.
+    def sql_stage(evs):
+        t1 = min((t for t, y in evs if y == "view"), default=None)
+        if t1 is None:
+            return 0
+        t2 = min((t for t, y in evs if y == "click" and t > t1), default=None)
+        if t2 is None:
+            return 1
+        t3 = min(
+            (t for t, y in evs if y == "purchase" and t > t2), default=None
+        )
+        return 2 if t3 is None else 3
+
+    def machine_stage(evs):
+        stage, last = 0, None
+        for t, y in sorted(evs):  # (ts, event_type) struct order
+            if stage == 0 and y == "view":
+                stage, last = 1, t
+            elif stage == 1 and y == "click" and t > last:
+                stage, last = 2, t
+            elif stage == 2 and y == "purchase" and t > last:
+                stage, last = 3, t
+        return stage
+
+    steps = [(t, y) for t, y in events if y != "error"]
+    assert machine_stage(steps) == sql_stage(steps)
