@@ -242,3 +242,37 @@ def udtf_polymorphic(spark, sf_dir):
         "SELECT n.n_nationkey, t.c0, t.c1 FROM _udtf_nation n, "
         "LATERAL split_cols(n.n_name, 2) t"
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+                THEN 'expedite' ELSE 'standard' END AS lane
+    FROM orders
+    """,
+)
+def udf_arrow_scalar(spark, sf_dir):
+    # The Spark 4 middle tier between row-Python and pandas_udf:
+    # ``@udf(useArrow=True)`` keeps the per-row Python function
+    # signature (no pandas required in user code) but ships batches as
+    # Arrow buffers instead of pickled rows — the drop-in migration for
+    # legacy row UDFs. Arithmetic mirrors the HALF_UP cents contract
+    # (functions/deterministic.cents_sum) so the oracle is exact.
+    @udf(returnType="cents long, lane string", useArrow=True)
+    def classify(price: float, prio: str):
+        import math
+
+        cents = int(math.floor(abs(price * 100.0) + 0.5)) * (
+            1 if price >= 0 else -1
+        )
+        lane = "expedite" if prio[:2] in ("1-", "2-") else "standard"
+        return (cents, lane)
+
+    o = Tables(spark, sf_dir).orders
+    out = o.select(
+        "o_orderkey", classify("o_totalprice", "o_orderpriority").alias("c")
+    )
+    return out.select("o_orderkey", "c.cents", "c.lane")

@@ -122,6 +122,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "timeseries_resample_ffill",
     "stream_cdc_apply",
     "join_lateral_topn",
+    "udf_arrow_scalar",
 )
 
 
