@@ -707,18 +707,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     Groups are disjoint and each doc has one simhash, so each unordered
     pair appears exactly once; set-identical to the naive join."""
     sh = simhash(docs)
-    groups = sh.groupBy("simhash").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("members")
-    ).localCheckpoint()
-    par = SALT_GROUPS * 4
-    within = (
-        groups.filter(F.size("members") > 1)
-        .select("members", F.explode("members").alias("doc_a"))
-        .repartition(par, "doc_a")
-        .select("doc_a", F.explode("members").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.lit(0).cast("long").alias("hamming"))
-    )
+    groups, par = _simhash_groups(sh)
+    within = _within_group_pairs(groups, par)
     vals = groups.select("simhash", F.shiftright("simhash", 16).alias("prefix"))
     a = vals.select(
         F.col("simhash").alias("sh_a"),
@@ -742,7 +732,41 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    cross = (
+    cross = _expand_value_pairs(groups, val_pairs, par)
+    return within.unionByName(cross)
+
+
+def _simhash_groups(sh: DataFrame):
+    """Collapse identical simhash values to (value, sorted members)
+    group rows — the skew shield shared by every simhash blocker."""
+    groups = (
+        sh.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .localCheckpoint()
+    )
+    return groups, SALT_GROUPS * 4
+
+
+def _within_group_pairs(groups: DataFrame, par: int) -> DataFrame:
+    """hamming = 0 pairs: every member pair of a group qualifies; the
+    double explode is split by a repartition so a k-member group's k²
+    expansion spreads across ``par`` tasks."""
+    return (
+        groups.filter(F.size("members") > 1)
+        .select("members", F.explode("members").alias("doc_a"))
+        .repartition(par, "doc_a")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("long").alias("hamming"))
+    )
+
+
+def _expand_value_pairs(
+    groups: DataFrame, val_pairs: DataFrame, par: int
+) -> DataFrame:
+    """(sh_a, sh_b, hamming) value pairs → member doc pairs, with the
+    two explodes split by a repartition (same discipline as above)."""
+    return (
         val_pairs.join(
             groups.select(F.col("simhash").alias("sh_a"), F.col("members").alias("ma")),
             "sh_a",
@@ -760,7 +784,77 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
             "hamming",
         )
     )
-    return within.unionByName(cross.select("doc_a", "doc_b", "hamming"))
+
+
+SIMHASH_BANDS = 8
+SIMHASH_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS  # 4 bits per band
+
+
+def simhash_near_pairs_multiband(
+    docs: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Simhash near-pairs with MULTI-BAND blocking and a RECALL
+    GUARANTEE: the 32-bit simhash splits into 8 bands of 4 bits, and
+    candidates are value pairs agreeing on AT LEAST ONE band. By
+    pigeonhole, hamming ≤ 7 bit flips can dirty at most 7 of the 8
+    bands — so every pair within ``max_hamming`` ≤ 7 SHARES a clean
+    band and is guaranteed found. The top-16-bit prefix blocker
+    (:func:`simhash_near_pairs`) misses close pairs whose differing
+    bits fall in the prefix; this variant's oracle is therefore the
+    UNRESTRICTED hamming self-join — exact completeness, stated as SQL.
+
+    Mechanics mirror :func:`candidate_pairs` exactly: the banded
+    relation is 8× the distinct-value relation (tiny), side A salted by
+    hash(value), side B replicated ×SALT_GROUPS, and a pair colliding
+    in several bands is kept only at its first agreeing band via the
+    carried band_keys arrays (codegen filter, no distinct). Identical
+    values collapse to groups first, same as the prefix variant."""
+    sh = simhash(docs)
+    groups, par = _simhash_groups(sh)
+    within = _within_group_pairs(groups, par)
+    band_keys = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * SIMHASH_BAND_WIDTH).bitwiseAND(
+                (1 << SIMHASH_BAND_WIDTH) - 1
+            )
+            for i in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = groups.select(
+        "simhash", band_keys.alias("band_keys")
+    ).select(
+        "simhash",
+        "band_keys",
+        F.posexplode("band_keys").alias("band", "band_key"),
+    )
+    a = banded.withColumn(
+        "salt", F.pmod(F.xxhash64("simhash"), F.lit(SALT_GROUPS))
+    ).alias("a")
+    b = banded.withColumn(
+        "salt",
+        F.explode(F.array(*[F.lit(g) for g in range(SALT_GROUPS)])),
+    ).alias("b")
+    earlier = F.exists(
+        F.sequence(F.lit(0), F.col("band") - 1),
+        lambda j: F.col("a.band_keys")[j] == F.col("b.band_keys")[j],
+    )
+    first_band = F.when(F.col("band") == 0, F.lit(True)).otherwise(~earlier)
+    val_pairs = (
+        a.join(b, ["band", "band_key", "salt"])
+        .filter((F.col("a.simhash") < F.col("b.simhash")) & first_band)
+        .select(
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    cross = _expand_value_pairs(groups, val_pairs, par)
+    return within.unionByName(cross)
 
 
 # --- n-gram Jaccard --------------------------------------------------------

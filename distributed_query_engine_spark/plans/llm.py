@@ -954,6 +954,33 @@ def llm_dedup_simhash(spark, sf_dir):
 
 
 @query(
+    "llm_dedup_simhash_multiband",
+    # The multiband blocker (8 bands x 4 bits) has GUARANTEED recall for
+    # hamming <= 7 by pigeonhole, so the oracle is the UNRESTRICTED
+    # hamming self-join -- exact completeness stated as SQL (the prefix
+    # variant's oracle must replicate its own blocking instead).
+    oracle=lambda: f"""
+    WITH {_tokens_cte(hashed=True)},
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tt GROUP BY doc_id),
+    sh AS (SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM sums)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def llm_dedup_simhash_multiband(spark, sf_dir):
+    """Complete-recall simhash near-dup pairs: multi-band LSH blocking
+    (operators/dedup.simhash_near_pairs_multiband) whose candidate set
+    provably contains EVERY pair within hamming 6 -- the all-pairs
+    oracle is the completeness proof, while the engine never runs an
+    all-pairs join (banded + salted + group-collapsed, same skew
+    discipline as the minhash pipeline)."""
+    d = Tables(spark, sf_dir).documents
+    return D.simhash_near_pairs_multiband(d, max_hamming=6)
+
+
+@query(
     "llm_dedup_ngram",
     # Mirrors operators/dedup.py::ngram_jaccard_pairs — the SAME banded-
     # minhash LSH as the word-token pipeline, run over distinct word

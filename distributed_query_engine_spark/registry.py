@@ -123,6 +123,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "stream_cdc_apply",
     "join_lateral_topn",
     "udf_arrow_scalar",
+    "llm_dedup_simhash_multiband",
 )
 
 

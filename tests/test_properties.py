@@ -237,3 +237,31 @@ def test_funnel_state_machine_equals_chained_min_sql(events):
 
     steps = [(t, y) for t, y in events if y != "error"]
     assert machine_stage(steps) == sql_stage(steps)
+
+
+@SET
+@given(docs=docs_st)
+def test_simhash_multiband_has_complete_recall(spark, docs):
+    # The pigeonhole guarantee: multiband blocking (8 bands x 4 bits)
+    # must find EVERY pair within hamming 6 — compare against the
+    # brute-force all-pairs hamming join on random micro-corpora, and
+    # confirm it is a superset of what prefix blocking finds.
+    rows = [(i, " ".join(toks), "en") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sh = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    brute = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 6
+    }
+    multi = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_near_pairs_multiband(df, max_hamming=6).collect()
+    }
+    assert multi == brute
+    prefix = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_near_pairs(df, max_hamming=6).collect()
+    }
+    assert prefix <= set(multi)
