@@ -183,3 +183,43 @@ def window_ntile_percent(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id, value,
+           median(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             AS rolling_median
+    FROM events
+    WHERE user_id < 8
+    """,
+)
+def window_rolling_median(spark, sf_dir):
+    """ROLLING MEDIAN over a trailing 5-row frame. Spark has no median
+    window aggregate, and a Python UDAF would serialize every frame —
+    instead the frame is collected with collect_list OVER the frame
+    (bounded: 5 doubles of state), sorted, and the middle picked with
+    pure array expressions; the even-count case averages the two middle
+    values exactly as DuckDB's median does, so the oracle is the native
+    window median. All JVM expression code — the pattern generalizes to
+    any exact order statistic over BOUNDED frames at 100 TB (unbounded
+    frames need a different algorithm; that's agg_median's job)."""
+    ev = Tables(spark, sf_dir).events.filter(F.col("user_id") < 8)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        ((mid_lo + mid_hi) / 2).alias("rolling_median"),
+    )

@@ -124,6 +124,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "join_lateral_topn",
     "udf_arrow_scalar",
     "llm_dedup_simhash_multiband",
+    "window_rolling_median",
 )
 
 
