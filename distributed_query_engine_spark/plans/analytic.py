@@ -1760,3 +1760,86 @@ def join_lateral_topn(spark, sf_dir):
                  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) l
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust time-series anomaly detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+# 3-sigma-equivalent MAD multiplier: 3 * 1.4826 (the normal-consistency
+# constant). One literal so Spark and the oracle share the exact double.
+_MAD_K = 4.4478
+
+
+@query(
+    "timeseries_anomaly_mad",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v
+      FROM events
+    ),
+    med AS (SELECT event_type, median(v) AS med_milli FROM iv GROUP BY 1),
+    dev AS (
+      SELECT i.event_type, abs(i.v - m.med_milli) AS adev, m.med_milli
+      FROM iv i JOIN med m USING (event_type)
+    ),
+    mad AS (SELECT event_type, median(adev) AS mad_milli FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           min(d.med_milli) AS med_milli,
+           min(x.mad_milli) AS mad_milli,
+           CAST(SUM(CASE WHEN d.adev > x.mad_milli * {_MAD_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM dev d JOIN mad x USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def timeseries_anomaly_mad(spark, sf_dir):
+    """ROBUST OUTLIER DETECTION per event type: median / MAD (median
+    absolute deviation) with the 3-sigma-equivalent cut |x - med| >
+    3 * 1.4826 * MAD — the standard robust alternative to mean/stddev
+    z-scores, immune to the very outliers it hunts. Values are
+    integerized first (floor(value*1000) — floor, not round, so no
+    cross-engine tie-rounding question exists at all): medians of
+    integer-valued data interpolate to exact half-integers, keeping
+    both medians and every derived comparison bit-identical in IEEE
+    double across engines (the agg_median discipline, applied twice).
+
+    Scale shape: two grouped exact medians + two BROADCAST joins of the
+    per-type stats (the dimension side is |event_type| rows) + one
+    final partial-aggregated count — the events relation shuffles only
+    into the two median aggregations. Exact per-group medians buffer a
+    group's values on one task, so a 100 TB deployment with heavy
+    per-type volume flips them to approx_percentile(..., accuracy) and
+    keeps this exact path for audit samples — the same
+    measured-not-assumed contract as agg_percentile. The skew-critical
+    part (the anomaly COUNT) is partial-aggregated map-side either
+    way."""
+    ev = Tables(spark, sf_dir).events
+    iv = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    med = iv.groupBy("event_type").agg(
+        F.median("v").alias("med_milli")
+    )
+    dev = iv.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("v") - F.col("med_milli")).alias("adev"),
+        "med_milli",
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad_milli"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med_milli").alias("med_milli"),
+            F.min("mad_milli").alias("mad_milli"),
+            F.sum(
+                F.when(F.col("adev") > F.col("mad_milli") * _MAD_K, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+    )

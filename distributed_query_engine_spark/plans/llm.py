@@ -1662,3 +1662,92 @@ def llm_train_val_test_split(spark, sf_dir):
             F.count_distinct("lang").cast("long").alias("n_langs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization
+# ---------------------------------------------------------------------------
+
+# Round-half-away-from-zero as PURE INTEGER arithmetic: for a, m >= 0,
+# round(a * 127 / m) == (2*a*127 + m) div (2*m). No floating point
+# anywhere in the quantized values, so Spark and DuckDB agree bit-for-bit
+# with no rounding-mode caveats (Spark double `round` is HALF_UP,
+# DuckDB's is C-style — identical on exact ties, but the DIVISION that
+# produces the tie is where cross-engine drift creeps in; integer
+# arithmetic removes the question entirely).
+_QUANT_SPARK = (
+    "transform(ivec, x -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT) "
+    "WHEN x >= 0 THEN (2*x*127 + maxabs) div (2*maxabs) "
+    "ELSE -((2*(-x)*127 + maxabs) div (2*maxabs)) END)"
+)
+_QUANT_DUCK = (
+    "list_transform(ivec, x -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT) "
+    "WHEN x >= 0 THEN (2*x*127 + maxabs) // (2*maxabs) "
+    "ELSE -((2*(-x)*127 + maxabs) // (2*maxabs)) END)"
+)
+
+
+@query(
+    "llm_embedding_quantize",
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    m AS (
+      SELECT vec_id, ivec,
+             COALESCE(list_max(list_transform(ivec, x -> abs(x))),
+                      CAST(0 AS BIGINT)) AS maxabs
+      FROM nv
+    ),
+    q AS (SELECT vec_id, ivec, maxabs, {_QUANT_DUCK} AS qvec FROM m)
+    SELECT vec_id,
+           CAST(len(qvec) AS BIGINT) AS n_dims,
+           maxabs,
+           CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(list_sum(list_transform(list_zip(ivec, qvec),
+                p -> (127*p[1] - p[2]*maxabs) * (127*p[1] - p[2]*maxabs)))
+              AS BIGINT) AS err_sq_num,
+           CAST(list_max(list_transform(list_zip(ivec, qvec),
+                p -> abs(127*p[1] - p[2]*maxabs))) AS BIGINT) AS err_max_num
+    FROM q
+    """,
+)
+def llm_embedding_quantize(spark, sf_dir):
+    """INT8 EMBEDDING QUANTIZATION — the standard 4× compression step
+    before embeddings are stored or served in a training-data pipeline:
+    per-vector symmetric max-abs scaling, q_i = round(x_i * 127 /
+    max|x|). Entirely ROW-LOCAL (transform/aggregate over the array
+    inside whole-stage codegen): zero shuffles, no UDF, embarrassingly
+    parallel at any corpus size. The rounding is computed in pure
+    integer arithmetic (see _QUANT_SPARK) so the oracle contract is
+    exact, and the reported reconstruction error is an exact integer
+    numerator (err/127/maxabs in real units): quantization quality is
+    MEASURED per vector, not assumed. Output is scalar-per-column
+    (sums/extremes of the quantized vector) so the driver's pandas
+    canonicalizer never sees an array column (the scalar_string r4
+    lesson)."""
+    e = Tables(spark, sf_dir).embeddings
+    base = S.with_int_vec(e).select("vec_id", "ivec")
+    m = base.withColumn(
+        "maxabs",
+        F.coalesce(
+            F.array_max(F.transform("ivec", lambda x: F.abs(x))),
+            F.lit(0).cast("long"),
+        ),
+    )
+    q = m.withColumn("qvec", F.expr(_QUANT_SPARK))
+    zero = F.lit(0).cast("long")
+    resid = F.zip_with(
+        F.col("ivec"), F.col("qvec"),
+        lambda x, qi: F.lit(127).cast("long") * x - qi * F.col("maxabs"),
+    )
+    return q.select(
+        "vec_id",
+        F.size("qvec").cast("long").alias("n_dims"),
+        "maxabs",
+        F.aggregate(
+            F.transform("qvec", lambda x: F.abs(x)), zero, lambda a, x: a + x
+        ).alias("q_l1"),
+        F.aggregate(resid, zero, lambda a, r: a + r * r).alias("err_sq_num"),
+        F.coalesce(
+            F.array_max(F.transform(resid, lambda r: F.abs(r))), zero
+        ).alias("err_max_num"),
+    )

@@ -125,6 +125,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "udf_arrow_scalar",
     "llm_dedup_simhash_multiband",
     "window_rolling_median",
+    "llm_embedding_quantize",
+    "timeseries_anomaly_mad",
 )
 
 
