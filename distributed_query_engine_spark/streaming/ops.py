@@ -15,7 +15,9 @@ watermarks, output modes, and state logic are the real APIs.
 
 from __future__ import annotations
 
+import os
 import shutil
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -174,6 +176,36 @@ LAST_RUN_DROPPED: dict[str, int] = {}
 LAST_RUN_CKPT: dict[str, str] = {}
 
 
+# State-store partition count for stateful streaming runs. A stateful
+# operator creates ONE state store instance per shuffle partition, and
+# every micro-batch pays per-partition checkpoint I/O (delta files +
+# maintenance) whether or not the partition holds keys — so the right
+# number tracks the STATEFUL KEY population, not the batch-side core
+# count. Locally the keyed state is a few hundred windows/sessions and
+# 8 partitions measure ~0.5 s faster per run than the session's 32
+# (BASELINE.md r6); on a 100 TB deployment with millions of keys this
+# knob goes UP (state size / a few hundred MB per store), which is why
+# it is a knob and not a constant. NOTE: Spark pins the state partition
+# count at first checkpoint; it stays fixed for the checkpoint's
+# lifetime (our runners use fresh checkpoints per run, so the knob
+# takes effect every run).
+STREAM_STATE_PARTITIONS = int(os.environ.get("DQE_STREAM_STATE_PARTITIONS", "8"))
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = 0):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a stateful
+    streaming run; restores the caller's batch-side setting after."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(n or STREAM_STATE_PARTITIONS)
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_to_memory(
     result: DataFrame, name: str, output_mode: str
 ) -> DataFrame:
@@ -185,21 +217,20 @@ def run_to_memory(
     live checkpoint or serve it foreign state — consumers that read the
     checkpoint back (stream_state_store_read) take the exact path from
     LAST_RUN_CKPT instead of reconstructing it."""
-    import os
-
     spark = result.sparkSession
     ckpt = _TMP / "checkpoints" / f"{name}-{os.getpid()}"
     LAST_RUN_CKPT[name] = str(ckpt)
     shutil.rmtree(ckpt, ignore_errors=True)
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", str(ckpt))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     LAST_RUN_BATCHES[name] = len(
         [p for p in q.recentProgress if p["numInputRows"] > 0]
     )
@@ -481,8 +512,6 @@ def run_foreach_batch_parquet(
     transactional sink can dedup on it). In complete mode every batch
     carries the full updated state, so overwrite-per-batch leaves the
     final aggregate — identical to the batch query — in the sink."""
-    import os
-
     spark = result.sparkSession
     # pid-keyed like run_to_memory: a concurrent second process must not
     # rmtree this one's live checkpoint/sink
@@ -496,14 +525,15 @@ def run_foreach_batch_parquet(
         # batch_id would key an idempotence check in a real store.
         batch_df.write.mode("overwrite").parquet(str(sink))
 
-    q = (
-        result.writeStream.foreachBatch(write_batch)
-        .outputMode(output_mode)
-        .option("checkpointLocation", str(ckpt))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            result.writeStream.foreachBatch(write_batch)
+            .outputMode(output_mode)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(str(sink))
 
 
