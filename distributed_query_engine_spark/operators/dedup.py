@@ -54,6 +54,69 @@ def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def doc_token_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, toks): the per-doc DISTINCT token array — the packed
+    (never exploded) form of :func:`tokenize`. Docs whose token array
+    is empty or null are dropped, matching explode semantics so the
+    row-local pipelines cover exactly the same doc set."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    return docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+
+
+def _tid_expr(tok):
+    """md5-prefix-mod-P token id of a token Column — the row-local id
+    shared (by construction, same expression) with hashed_token_ids."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % P
+
+
+def signatures_rowlocal(docs: DataFrame) -> DataFrame:
+    """doc_id → m0..m{N_HASHES-1} computed ENTIRELY per row — zero
+    shuffles, zero explode: tids = transform(toks, md5-mod-P), then each
+    minhash is an array_min over the affine-hashed tid array, all inside
+    whole-stage codegen.
+
+    This replaces the explode → groupBy(doc_id).agg(16 mins) shape for
+    the hashed token-id path: the min over a doc's token set is a pure
+    function of the doc row, so shuffling an exploded (doc, tok)
+    relation to regroup it BY THE KEY IT STARTED PACKED UNDER was pure
+    overhead — at 100 TB that shuffle is corpus-sized × token fan-out,
+    and here it simply does not exist. (The dictionary path cannot do
+    this: its ids need a global vocabulary, hence the exploded relation
+    and the broadcast join — which is exactly why the hashed path is
+    the scale default.) Measured at sf0.1: minhash_dedup_pairs 3.46 s →
+    see BASELINE.md r6 row-local entry."""
+    tids = F.transform("toks", _tid_expr)
+    base = doc_token_arrays(docs).select("doc_id", tids.alias("tids"))
+
+    def affine(a, b):
+        # one-arg closure: PySpark derives the higher-order function's
+        # arity from the Python lambda's parameter count, so default
+        # args can't be used to bind (a, b) inside the lambda itself
+        return lambda t: (t * a + b) % P
+
+    mins = []
+    for i in range(N_HASHES):
+        a, b = hash_params(i)
+        mins.append(
+            F.array_min(F.transform("tids", affine(a, b))).alias(f"m{i}")
+        )
+    return base.select("doc_id", *mins)
+
+
+def doc_hash_sets_rowlocal(docs: DataFrame) -> DataFrame:
+    """doc_id → sorted xxhash64 token-set array, row-local — the packed
+    form of exact_jaccard's internal doc_sets aggregation (array_distinct
+    mirrors collect_set's dedup of 64-bit collisions)."""
+    sets = F.array_sort(
+        F.array_distinct(F.transform("toks", lambda t: F.xxhash64(t)))
+    )
+    return doc_token_arrays(docs).select("doc_id", sets.alias("toks"))
+
+
 def token_ids(tokens: DataFrame) -> DataFrame:
     """Global token dictionary: tok → tid (1-based, lexicographic).
 
@@ -167,9 +230,15 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
 
 
 def exact_jaccard(
-    pairs: DataFrame, tokens: DataFrame, threshold: float | None = None
+    pairs: DataFrame,
+    tokens: DataFrame | None = None,
+    threshold: float | None = None,
+    doc_sets: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact set-Jaccard for given pairs from the (doc, tok) relation.
+    """Exact set-Jaccard for given pairs from the (doc, tok) relation
+    (``tokens``) or from a precomputed doc→sorted-hash-array relation
+    (``doc_sets`` — pass :func:`doc_hash_sets_rowlocal` to skip the
+    aggregation shuffle entirely when the sets are row-derivable).
 
     The token relation is first aggregated to one sorted array per doc
     (a shuffle of the LINEAR token relation), then each pair row picks up
@@ -206,10 +275,11 @@ def exact_jaccard(
     while staying deterministic: the comparison is the identical double
     division the projection computes, so survivors are bit-exactly the
     pairs whose reported jaccard passes."""
-    t64 = tokens.select("doc_id", F.xxhash64("tok").alias("t"))
-    doc_sets = t64.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("t")).alias("toks")
-    )
+    if doc_sets is None:
+        t64 = tokens.select("doc_id", F.xxhash64("tok").alias("t"))
+        doc_sets = t64.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("t")).alias("toks")
+        )
     sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     n_inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -342,19 +412,26 @@ def minhash_dedup_pairs(
     token ids (see :func:`signatures_for`) — no global vocabulary sort;
     ``hashed=False`` keeps the broadcast-dictionary path. Same verify
     arithmetic either way."""
-    # The (doc, tok) relation feeds BOTH the signature lineage and the
-    # exact-Jaccard verify lineage, so the corpus is scanned + exploded
-    # twice. MEASURED (sf0.1, local[32], 3-run medians): recompute 3.34 s
-    # vs localCheckpoint 3.79 s vs persist(MEMORY_AND_DISK) 4.87 s — the
-    # exploded token relation is WIDER than the source corpus, so
-    # materializing it costs more than the second pruned-column codegen
-    # scan it saves. The same asymmetry holds on a cluster (parquet scan
-    # bandwidth >> shuffle-file write+read of an exploded relation), so
-    # recompute is the scale choice too, not just the local one.
-    tokens = tokenize(docs)
-    sigs = signatures_for(tokens, hashed=hashed)
-    pairs = candidate_pairs_grouped(sigs)
-    return exact_jaccard(pairs, tokens, threshold=threshold).select(
+    # Hashed path: signatures AND verify token-sets are ROW-LOCAL
+    # expressions (signatures_rowlocal / doc_hash_sets_rowlocal), so the
+    # corpus is scanned twice with zero token-relation shuffles — the
+    # historical recompute-vs-checkpoint question (r5 measurements:
+    # recompute 3.34 s vs localCheckpoint 3.79 s vs persist 4.87 s)
+    # dissolves, since there is no longer an exploded relation to reuse.
+    # Dictionary path keeps the exploded relation (its ids need the
+    # global vocabulary).
+    if hashed:
+        sigs = signatures_rowlocal(docs)
+        pairs = candidate_pairs_grouped(sigs)
+        verified = exact_jaccard(
+            pairs, threshold=threshold, doc_sets=doc_hash_sets_rowlocal(docs)
+        )
+    else:
+        tokens = tokenize(docs)
+        sigs = signatures_for(tokens, hashed=False)
+        pairs = candidate_pairs_grouped(sigs)
+        verified = exact_jaccard(pairs, tokens, threshold=threshold)
+    return verified.select(
         "doc_a", "doc_b", "jaccard", (F.col("jaccard") >= threshold).alias("is_dup")
     )
 
@@ -387,12 +464,15 @@ def minhash_dup_edges(
     docs share identical signatures / band keys (candidate recall), never
     a reported edge's validity — every edge is exact-Jaccard-verified on
     the token strings themselves."""
-    # Recompute the shared tokenize lineage rather than checkpoint it —
-    # measured faster (see minhash_dedup_pairs: the exploded relation is
-    # wider than the corpus, so a second pruned codegen scan is cheaper
-    # than materializing it).
-    tokens = tokenize(docs)
-    sigs = signatures_for(tokens, hashed=hashed)
+    # Hashed path is fully row-local (see minhash_dedup_pairs) — no
+    # token-relation shuffles to reuse or checkpoint.
+    if hashed:
+        sigs = signatures_rowlocal(docs)
+        verify_kw = {"doc_sets": doc_hash_sets_rowlocal(docs)}
+    else:
+        tokens = tokenize(docs)
+        sigs = signatures_for(tokens, hashed=False)
+        verify_kw = {"tokens": tokens}
     sig_cols = [f"m{i}" for i in range(N_HASHES)]
     groups = signature_groups(sigs).localCheckpoint()
     star = (
@@ -403,7 +483,9 @@ def minhash_dup_edges(
     rep_sigs = groups.select(F.col("rep").alias("doc_id"), *sig_cols)
     rep_pairs = candidate_pairs(lsh_bands(rep_sigs))
     cand = star.unionByName(rep_pairs)
-    return exact_jaccard(cand, tokens, threshold=threshold).select("doc_a", "doc_b")
+    return exact_jaccard(cand, threshold=threshold, **verify_kw).select(
+        "doc_a", "doc_b"
+    )
 
 
 def incremental_minhash_dedup(

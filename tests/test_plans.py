@@ -244,3 +244,22 @@ def test_lateral_topn_decorrelates_to_group_limit(spark, sf_dir):
     # sort of the inner relation means decorrelation fell back to
     # sort-then-limit — a full-table sort at scale
     assert "rangepartitioning" not in plan
+
+
+def test_minhash_signatures_are_rowlocal(spark, sf_dir):
+    # The hashed-path signature relation must be a pure projection of
+    # the documents scan: no Exchange (the historical explode → groupBy
+    # shuffle of the corpus × token-fanout relation must not come
+    # back), and the md5 token-id transform materialized ONCE as an
+    # intermediate array column, not inlined 16× by CollapseProject.
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.operators import dedup as D
+
+    sigs = D.signatures_rowlocal(Tables(spark, sf_dir).documents)
+    plan = _plan(sigs)
+    assert "Exchange" not in plan, plan
+    opt = sigs._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5") == 1, opt
+
+    sets = D.doc_hash_sets_rowlocal(Tables(spark, sf_dir).documents)
+    assert "Exchange" not in _plan(sets)
