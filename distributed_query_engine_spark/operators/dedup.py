@@ -73,11 +73,11 @@ def _tid_expr(tok):
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % P
 
 
-def signatures_rowlocal(docs: DataFrame) -> DataFrame:
-    """doc_id → m0..m{N_HASHES-1} computed ENTIRELY per row — zero
-    shuffles, zero explode: tids = transform(toks, md5-mod-P), then each
-    minhash is an array_min over the affine-hashed tid array, all inside
-    whole-stage codegen.
+def signatures_from_arrays(arrays: DataFrame) -> DataFrame:
+    """(doc_id, toks-array) → m0..m{N_HASHES-1} computed ENTIRELY per
+    row — zero shuffles, zero explode: tids = transform(toks,
+    md5-mod-P), then each minhash is an array_min over the
+    affine-hashed tid array.
 
     This replaces the explode → groupBy(doc_id).agg(16 mins) shape for
     the hashed token-id path: the min over a doc's token set is a pure
@@ -87,10 +87,11 @@ def signatures_rowlocal(docs: DataFrame) -> DataFrame:
     and here it simply does not exist. (The dictionary path cannot do
     this: its ids need a global vocabulary, hence the exploded relation
     and the broadcast join — which is exactly why the hashed path is
-    the scale default.) Measured at sf0.1: minhash_dedup_pairs 3.46 s →
-    see BASELINE.md r6 row-local entry."""
+    the scale default.) Works over any token-set notion — words
+    (:func:`doc_token_arrays`) or n-grams (:func:`doc_ngram_arrays`).
+    Measured at sf0.1: see BASELINE.md r6 row-local entry."""
     tids = F.transform("toks", _tid_expr)
-    base = doc_token_arrays(docs).select("doc_id", tids.alias("tids"))
+    base = arrays.select("doc_id", tids.alias("tids"))
 
     def affine(a, b):
         # one-arg closure: PySpark derives the higher-order function's
@@ -107,14 +108,24 @@ def signatures_rowlocal(docs: DataFrame) -> DataFrame:
     return base.select("doc_id", *mins)
 
 
-def doc_hash_sets_rowlocal(docs: DataFrame) -> DataFrame:
-    """doc_id → sorted xxhash64 token-set array, row-local — the packed
-    form of exact_jaccard's internal doc_sets aggregation (array_distinct
-    mirrors collect_set's dedup of 64-bit collisions)."""
+def signatures_rowlocal(docs: DataFrame) -> DataFrame:
+    """Word-token row-local signatures (see signatures_from_arrays)."""
+    return signatures_from_arrays(doc_token_arrays(docs))
+
+
+def hash_sets_from_arrays(arrays: DataFrame) -> DataFrame:
+    """(doc_id, toks-array) → sorted xxhash64 token-set array, row-local
+    — the packed form of exact_jaccard's internal doc_sets aggregation
+    (array_distinct mirrors collect_set's dedup of 64-bit collisions)."""
     sets = F.array_sort(
         F.array_distinct(F.transform("toks", lambda t: F.xxhash64(t)))
     )
-    return doc_token_arrays(docs).select("doc_id", sets.alias("toks"))
+    return arrays.select("doc_id", sets.alias("toks"))
+
+
+def doc_hash_sets_rowlocal(docs: DataFrame) -> DataFrame:
+    """Word-token row-local verify sets (see hash_sets_from_arrays)."""
+    return hash_sets_from_arrays(doc_token_arrays(docs))
 
 
 def token_ids(tokens: DataFrame) -> DataFrame:
@@ -942,9 +953,12 @@ def simhash_near_pairs_multiband(
 # --- n-gram Jaccard --------------------------------------------------------
 
 
-def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
-    """(doc_id, ngram) distinct word n-grams via a sequence transform —
-    JVM-side, no Python."""
+def doc_ngram_arrays(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, toks): the per-doc DISTINCT word-n-gram array via a
+    sequence transform — JVM-side, no Python, never exploded. Docs with
+    fewer than ``n`` words have no grams and are dropped, matching
+    explode semantics (the packed analog of :func:`doc_token_arrays`
+    for the n-gram token-set notion)."""
     words = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - (n - 1)),
@@ -958,7 +972,14 @@ def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
         F.array().cast("array<string>")
     )
     return docs.select(
-        F.col("doc_id"), F.explode(F.array_distinct(safe)).alias("tok")
+        F.col("doc_id"), F.array_distinct(safe).alias("toks")
+    ).filter(F.size("toks") > 0)
+
+
+def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, ngram) distinct word n-grams, exploded form."""
+    return doc_ngram_arrays(docs, n).select(
+        "doc_id", F.explode("toks").alias("tok")
     )
 
 
@@ -986,17 +1007,18 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     # row counts. At 100 TB the scan is already thousands of partitions
     # and this is a cheap rebalance.
     n_par = docs.sparkSession.sparkContext.defaultParallelism
-    # Recompute the bigram lineage for both the signature and verify
-    # branches — same measured trade as minhash_dedup_pairs (the
-    # exploded bigram relation is far wider than the corpus; a second
-    # codegen scan+explode beats materializing it).
-    grams = word_ngrams(docs.repartition(n_par, "doc_id"), 2)
-    # hashed=True: the bigram vocabulary is an order of magnitude wider
-    # than the word vocabulary, so the dictionary path's global sort is
-    # at its worst here — the row-local md5-mod-P ids cost one
-    # expression instead.
-    sigs = signatures_for(grams, hashed=True)
+    # Row-local signatures + verify sets over the bigram arrays (same
+    # shape as minhash_dedup_pairs): the bigram build + md5 ids are
+    # recomputed in both lineages as pure projections — no exploded
+    # relation, no token shuffles. hashed ids are at their best here:
+    # the bigram vocabulary is an order of magnitude wider than the
+    # word vocabulary, so the dictionary path's global sort would be at
+    # its worst.
+    arrays = doc_ngram_arrays(docs.repartition(n_par, "doc_id"), 2)
+    sigs = signatures_from_arrays(arrays)
     pairs = candidate_pairs_grouped(sigs)
-    return exact_jaccard(pairs, grams, threshold=threshold).select(
+    return exact_jaccard(
+        pairs, threshold=threshold, doc_sets=hash_sets_from_arrays(arrays)
+    ).select(
         "doc_a", "doc_b", "jaccard", (F.col("jaccard") >= threshold).alias("is_dup")
     )
