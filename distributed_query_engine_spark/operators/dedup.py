@@ -537,13 +537,22 @@ def incremental_minhash_dedup(
     Multi-band collisions dedup via the same earliest-common-band filter
     as :func:`candidate_pairs` — set-identical to DISTINCT on the pair,
     without shuffling the pair set."""
-    tok_c = tokenize(corpus)
-    tok_n = tokenize(incoming)
-    sigs_c = signatures_for(tok_c, hashed=hashed)
-    sigs_n = signatures_for(tok_n, hashed=hashed)
+    if hashed:
+        sigs_c = signatures_rowlocal(corpus)
+        sigs_n = signatures_rowlocal(incoming)
+        verify_kw = {
+            "doc_sets": doc_hash_sets_rowlocal(corpus).unionByName(
+                doc_hash_sets_rowlocal(incoming)
+            )
+        }
+    else:
+        tok_c = tokenize(corpus)
+        tok_n = tokenize(incoming)
+        sigs_c = signatures_for(tok_c, hashed=False)
+        sigs_n = signatures_for(tok_n, hashed=False)
+        verify_kw = {"tokens": tok_c.unionByName(tok_n)}
     pairs = _incremental_candidates(sigs_c, sigs_n)
-    tokens = tok_c.unionByName(tok_n)
-    return exact_jaccard(pairs, tokens, threshold=threshold).select(
+    return exact_jaccard(pairs, threshold=threshold, **verify_kw).select(
         F.col("doc_a").alias("new_doc"),
         F.col("doc_b").alias("dup_of"),
         "jaccard",
@@ -567,8 +576,16 @@ def _incremental_candidates(sigs_c: DataFrame, sigs_n: DataFrame) -> DataFrame:
     so the rep join catches them at band 0. Returns (doc_a = batch doc,
     doc_b = corpus doc) plus in-batch pairs oriented later-as-new."""
     sig_cols = [f"m{i}" for i in range(N_HASHES)]
-    gc = signature_groups(sigs_c)
-    gn = signature_groups(sigs_n)
+    # localCheckpoint for the same two reasons candidate_pairs_grouped
+    # checkpoints ITS groups: (a) the group relations feed multiple
+    # joins below, and (b) with the row-local signature projections the
+    # un-cut lineage drives Catalyst's constraint propagation over the
+    # 16 aliased minhash expressions into exponential ExpressionSet
+    # growth (observed as an optimizer-time OOM, not an execution-time
+    # one). The groups are narrow (one row per distinct signature), so
+    # the materialization is metadata-sized next to the corpus.
+    gc = signature_groups(sigs_c).localCheckpoint()
+    gn = signature_groups(sigs_n).localCheckpoint()
     bands_c = lsh_bands(gc.select(F.col("rep").alias("doc_id"), *sig_cols))
     bands_n = lsh_bands(gn.select(F.col("rep").alias("doc_id"), *sig_cols))
     a = bands_c.alias("a")
@@ -640,8 +657,11 @@ def incremental_dedup_from_store(
     # the narrow signature relation — at production scale the GROUPED
     # form would itself be a maintained store artifact).
     sigs_c = spark.read.parquet(store_path)
-    tok_n = tokenize(incoming)
-    sigs_n = signatures_for(tok_n, hashed=hashed)
+    sigs_n = (
+        signatures_rowlocal(incoming)
+        if hashed
+        else signatures_for(tokenize(incoming), hashed=False)
+    )
     # The pairs relation feeds BOTH the fetch-by-id semi-join and the
     # verify join; unmaterialized, the whole candidate subplan (store
     # scan, grouping, band join, explodes) executes twice. Unlike the
@@ -651,8 +671,25 @@ def incremental_dedup_from_store(
     pairs = _incremental_candidates(sigs_c, sigs_n).localCheckpoint()
     hit_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     corpus_hits = corpus.join(hit_ids, "doc_id", "left_semi")
-    tokens = tokenize(corpus_hits).unionByName(tok_n)
-    return exact_jaccard(pairs, tokens, threshold=threshold).select(
+    # ``corpus`` may CONTAIN the incoming docs (the caller passes the
+    # full table so in-batch dup partners resolve too) — the exploded
+    # path's collect_set used to absorb that overlap; the row-local
+    # doc_sets relation must instead keep one row per doc explicitly,
+    # or overlapping docs join twice and duplicate every verified pair.
+    corpus_only = corpus_hits.join(
+        incoming.select("doc_id"), "doc_id", "left_anti"
+    )
+    if hashed:
+        verify_kw = {
+            "doc_sets": doc_hash_sets_rowlocal(corpus_only).unionByName(
+                doc_hash_sets_rowlocal(incoming)
+            )
+        }
+    else:
+        verify_kw = {
+            "tokens": tokenize(corpus_only).unionByName(tokenize(incoming))
+        }
+    return exact_jaccard(pairs, threshold=threshold, **verify_kw).select(
         F.col("doc_a").alias("new_doc"),
         F.col("doc_b").alias("dup_of"),
         "jaccard",
@@ -668,9 +705,12 @@ def build_signature_store(
     ingested batch's signatures (``mode("append")`` keyed by ingestion
     date); here the store is (re)built whole for a self-contained
     query."""
-    signatures_for(tokenize(docs), hashed=hashed).write.mode(
-        "overwrite"
-    ).parquet(store_path)
+    sigs = (
+        signatures_rowlocal(docs)
+        if hashed
+        else signatures_for(tokenize(docs), hashed=False)
+    )
+    sigs.write.mode("overwrite").parquet(store_path)
 
 
 def connected_components(

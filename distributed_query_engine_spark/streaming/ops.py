@@ -399,9 +399,7 @@ def stream_ingest_dedup(
         normalized.write.mode("append").parquet(str(sink))
         # the production loop's append: this batch becomes part of the
         # store the NEXT batch dedups against
-        D.signatures_for(D.tokenize(batch_df), hashed=True).write.mode(
-            "append"
-        ).parquet(store)
+        D.signatures_rowlocal(batch_df).write.mode("append").parquet(store)
 
     q = (
         batches.writeStream.foreachBatch(process)
