@@ -786,32 +786,43 @@ def connected_components(
 SIMHASH_BITS = 32  # keeps every intermediate in int64 comfortably
 
 
-def simhash_expr_terms() -> list[Column]:
-    """Per-bit majority terms over h(tid) = (a*tid+b) mod P with the
-    i=0 hash: s_j = sum over tokens of ±1 by bit j."""
-    a, b = hash_params(0)
-    h = (F.col("tid") * a + b) % P
-    return [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-
-
 def simhash(docs: DataFrame) -> DataFrame:
     """doc_id → 32-bit simhash (bit j set iff the weighted bit-majority
     is positive; ties → 0, so the value is deterministic). Token ids
     are the dictionary-free md5-mod-P hash (r6, matching the minhash
     default): the previous row_number dictionary was a single-task
-    global vocabulary sort — fine locally, fatal at 100 TB."""
-    tokens_tid = hashed_token_ids(tokenize(docs))
-    sums = tokens_tid.groupBy("doc_id").agg(*simhash_expr_terms())
+    global vocabulary sort — fine locally, fatal at 100 TB.
+
+    Computed ROW-LOCALLY (late r6, same shape as signatures_from_arrays):
+    hs = the affine-hashed tid array materialized once per row, then
+    each bit's majority sum is an aggregate fold over hs — the
+    explode → groupBy(doc_id).agg(32 sums) shuffle of the corpus ×
+    token-fanout relation no longer exists. Values are identical: the
+    per-bit sum over a doc's token set is the same arithmetic whether
+    folded per row or re-grouped after an explode."""
+    a, b = hash_params(0)
+
+    def affine(t):
+        return (t * a + b) % P
+
+    base = doc_token_arrays(docs).select(
+        "doc_id",
+        F.transform("toks", lambda t: affine(_tid_expr(t))).alias("hs"),
+    )
+
+    def bit_sum(j):
+        return F.aggregate(
+            "hs",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1),
+        )
+
     sh = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, 1 << j).otherwise(0).cast("long")
+        term = F.when(bit_sum(j) > 0, 1 << j).otherwise(0).cast("long")
         sh = term if sh is None else sh + term
-    return sums.select("doc_id", sh.alias("simhash"))
+    return base.select("doc_id", sh.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
