@@ -265,3 +265,71 @@ def test_simhash_multiband_has_complete_recall(spark, docs):
         for r in D.simhash_near_pairs(df, max_hamming=6).collect()
     }
     assert prefix <= set(multi)
+
+
+@SET
+@given(docs=docs_st)
+def test_rowlocal_equals_exploded_pipeline(spark, docs):
+    # The row-local rewrite (signatures_from_arrays /
+    # hash_sets_from_arrays / row-local simhash) must be VALUE-identical
+    # to the exploded groupBy shape it replaced — same arithmetic, only
+    # the plan differs. Pinned here on randomized micro-corpora so a
+    # future edit to either side can't silently fork them.
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(toks), "en") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    rl = {tuple(r) for r in D.signatures_rowlocal(df).collect()}
+    ex = {
+        tuple(r)
+        for r in D.signatures_for(D.tokenize(df), hashed=True).collect()
+    }
+    assert rl == ex
+
+    rl_sets = {
+        (r.doc_id, tuple(r.toks))
+        for r in D.doc_hash_sets_rowlocal(df).collect()
+    }
+    ex_sets = {
+        (r.doc_id, tuple(r.toks))
+        for r in D.tokenize(df)
+        .select("doc_id", F.xxhash64("tok").alias("t"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("t")).alias("toks"))
+        .collect()
+    }
+    assert rl_sets == ex_sets
+
+
+@SET
+@given(docs=docs_st)
+def test_rowlocal_simhash_matches_exploded_model(spark, docs):
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(toks), "en") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a, b = D.hash_params(0)
+    h = (F.col("tid") * a + b) % D.P
+    sums = (
+        D.hashed_token_ids(D.tokenize(df))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1)
+                ).alias(f"s{j}")
+                for j in range(D.SIMHASH_BITS)
+            ]
+        )
+    )
+    sh = None
+    for j in range(D.SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, 1 << j).otherwise(0).cast("long")
+        sh = term if sh is None else sh + term
+    expected = {
+        (r.doc_id, r.simhash)
+        for r in sums.select("doc_id", sh.alias("simhash")).collect()
+    }
+    got = {(r.doc_id, r.simhash) for r in D.simhash(df).collect()}
+    assert got == expected
