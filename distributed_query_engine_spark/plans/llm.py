@@ -1751,3 +1751,108 @@ def llm_embedding_quantize(spark, sf_dir):
             F.array_max(F.transform(resid, lambda r: F.abs(r))), zero
         ).alias("err_max_num"),
     )
+
+
+@query(
+    "llm_unigram_surprisal",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
+    scored AS (
+      SELECT o.doc_id,
+             CAST(length(bin(t.n)) - length(bin(f.c)) AS BIGINT) AS surp
+      FROM occ o JOIN freq f USING (tok) CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(surp) AS BIGINT) AS surp_sum,
+           CAST((1000 * SUM(surp)) // COUNT(*) AS BIGINT) AS mean_surp_milli
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_unigram_surprisal(spark, sf_dir):
+    """QUALITY SCORING BY UNIGRAM LM SURPRISAL — the statistical-LM
+    complement to the heuristic llm_quality_score: documents whose
+    tokens are corpus-rare score high (gibberish/boilerplate-free text
+    detection), stopword soup scores low. Surprisal per occurrence is
+    the INTEGER log2 bucket bits(N) − bits(c) (bit-length of the corpus
+    total minus bit-length of the token count) — deliberately
+    transcendental-free: ln() is not guaranteed bit-identical across
+    engines, so the exact-oracle contract uses the integer
+    approximation and a production deployment swaps in the one-line
+    double-precision ln variant where cross-engine replay isn't a
+    requirement.
+
+    Scale shape: token OCCURRENCES (not the distinct sets — an LM
+    counts multiplicity) aggregate to a vocabulary-sized freq relation
+    (partial-agg'd map-side, so stopword skew collapses before the
+    shuffle); the corpus total is a single broadcast row; the freq join
+    back to occurrences broadcasts at local vocab sizes and degrades to
+    a shuffle join on tok at web-scale vocabularies (the same
+    documented trade as llm_tfidf_topterms); the per-doc rollup is one
+    partial-agg'd shuffle on doc_id. Integer-only arithmetic
+    throughout, including the milli-mean (floor division)."""
+    d = Tables(spark, sf_dir).documents
+    occ = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("long").alias("n"))
+    bits = lambda col: F.length(F.bin(col)).cast("long")  # noqa: E731
+    scored = (
+        occ.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (bits(F.col("n")) - bits(F.col("c"))).alias("surp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("surp").cast("long").alias("surp_sum"),
+        F.expr("CAST((1000 * sum(surp)) div count(1) AS BIGINT)").alias(
+            "mean_surp_milli"
+        ),
+    )
+
+
+_CONT_NUM, _CONT_DEN = 4, 5  # containment threshold 4/5, kept rational
+
+
+@query(
+    "llm_dedup_containment",
+    # The UNRESTRICTED all-qualifying-pairs containment join — the
+    # engine runs prefix-filter blocking but is proven complete against
+    # an oracle that never blocks (the multiband-simhash pattern:
+    # completeness stated as SQL). Any pair with containment ≥ t shares
+    # ≥ 1 token, so the token-equijoin enumerates a superset of
+    # qualifying pairs and the threshold filter finishes the job.
+    oracle=lambda: f"""
+    WITH {_tokens_cte()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tokens GROUP BY doc_id),
+    inter AS (
+      SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tokens ta
+      JOIN tokens tb ON tb.tok = ta.tok AND ta.doc_id < tb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(least(sa.n_tok, sb.n_tok) AS DOUBLE)
+             AS containment,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) AS jaccard,
+           i.n_inter = least(sa.n_tok, sb.n_tok) AS is_subset
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE {_CONT_DEN} * i.n_inter >= {_CONT_NUM} * least(sa.n_tok, sb.n_tok)
+    """,
+)
+def llm_dedup_containment(spark, sf_dir):
+    """ASYMMETRIC CONTAINMENT DEDUP — |A∩B| / min(|A|,|B|) ≥ 0.8 —
+    catches quotes/excerpts/supersets that Jaccard structurally misses
+    (a short doc fully inside a long one has jaccard ≈ |A|/|B| but
+    containment 1.0). Candidates come from PREFIX FILTERING (the
+    PPJoin-family set-similarity join) with a proven completeness
+    guarantee and output-sensitive cost; see
+    operators/dedup.py::containment_pairs for the scale analysis."""
+    d = Tables(spark, sf_dir).documents
+    return D.containment_pairs(d, threshold_num=_CONT_NUM, threshold_den=_CONT_DEN)

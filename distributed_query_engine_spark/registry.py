@@ -127,6 +127,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "window_rolling_median",
     "llm_embedding_quantize",
     "timeseries_anomaly_mad",
+    "llm_unigram_surprisal",
+    "llm_dedup_containment",
 )
 
 
