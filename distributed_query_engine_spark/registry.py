@@ -129,6 +129,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "timeseries_anomaly_mad",
     "llm_unigram_surprisal",
     "llm_dedup_containment",
+    "llm_multimodal_ppm_decode",
 )
 
 
