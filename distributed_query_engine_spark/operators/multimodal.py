@@ -164,3 +164,97 @@ def decode_ppm_features(images: DataFrame) -> DataFrame:
         "sum_r long, sum_g long, sum_b long, sum_ds long"
     )
     return images.mapInPandas(decode, schema)
+
+
+# --- Real dependency-free audio codec: WAV (RIFF / PCM16) -------------------
+
+WAV_RATE = 8000
+WAV_SAMPLES = 1000
+
+
+def synthesize_wav(
+    docs: DataFrame, n_samples: int = WAV_SAMPLES, rate: int = WAV_RATE
+) -> DataFrame:
+    """(doc_id) → (doc_id, blob): a REAL RIFF/WAVE file per doc — canonical
+    44-byte PCM header + little-endian int16 samples from a deterministic
+    integer waveform (the audio analog of synthesize_ppm)."""
+    import struct
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n_samples, dtype=np.int64) * 13
+        data_size = n_samples * 2
+        header = (
+            b"RIFF"
+            + struct.pack("<I", 36 + data_size)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data"
+            + struct.pack("<I", data_size)
+        )
+        for pdf in batches:
+            blobs = [
+                header
+                + (((int(d) * 7 + idx) % 4096) - 2048)
+                .astype("<i2")
+                .tobytes()
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, blob binary")
+
+
+def decode_wav_features(audio: DataFrame) -> DataFrame:
+    """(doc_id, blob) → audio features via a REAL WAV parse: RIFF chunk
+    walk (fmt → sample rate/channels/bit depth, data → PCM payload),
+    then integer DSP: energy (sum of squares), peak amplitude,
+    zero-crossing count, and an every-8th-sample frame sum (the
+    frame-sampling kernel). All exact integers."""
+    import struct
+
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "energy": [], "peak": [], "zero_crossings": [], "frame_sum": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", "not RIFF/WAVE"
+                # chunk walk — no fixed offsets assumed
+                pos, rate, samples = 12, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    (csize,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                    body = b[pos + 8 : pos + 8 + csize]
+                    if cid == b"fmt ":
+                        _, ch, rate, _, _, bits = struct.unpack(
+                            "<HHIIHH", body[:16]
+                        )
+                        assert ch == 1 and bits == 16, "expect mono PCM16"
+                    elif cid == b"data":
+                        samples = np.frombuffer(body, dtype="<i2").astype(
+                            np.int64
+                        )
+                    pos += 8 + csize + (csize & 1)
+                s = samples
+                signs = s >= 0
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s))
+                out["energy"].append(int((s * s).sum()))
+                out["peak"].append(int(np.abs(s).max()))
+                out["zero_crossings"].append(int((signs[1:] != signs[:-1]).sum()))
+                out["frame_sum"].append(int(s[::8].sum()))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, sample_rate int, n_samples int, "
+        "energy long, peak long, zero_crossings long, frame_sum long"
+    )
+    return audio.mapInPandas(decode, schema)

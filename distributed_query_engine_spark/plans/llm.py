@@ -1922,3 +1922,50 @@ def llm_multimodal_ppm_decode(spark, sf_dir):
             / n.cast("double")
         ).alias("mean_brightness"),
     )
+
+
+@query(
+    "llm_multimodal_wav_decode",
+    # Arithmetic replay of the waveform formula v(i) = ((doc_id*7 +
+    # i*13) % 4096) - 2048; the engine path builds and chunk-walks real
+    # RIFF/WAVE bytes.
+    oracle=lambda: f"""
+    WITH vals AS (
+      SELECT d.doc_id, t.i,
+             ((d.doc_id * 7 + t.i * 13) % 4096) - 2048 AS v
+      FROM documents d,
+           unnest(generate_series(0, {M.WAV_SAMPLES} - 1)) AS t(i)
+    ),
+    lagged AS (
+      SELECT doc_id, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM vals
+    )
+    SELECT doc_id,
+           CAST({M.WAV_RATE} AS INT) AS sample_rate,
+           CAST({M.WAV_SAMPLES} AS INT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN pv IS NOT NULL
+                          AND (v >= 0) <> (pv >= 0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings,
+           CAST(SUM(CASE WHEN i % 8 = 0 THEN v ELSE 0 END) AS BIGINT)
+             AS frame_sum
+    FROM lagged GROUP BY doc_id
+    """,
+)
+def llm_multimodal_wav_decode(spark, sf_dir):
+    """REAL AUDIO DECODE, no audio libraries: a WAV (RIFF/PCM16) codec
+    from raw bytes — synthesize an actual mono PCM16 file per document,
+    then parse it back with a proper RIFF CHUNK WALK (sample rate and
+    bit depth come from the fmt chunk, samples from the data chunk —
+    no fixed offsets assumed) and compute integer DSP features: energy
+    (sum of squares), peak amplitude, zero-crossing count, and an
+    every-8th-sample frame sum (the frame-sampling kernel). The audio
+    analog of llm_multimodal_ppm_decode: the decode is genuine byte
+    parsing, the derived values stay exactly oracle-checked because
+    the synthetic waveform is an arithmetic formula. Same 100 TB shape:
+    two mapInPandas stages, Arrow-batched, blobs never leave
+    executors."""
+    d = Tables(spark, sf_dir).documents
+    return M.decode_wav_features(M.synthesize_wav(d))

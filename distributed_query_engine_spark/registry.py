@@ -130,6 +130,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_unigram_surprisal",
     "llm_dedup_containment",
     "llm_multimodal_ppm_decode",
+    "llm_multimodal_wav_decode",
 )
 
 
