@@ -258,3 +258,76 @@ def decode_wav_features(audio: DataFrame) -> DataFrame:
         "energy long, peak long, zero_crossings long, frame_sum long"
     )
     return audio.mapInPandas(decode, schema)
+
+
+# --- Real dependency-free video container: raw grayscale frames -------------
+
+VID_W, VID_H, VID_FRAMES = 16, 16, 12
+VID_STRIDE = 2  # frame-sample every 2nd frame
+
+
+def synthesize_video(
+    docs: DataFrame,
+    w: int = VID_W,
+    h: int = VID_H,
+    n_frames: int = VID_FRAMES,
+) -> DataFrame:
+    """(doc_id) → (doc_id, blob): a minimal raw-video container per doc —
+    ASCII header "VID\\n<w> <h> <frames>\\n" + n_frames grayscale planes
+    (the y4m-style uncompressed layout, reduced to its byte essentials)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = np.arange(w * h, dtype=np.int64) * 7
+        header = f"VID\n{w} {h} {n_frames}\n".encode()
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                frames = [
+                    ((int(d) * 31 + f * 17 + p) % 256).astype(np.uint8).tobytes()
+                    for f in range(n_frames)
+                ]
+                blobs.append(header + b"".join(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, blob binary")
+
+
+def sample_video_frames(video: DataFrame, stride: int = VID_STRIDE) -> DataFrame:
+    """(doc_id, blob) → frame-sampled features via a REAL container
+    parse: header gives geometry, planes are sliced per frame, every
+    ``stride``-th frame is KEPT (the frame-sampling kernel itself), and
+    per-kept-frame integer sums feed a motion metric (Σ |sum_f −
+    sum_prev| over consecutive kept frames — the scene-change score at
+    its integer core). Exact integers throughout."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "n_sampled": [],
+                "sampled_sum": [], "motion_total": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                head, rest = b.split(b"\n", 1)
+                assert head == b"VID", "not a VID container"
+                dims, payload = rest.split(b"\n", 1)
+                w, h, nf = (int(x) for x in dims.split())
+                plane = w * h
+                arr = np.frombuffer(payload, dtype=np.uint8, count=plane * nf)
+                frames = arr.reshape(nf, plane).astype(np.int64)
+                kept = frames[::stride]
+                sums = kept.sum(axis=1)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(nf)
+                out["n_sampled"].append(len(kept))
+                out["sampled_sum"].append(int(sums.sum()))
+                out["motion_total"].append(int(np.abs(np.diff(sums)).sum()))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_frames int, n_sampled int, "
+        "sampled_sum long, motion_total long"
+    )
+    return video.mapInPandas(decode, schema)

@@ -1969,3 +1969,47 @@ def llm_multimodal_wav_decode(spark, sf_dir):
     executors."""
     d = Tables(spark, sf_dir).documents
     return M.decode_wav_features(M.synthesize_wav(d))
+
+
+@query(
+    "llm_multimodal_video_frames",
+    # Arithmetic replay: pixel (doc, frame f, plane index p) = (doc*31 +
+    # f*17 + p*7) % 256; kept frames are f % stride = 0; motion is the
+    # abs-diff of consecutive KEPT frame sums.
+    oracle=lambda: f"""
+    WITH fsums AS (
+      SELECT d.doc_id, t.f,
+             CAST(SUM((d.doc_id * 31 + t.f * 17 + s.p * 7) % 256) AS BIGINT)
+               AS fsum
+      FROM documents d,
+           unnest(generate_series(0, {M.VID_FRAMES} - 1)) AS t(f),
+           unnest(generate_series(0, {M.VID_W} * {M.VID_H} - 1)) AS s(p)
+      WHERE t.f % {M.VID_STRIDE} = 0
+      GROUP BY d.doc_id, t.f
+    ),
+    lagged AS (
+      SELECT doc_id, fsum,
+             lag(fsum) OVER (PARTITION BY doc_id ORDER BY f) AS pv
+      FROM fsums
+    )
+    SELECT doc_id,
+           CAST({M.VID_FRAMES} AS INT) AS n_frames,
+           CAST(COUNT(*) AS INT) AS n_sampled,
+           CAST(SUM(fsum) AS BIGINT) AS sampled_sum,
+           CAST(SUM(CASE WHEN pv IS NULL THEN 0 ELSE abs(fsum - pv) END)
+                AS BIGINT) AS motion_total
+    FROM lagged GROUP BY doc_id
+    """,
+)
+def llm_multimodal_video_frames(spark, sf_dir):
+    """REAL VIDEO FRAME-SAMPLING, no video libraries: a raw grayscale
+    frame container (y4m-style layout reduced to byte essentials) is
+    synthesized per document and parsed back — geometry from the
+    header, planes sliced per frame — keeping every 2nd frame (the
+    frame-sampling kernel the brief names) and scoring motion as the
+    integer Σ|Δ frame-sum| over consecutive kept frames (the
+    scene-change metric's core). Completes the image/audio/video
+    triple next to llm_multimodal_ppm_decode / _wav_decode; same
+    Arrow-batched mapInPandas shape, same exact arithmetic oracle."""
+    d = Tables(spark, sf_dir).documents
+    return M.sample_video_frames(M.synthesize_video(d))

@@ -131,6 +131,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_dedup_containment",
     "llm_multimodal_ppm_decode",
     "llm_multimodal_wav_decode",
+    "llm_multimodal_video_frames",
 )
 
 

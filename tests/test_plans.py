@@ -263,3 +263,26 @@ def test_minhash_signatures_are_rowlocal(spark, sf_dir):
 
     sets = D.doc_hash_sets_rowlocal(Tables(spark, sf_dir).documents)
     assert "Exchange" not in _plan(sets)
+
+
+def test_multimodal_codecs_are_single_python_stage_no_shuffle(spark, sf_dir):
+    # synthesize → decode is two chained mapInPandas stages over the
+    # same partitioning: the plan must contain the Python evals and NO
+    # Exchange — a shuffle between codec halves would serialize blob
+    # bytes over the network for a partition-preserving computation.
+    for name in (
+        "llm_multimodal_ppm_decode",
+        "llm_multimodal_wav_decode",
+        "llm_multimodal_video_frames",
+    ):
+        plan = _plan(_q(name, spark, sf_dir))
+        assert "MapInPandas" in plan, plan
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_containment_has_no_cartesian_and_verify_joins_on_ids(spark, sf_dir):
+    # Prefix filtering must stay an equijoin on tok (posting join) —
+    # never a cartesian/broadcast-nested-loop pair enumeration.
+    plan = _plan(_q("llm_dedup_containment", spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
