@@ -2013,3 +2013,30 @@ def llm_multimodal_video_frames(spark, sf_dir):
     Arrow-batched mapInPandas shape, same exact arithmetic oracle."""
     d = Tables(spark, sf_dir).documents
     return M.sample_video_frames(M.synthesize_video(d))
+
+
+@query(
+    "llm_embedding_random_projection",
+    # Replays the deterministic ±1 sign matrix (the plane_sign hash) and
+    # the exact integer dot products over the fixed-point vectors.
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    ex AS (
+      SELECT vec_id, unnest(range(len(ivec))) AS d, unnest(ivec) AS x
+      FROM nv
+    )
+    SELECT e.vec_id, CAST(p.j AS INT) AS j,
+           CAST(SUM(e.x * (CASE WHEN ((p.j * {S.PLANE_STRIDE} + e.d + 1)
+                                       * {S.MIX}) % {S.M32} < {S.M32 // 2}
+                                THEN 1 ELSE -1 END)) AS BIGINT) AS y
+    FROM ex e, generate_series(0, {S.RP_DIMS} - 1) AS p(j)
+    GROUP BY e.vec_id, p.j
+    """,
+)
+def llm_embedding_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 random projection 64→16 dims, exact
+    integer arithmetic over the fixed-point vectors and a reproducible
+    sign matrix — see operators/similarity.py::random_projection for
+    the scale rationale. Output is the tidy (vec_id, j, y) relation."""
+    e = Tables(spark, sf_dir).embeddings
+    return S.random_projection(e)

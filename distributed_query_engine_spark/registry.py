@@ -132,6 +132,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_multimodal_ppm_decode",
     "llm_multimodal_wav_decode",
     "llm_multimodal_video_frames",
+    "llm_embedding_random_projection",
 )
 
 
