@@ -333,3 +333,65 @@ def test_rowlocal_simhash_matches_exploded_model(spark, docs):
     }
     got = {(r.doc_id, r.simhash) for r in D.simhash(df).collect()}
     assert got == expected
+
+
+@SET
+@given(docs=docs_st)
+def test_containment_pairs_complete_vs_bruteforce(spark, docs):
+    # The prefix-filter completeness proof, pinned empirically: on
+    # arbitrary micro-corpora the blocked operator must report EXACTLY
+    # the pairs a brute-force all-pairs scan qualifies (threshold 4/5
+    # rational, matching the operator's integer arithmetic).
+    rows = [(i, " ".join(toks), "en") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.doc_a, r.doc_b) for r in D.containment_pairs(df, 4, 5).collect()
+    }
+    sets = [set(t) for t in docs]
+    expected = {
+        (a, b)
+        for a in range(len(docs))
+        for b in range(a + 1, len(docs))
+        if 5 * len(sets[a] & sets[b]) >= 4 * min(len(sets[a]), len(sets[b]))
+    }
+    assert got == expected, (docs, got ^ expected)
+
+
+@SET
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=5, unique=True))
+def test_multimodal_codecs_roundtrip_vs_python(spark, ids):
+    # The byte codecs, checked against a pure-python model on arbitrary
+    # doc ids (the oracle suite only exercises the testdata id range):
+    # synthesize → decode must reproduce the formula's features exactly.
+    from distributed_query_engine_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    ppm = {
+        r.doc_id: (r.width, r.height, r.sum_r, r.sum_ds)
+        for r in M.decode_ppm_features(M.synthesize_ppm(df)).collect()
+    }
+    n = M.PPM_W * M.PPM_H * 3
+    for d in ids:
+        px = [(d * 31 + i * 7) % 256 for i in range(n)]
+        sum_r = sum(px[i] for i in range(0, n, 3))
+        sum_ds = sum(
+            px[(y * M.PPM_W + x) * 3 + c]
+            for y in range(0, M.PPM_H, 2)
+            for x in range(0, M.PPM_W, 2)
+            for c in range(3)
+        )
+        assert ppm[d] == (M.PPM_W, M.PPM_H, sum_r, sum_ds), d
+
+    wav = {
+        r.doc_id: (r.energy, r.peak, r.zero_crossings, r.frame_sum)
+        for r in M.decode_wav_features(M.synthesize_wav(df)).collect()
+    }
+    for d in ids:
+        s = [((d * 7 + i * 13) % 4096) - 2048 for i in range(M.WAV_SAMPLES)]
+        zc = sum(1 for i in range(1, len(s)) if (s[i] >= 0) != (s[i - 1] >= 0))
+        assert wav[d] == (
+            sum(v * v for v in s),
+            max(abs(v) for v in s),
+            zc,
+            sum(s[::8]),
+        ), d
