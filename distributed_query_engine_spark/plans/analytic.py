@@ -1843,3 +1843,127 @@ def timeseries_anomaly_mad(spark, sf_dir):
             .alias("n_anomalies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes, second wave: Q4 (EXISTS), Q14 (conditional ratio), Q19
+# (disjunctive pushdown)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q4_late_shipments",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_late_shipments(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking), adapted to this
+    schema's columns: orders with at least one lineitem shipped > 30
+    days after the order date, counted by priority. The EXISTS
+    decorrelates to a LEFT SEMI join on l_orderkey (Catalyst
+    RewritePredicateSubquery), so the fact-fact correlation costs one
+    shuffle pair and the lineitem side is pruned to two columns; the
+    date filter prunes the orders scan first."""
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("_q4_orders")
+    t.lineitem.createOrReplaceTempView("_q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM _q4_orders o
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM _q4_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=lambda: f"""
+    SELECT 100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' "
+                             "THEN l_extendedprice * (1 - l_discount) "
+                             "ELSE 0 END")}
+             / {sql_dsum('l_extendedprice * (1 - l_discount)')}
+             AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): the conditional-aggregate ratio —
+    promo revenue share of one month's shipments. Part is the dimension
+    side (broadcast); both sums go through exact decimal accumulation
+    and the final percentage is ONE double division, so the ratio is
+    bit-identical cross-engine. One scan, one broadcast join, one
+    map-side partial aggregate to a single row."""
+    t = Tables(spark, sf_dir)
+    l, p = t.lineitem, t.part
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = l.filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    ).join(F.broadcast(p.select("p_partkey", "p_type")),
+           F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle=lambda: f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates) —
+    the classic optimizer test for OR-of-ANDs: Catalyst extracts the
+    common l_quantity bounds' union and the per-side p_brand/p_size
+    conjuncts so PART of the disjunction pushes into each scan
+    (l_quantity <= 30 reaches the lineitem scan; the brand/size
+    disjunction reaches the part scan) instead of evaluating the whole
+    OR only post-join. Part broadcasts; revenue is decimal-exact."""
+    t = Tables(spark, sf_dir)
+    l, p = t.lineitem, t.part
+    joined = l.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

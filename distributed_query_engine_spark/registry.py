@@ -140,6 +140,9 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_multimodal_wav_decode",
     "llm_multimodal_video_frames",
     "llm_embedding_random_projection",
+    "tpch_q4_late_shipments",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_revenue",
 )
 
 

@@ -286,3 +286,20 @@ def test_containment_has_no_cartesian_and_verify_joins_on_ids(spark, sf_dir):
     plan = _plan(_q("llm_dedup_containment", spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    plan = _plan(_q("tpch_q4_late_shipments", spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q19_disjunction_pushes_into_both_scans(spark, sf_dir):
+    # The docstring's claim, asserted: part of the OR-of-ANDs must reach
+    # each scan as PushedFilters — the quantity union bound on lineitem,
+    # the brand/size disjunction (at least the brand In-set) on part.
+    plan = _plan(_q("tpch_q19_disjunctive_revenue", spark, sf_dir))
+    # the quantity-union disjunction reaches the lineitem scan...
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(Or(And(GreaterThanOrEqual(l_quantity" in plan, plan
+    # ...and the brand/size disjunction is filtered before the part
+    # scan's broadcast (pushed as an Or over brand equalities too)
+    assert "(p_brand#" in plan.split("BroadcastExchange")[1], plan
