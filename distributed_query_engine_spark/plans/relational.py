@@ -786,3 +786,49 @@ def dedup_exact(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "limit_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 20
+    """,
+)
+def limit_offset_pagination(spark, sf_dir):
+    """LIMIT + OFFSET pagination (page 3 of a leaderboard): Spark
+    executes offset(k).limit(n) as a single take of the first k+n
+    ordered rows with the first k dropped at the driver — the cost is
+    page_number × page_size, which is why deep pagination on a cluster
+    should switch to keyset pagination (WHERE sort_key < last_seen —
+    the filter pushes to the scan and the cost stays one page). This
+    query pins the OFFSET semantics; the keyset form is expressible
+    with filter_comparison + limit_topk."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(20)
+        .limit(10)
+    )
+
+
+@query(
+    "sort_within_partitions",
+    # Order-insensitive driver compare: the CONTENT contract is just the
+    # projected rows; the plan contract (local sort, no exchange) is
+    # what the query exists to pin, asserted in test_plans.py.
+    oracle="SELECT l_orderkey, l_shipdate, l_extendedprice FROM lineitem",
+)
+def sort_within_partitions(spark, sf_dir):
+    """sortWithinPartitions — the write-optimization sort: orders rows
+    INSIDE each partition with NO global exchange (a global orderBy
+    range-partitions the full relation first). This is how you lay out
+    files for downstream range-pruning — parquet min/max stats per
+    row group become selective when each file is locally sorted on the
+    filter key — at exactly zero shuffle cost. The plan is asserted
+    Exchange-free with a Sort node marked non-global."""
+    l = Tables(spark, sf_dir).lineitem
+    return l.select("l_orderkey", "l_shipdate", "l_extendedprice").sortWithinPartitions(
+        "l_shipdate"
+    )

@@ -143,6 +143,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "tpch_q4_late_shipments",
     "tpch_q14_promo_revenue",
     "tpch_q19_disjunctive_revenue",
+    "limit_offset_pagination",
+    "sort_within_partitions",
 )
 
 

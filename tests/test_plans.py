@@ -303,3 +303,9 @@ def test_q19_disjunction_pushes_into_both_scans(spark, sf_dir):
     # ...and the brand/size disjunction is filtered before the part
     # scan's broadcast (pushed as an Or over brand equalities too)
     assert "(p_brand#" in plan.split("BroadcastExchange")[1], plan
+
+
+def test_sort_within_partitions_is_local(spark, sf_dir):
+    plan = _plan(_q("sort_within_partitions", spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Sort [" in plan and "false, 0" in plan, plan  # global=false
