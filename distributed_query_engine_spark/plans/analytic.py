@@ -1967,3 +1967,59 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle=lambda: f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations (the synthetic data's NATION_3/NATION_7)
+    by ship year. The interesting plan property is the NATION DIM USED
+    TWICE — one physical relation, two broadcast aliases (supplier's
+    nation and customer's nation), with the disjunctive nation-pair
+    predicate evaluated after both lookups; the two fact-fact joins
+    (lineitem⋈orders on orderkey) are the only shuffles, every
+    dimension (supplier, customer, nation×2) broadcasts. Revenue is
+    decimal-exact; the year extraction groups map-side."""
+    t = Tables(spark, sf_dir)
+    l, s, o, c, n = t.lineitem, t.supplier, t.orders, t.customer, t.nation
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        l.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+               F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )

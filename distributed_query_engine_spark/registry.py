@@ -145,6 +145,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "tpch_q19_disjunctive_revenue",
     "limit_offset_pagination",
     "sort_within_partitions",
+    "tpch_q7_nation_volume",
 )
 
 
