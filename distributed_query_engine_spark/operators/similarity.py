@@ -603,24 +603,8 @@ def random_projection(emb: DataFrame, k: int = RP_DIMS) -> DataFrame:
     relation. At 100 TB this is the standard cheap pre-step that cuts
     downstream ANN/clustering cost 4× (64→16 dims) while JL preserves
     pairwise geometry within the usual bounds."""
-    dims = F.sequence(F.lit(0), F.size("ivec") - 1)
-    ys = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("ivec"),
-                    dims,
-                    _plane_dot_term(j),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for j in range(k)
-        ]
-    )
-    return (
-        with_int_vec(emb)
-        .select("vec_id", F.posexplode(ys).alias("j", "y"))
+    return project_vectors(emb, k).select(
+        "vec_id", F.posexplode("yvec").alias("j", "y")
     )
 
 
@@ -628,3 +612,22 @@ def _plane_dot_term(j: int):
     # one-arg-per-param closures: PySpark derives lambda arity from the
     # Python signature (see dedup.signatures_from_arrays)
     return lambda x, d: x * plane_sign(F.lit(j), d).cast("long")
+
+
+def project_vectors(emb: DataFrame, k: int = RP_DIMS) -> DataFrame:
+    """(vec_id, yvec array<long>, ynsq): the packed projected vectors +
+    exact squared norm — the form downstream similarity search
+    consumes (random_projection's tidy output is its posexplode)."""
+    dims = F.sequence(F.lit(0), F.size("ivec") - 1)
+    ys = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(F.col("ivec"), dims, _plane_dot_term(j)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for j in range(k)
+        ]
+    )
+    out = with_int_vec(emb).select("vec_id", ys.alias("yvec"))
+    return out.withColumn("ynsq", norm_sq_long(F.col("yvec")))

@@ -146,6 +146,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "limit_offset_pagination",
     "sort_within_partitions",
     "tpch_q7_nation_volume",
+    "llm_similarity_projected_recall",
 )
 
 
