@@ -2023,3 +2023,77 @@ def tpch_q7_nation_volume(spark, sf_dir):
     ).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events
+    ),
+    joined AS (
+      SELECT f.cohort_week,
+             CAST((epoch(a.week) - epoch(f.cohort_week)) / 604800 AS BIGINT)
+               AS week_offset
+      FROM act a JOIN firstw f USING (user_id)
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size
+      FROM firstw GROUP BY cohort_week
+    )
+    SELECT j.cohort_week, j.week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(COUNT(*) AS DOUBLE) / s.cohort_size AS retention
+    FROM joined j JOIN sizes s USING (cohort_week)
+    GROUP BY j.cohort_week, j.week_offset, s.cohort_size
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """COHORT RETENTION — the canonical product-analytics triangle:
+    users grouped by first-activity week, retention = share of the
+    cohort active in each subsequent week. Three aggregates over the
+    events relation (first-touch per user, distinct user-weeks, the
+    cohort×offset rollup) — each partial-agg'd map-side; the per-user
+    join shuffles on user_id once and the cohort-size relation (weeks,
+    tiny) broadcasts into the final percentage. Week offsets are exact
+    epoch arithmetic on Monday-truncated weeks (both engines truncate
+    identically), and the retention ratio is one double division of
+    exact integers — bit-identical cross-engine."""
+    ev = Tables(spark, sf_dir).events
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    joined = act.join(firstw, "user_id").select(
+        "cohort_week",
+        (
+            (
+                F.unix_timestamp("week") - F.unix_timestamp("cohort_week")
+            )
+            / 604800
+        )
+        .cast("long")
+        .alias("week_offset"),
+    )
+    sizes = firstw.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )

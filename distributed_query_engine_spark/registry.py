@@ -147,6 +147,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "sort_within_partitions",
     "tpch_q7_nation_volume",
     "llm_similarity_projected_recall",
+    "cohort_retention",
 )
 
 
