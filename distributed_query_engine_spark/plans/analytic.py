@@ -2097,3 +2097,62 @@ def cohort_retention(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "window_gaps_islands_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS dayno
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, dayno,
+             dayno - row_number() OVER (PARTITION BY user_id ORDER BY dayno)
+               AS grp
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, grp, COUNT(*) AS streak
+      FROM numbered GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(MAX(streak) AS BIGINT) AS longest_streak,
+           CAST(SUM(streak) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_islands
+    FROM islands GROUP BY user_id
+    """,
+)
+def window_gaps_islands_streaks(spark, sf_dir):
+    """GAPS-AND-ISLANDS — the classic consecutive-run pattern,
+    distinct from sessionize (which groups by gap THRESHOLD; islands
+    group by exact adjacency): a user's activity days form an island
+    when day_number − row_number is constant, so each island collapses
+    to one group key with zero self-joins. Reports per-user longest
+    daily streak, active days, and island count. All integer day
+    arithmetic; the row_number window and both rollups share the
+    user_id partitioning, so the whole query is ONE shuffle of the
+    distinct user-day relation followed by map-side-combinable
+    aggregates."""
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events
+    days = ev.select(
+        "user_id",
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+        .cast("long")
+        .alias("dayno"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dayno")
+    numbered = days.withColumn(
+        "grp", F.col("dayno") - F.row_number().over(w)
+    )
+    islands = numbered.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("streak").cast("long").alias("longest_streak"),
+        F.sum("streak").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+    )

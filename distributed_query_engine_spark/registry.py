@@ -148,6 +148,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "tpch_q7_nation_volume",
     "llm_similarity_projected_recall",
     "cohort_retention",
+    "window_gaps_islands_streaks",
 )
 
 
