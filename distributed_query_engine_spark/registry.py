@@ -149,6 +149,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_similarity_projected_recall",
     "cohort_retention",
     "window_gaps_islands_streaks",
+    "graph_triangle_count",
 )
 
 
