@@ -48,6 +48,7 @@ def query(
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__
         _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
