@@ -2268,3 +2268,70 @@ def graph_triangle_count(spark, sf_dir):
         ],
         "n_nodes long, n_edges long, n_wedges long, n_triangles long, clustering_milli long",
     )
+
+
+_FUZZY_MAX_DIST = 5
+
+
+@query(
+    "fuzzy_match_names",
+    oracle=lambda: f"""
+    WITH names AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    ),
+    blocked AS (
+      SELECT p_name, n_parts,
+             string_split(p_name, ' ')[-1] AS block_key
+      FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM blocked a JOIN blocked b
+      ON a.block_key = b.block_key AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+    """,
+)
+def fuzzy_match_names(spark, sf_dir):
+    """FUZZY ENTITY MATCHING — edit-distance join with blocking, the
+    entity-resolution primitive: candidate pairs come from a BLOCK KEY
+    (the name's last word — the stable token a real pipeline derives
+    from a normalized attribute), identical names COLLAPSE to one row
+    first (the signature_groups move: a name shared by k parts must
+    not contribute k² pairs to the block), and survivors are scored
+    with exact Levenshtein distance — an integer DP both engines
+    define identically, so the whole report is hash-exact. At 100 TB
+    the block key gets more attributes (soundex/metaphone + length
+    band) and hot blocks get the standard salting; the shape —
+    dedupe, block, bounded all-pairs, exact verify — is the same one
+    the minhash pipeline uses, applied to short strings where edit
+    distance is the right metric."""
+    p = Tables(spark, sf_dir).part
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    blocked = names.withColumn(
+        "block_key", F.element_at(F.split("p_name", " "), -1)
+    )
+    a = blocked.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "block_key",
+    )
+    b = blocked.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        "block_key",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= _FUZZY_MAX_DIST)
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("long").alias("dist"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+    )

@@ -151,6 +151,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "cohort_retention",
     "window_gaps_islands_streaks",
     "graph_triangle_count",
+    "fuzzy_match_names",
 )
 
 
