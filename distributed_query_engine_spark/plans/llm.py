@@ -2169,3 +2169,76 @@ def llm_similarity_projected_recall(spark, sf_dir):
             ).alias("recall_at_5"),
         )
     )
+
+
+@query(
+    "llm_url_canonicalize",
+    # Messy URLs synthesized deterministically from doc_id (mixed-case
+    # host, tracking params, fragments, trailing slash — each present
+    # iff a doc_id bit is set), then canonicalized with the same string
+    # pipeline in both engines.
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://' ||
+             CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+             'Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+             '/Docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+             CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&ref=y' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '[?#].*$', ''),
+                 '^https://www\\.', 'https://'),
+               '/$', '') AS curl
+      FROM raw
+    )
+    SELECT curl,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+    FROM canon GROUP BY curl
+    """,
+)
+def llm_url_canonicalize(spark, sf_dir):
+    """URL CANONICALIZATION DEDUP — the first pass of every web-corpus
+    pipeline: lowercase, strip query strings and fragments (tracking
+    params make distinct strings of the same resource), drop the www
+    prefix and trailing slash, then group — each canonical URL keeps
+    its lowest doc_id (the crawl-order winner). Entirely row-local
+    string expressions (three regexp_replace + lower inside codegen,
+    no UDF) followed by one partial-agg'd shuffle on the canonical
+    URL. The messy inputs are synthesized deterministically from
+    doc_id bits so the canonicalization is exercised against every
+    combination of case/www/slash/query/fragment noise and the oracle
+    replays it exactly."""
+    d = Tables(spark, sf_dir).documents
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Example"), (did % 7).cast("string"), F.lit(".COM"),
+        F.lit("/Docs/"), (did % 50).cast("string"),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("?utm_source=x&ref=y")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), r"[?#].*$", ""),
+            r"^https://www\.", "https://",
+        ),
+        r"/$", "",
+    )
+    return (
+        d.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+        )
+    )

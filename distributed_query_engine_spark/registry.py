@@ -152,6 +152,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "window_gaps_islands_streaks",
     "graph_triangle_count",
     "fuzzy_match_names",
+    "llm_url_canonicalize",
 )
 
 
