@@ -2335,3 +2335,86 @@ def fuzzy_match_names(spark, sf_dir):
             "n_parts_b",
         )
     )
+
+
+_BASKET_MIN_SUPPORT = 5
+
+
+@query(
+    "basket_pair_lift",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets),
+    item AS (SELECT l_partkey, COUNT(*) AS item_cnt FROM baskets GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS pair_cnt
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.pair_cnt AS BIGINT) AS support_cnt,
+           CAST(p.pair_cnt AS DOUBLE) / ia.item_cnt AS confidence_a_to_b,
+           CAST(p.pair_cnt AS DOUBLE) * t.n / (ia.item_cnt * ib.item_cnt)
+             AS lift
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n_orders t
+    WHERE p.pair_cnt >= {_BASKET_MIN_SUPPORT}
+    """,
+)
+def basket_pair_lift(spark, sf_dir):
+    """MARKET-BASKET ANALYSIS — pairwise association rules over order
+    baskets: support, confidence, and lift for every part pair
+    co-occurring in ≥ 5 orders. The pair generation
+    self-joins baskets ON THE ORDER KEY, so a basket's pair production
+    is bounded by its own line count squared (single-digit here; a
+    pathological mega-basket would get the same salting treatment as
+    every other hot key in this repo) — never a global item×item
+    join. Counts are exact integers; confidence and lift are single
+    double divisions of exact integers against the broadcast
+    basket-count scalar, so the scores hash-match bit-for-bit."""
+    t = Tables(spark, sf_dir)
+    baskets = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("item_cnt"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= _BASKET_MIN_SUPPORT)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("item_cnt").alias("cnt_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("item_cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_cnt").cast("long").alias("support_cnt"),
+            (F.col("pair_cnt").cast("double") / F.col("cnt_a")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                F.col("pair_cnt").cast("double")
+                * F.lit(int(n_orders))
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            ).alias("lift"),
+        )
+    )

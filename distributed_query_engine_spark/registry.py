@@ -153,6 +153,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "graph_triangle_count",
     "fuzzy_match_names",
     "llm_url_canonicalize",
+    "basket_pair_lift",
 )
 
 
