@@ -2418,3 +2418,149 @@ def basket_pair_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "pareto_abc_classification",
+    oracle=lambda: f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS t
+            FROM lineitem),
+    ranked AS (
+      SELECT r.l_suppkey, r.revenue,
+             SUM(r.revenue) OVER (ORDER BY r.revenue DESC, r.l_suppkey
+                                  ROWS UNBOUNDED PRECEDING) / t.t
+               AS cum_share
+      FROM rev r CROSS JOIN tot t
+    )
+    SELECT l_suppkey, revenue, cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def pareto_abc_classification(spark, sf_dir):
+    """PARETO / ABC CLASSIFICATION — the warehouse 80/15/5 rule:
+    suppliers ranked by revenue, classified by cumulative revenue
+    share (A ≤ 80%, B ≤ 95%, C rest). Per-supplier revenues are
+    decimal-exact; the running share is a window sum of those exact
+    doubles in a PINNED order (revenue desc, suppkey tiebreak), so
+    every cumulative value — and therefore every class boundary
+    decision — is bit-identical cross-engine. The window is global by
+    definition (a ranking of suppliers), but it runs over the
+    SUPPLIER-sized aggregate, not the fact table — the same
+    already-reduced-relation exemption the topk family uses."""
+    t = Tables(spark, sf_dir)
+    l = t.lineitem
+    rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = l.groupBy("l_suppkey").agg(dsum(rev_expr, "revenue"))
+    total = l.agg(dsum(rev_expr, "t"))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(F.col("revenue").desc(), F.col("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.crossJoin(F.broadcast(total)).withColumn(
+        "cum_share", F.sum("revenue").over(w) / F.col("t")
+    )
+    return ranked.select(
+        "l_suppkey",
+        "revenue",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "timeseries_changepoint_cusum",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, event_id, ts,
+             CAST(floor(value * 1000) AS BIGINT) AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s
+      FROM iv GROUP BY event_type
+    ),
+    walked AS (
+      SELECT i.event_type, i.event_id, st.n, st.s,
+             row_number() OVER (PARTITION BY i.event_type
+                                ORDER BY i.ts, i.event_id) AS k,
+             SUM(i.v) OVER (PARTITION BY i.event_type
+                            ORDER BY i.ts, i.event_id
+                            ROWS UNBOUNDED PRECEDING) AS prefix
+      FROM iv i JOIN stats st USING (event_type)
+    ),
+    cusum AS (
+      SELECT event_type, event_id, k,
+             abs(n * prefix - k * s) AS acs
+      FROM walked
+    )
+    SELECT event_type,
+           CAST(MAX(acs) AS BIGINT) AS max_abs_cusum,
+           CAST(MIN(CASE WHEN acs = m THEN k END) AS BIGINT) AS cp_position,
+           CAST(MAX(k) AS BIGINT) AS n
+    FROM (SELECT c.*, MAX(acs) OVER (PARTITION BY event_type) AS m FROM cusum c)
+    GROUP BY event_type
+    """,
+)
+def timeseries_changepoint_cusum(spark, sf_dir):
+    """CUSUM CHANGEPOINT DETECTION per event type: the position where
+    the cumulative deviation from the series mean peaks — the classic
+    single-changepoint estimator. Entirely EXACT INTEGER arithmetic
+    via the multiply-through trick: instead of v_i − mean (a division
+    that would leave the fixed-point world), the walk accumulates
+    n·prefix_k − k·S, which is n× the true CUSUM and shares its argmax
+    — so the detected position and peak are bit-identical in any
+    engine, no float drift over a million-step walk. One shuffle into
+    the per-type time order; the prefix sum, the peak, and the
+    earliest-argmax tiebreak all share that partitioning."""
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events
+    iv = ev.select(
+        "event_type", "event_id", "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    stats = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    order = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    walked = (
+        iv.join(F.broadcast(stats), "event_type")
+        .withColumn("k", F.row_number().over(order))
+        .withColumn(
+            "prefix",
+            F.sum("v").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    cusum = walked.select(
+        "event_type",
+        "k",
+        F.abs(F.col("n") * F.col("prefix") - F.col("k") * F.col("s")).alias(
+            "acs"
+        ),
+    )
+    peak = Window.partitionBy("event_type")
+    return (
+        cusum.withColumn("m", F.max("acs").over(peak))
+        .groupBy("event_type")
+        .agg(
+            F.max("acs").cast("long").alias("max_abs_cusum"),
+            F.min(F.when(F.col("acs") == F.col("m"), F.col("k")))
+            .cast("long")
+            .alias("cp_position"),
+            F.max("k").cast("long").alias("n"),
+        )
+    )

@@ -154,6 +154,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "fuzzy_match_names",
     "llm_url_canonicalize",
     "basket_pair_lift",
+    "pareto_abc_classification",
+    "timeseries_changepoint_cusum",
 )
 
 
