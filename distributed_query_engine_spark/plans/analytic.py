@@ -2564,3 +2564,81 @@ def timeseries_changepoint_cusum(spark, sf_dir):
             F.max("k").cast("long").alias("n"),
         )
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    probes AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 97 = 0
+    )
+    SELECT p.event_id, p.user_id,
+           c.event_type AS state_at_ts,
+           c.valid_from
+    FROM probes p
+    JOIN changes c
+      ON c.user_id = p.user_id
+     AND c.valid_from <= p.ts
+     AND (c.valid_to IS NULL OR p.ts < c.valid_to)
+    """,
+)
+def join_point_in_time_scd2(spark, sf_dir):
+    """POINT-IN-TIME (AS-OF-VALIDITY) JOIN — the consumer SCD2 exists
+    for: probe rows (a 1/97 sample of the event log standing in for a
+    fact table) look up the dimension state that was valid AT their
+    timestamp, via key equality + validity-interval containment.
+    Spark plans the equi key as the join key and the interval bounds
+    as join filters, so the shuffle moves each side once on user_id —
+    never a range cross-product; exactly one history row matches each
+    probe because SCD2 intervals partition the timeline ([from, to)
+    half-open, asserted by construction in scd2_from_events). At
+    100 TB the history side is the small one and broadcasts per the
+    usual dimension rule."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    probes = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    return (
+        probes.join(
+            changes,
+            (probes.user_id == changes.user_id)
+            & (F.col("valid_from") <= F.col("p_ts"))
+            & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to"))),
+        )
+        .select(
+            "event_id",
+            probes.user_id.alias("user_id"),
+            F.col("event_type").alias("state_at_ts"),
+            "valid_from",
+        )
+    )

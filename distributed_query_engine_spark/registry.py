@@ -156,6 +156,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "basket_pair_lift",
     "pareto_abc_classification",
     "timeseries_changepoint_cusum",
+    "join_point_in_time_scd2",
 )
 
 
