@@ -2642,3 +2642,135 @@ def join_point_in_time_scd2(spark, sf_dir):
             "valid_from",
         )
     )
+
+
+@query(
+    "yoy_revenue_growth",
+    oracle=lambda: f"""
+    WITH yearly AS (
+      SELECT n.n_name,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, year(o.o_orderdate)
+    )
+    SELECT n_name, yr, revenue,
+           lag(revenue) OVER (PARTITION BY n_name ORDER BY yr) AS prev_revenue,
+           revenue / lag(revenue) OVER (PARTITION BY n_name ORDER BY yr) - 1
+             AS yoy_growth
+    FROM yearly
+    """,
+)
+def yoy_revenue_growth(spark, sf_dir):
+    """YEAR-OVER-YEAR GROWTH per customer nation — the canonical BI
+    trend report: yearly decimal-exact revenues, lag() within each
+    nation's year series, growth as one double division of two exact
+    values (NULL for each nation's first year, matching SQL lag
+    semantics). The window runs over the nation×year aggregate — a few
+    dozen rows per nation at any corpus size — after the fact-table
+    work is done in partial-agg'd joins with broadcast dimensions."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    yearly = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(dsum(rev, "revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "n_name", "yr", "revenue",
+        prev.alias("prev_revenue"),
+        (F.col("revenue") / prev - 1).alias("yoy_growth"),
+    )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(epoch(max(o_orderdate)) AS BIGINT) AS recency_epoch,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_epoch, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_epoch DESC, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(o_custkey) AS BIGINT) AS sample_custkey
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM CUSTOMER SEGMENTATION — recency/frequency/monetary quartile
+    scores (ntile(4) each, best = 1) rolled up to segment counts. The
+    per-customer rollup is one partial-agg'd shuffle of orders; the
+    three ntile windows run over the CUSTOMER-sized aggregate with
+    o_custkey tiebreaks so quartile boundaries are deterministic
+    cross-engine (ntile on ties without a tiebreak would not be); the
+    monetary sum is decimal-exact. Output is the 4×4×4 segment grid —
+    the thing a marketing pipeline actually consumes."""
+    from pyspark.sql.window import Window
+
+    o = Tables(spark, sf_dir).orders
+    rfm = o.groupBy("o_custkey").agg(
+        F.unix_timestamp(F.max("o_orderdate")).cast("long").alias("recency_epoch"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = (
+        rfm.withColumn(
+            "r_score",
+            F.ntile(4).over(
+                Window.orderBy(F.col("recency_epoch").desc(), F.col("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(4).over(
+                Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(4).over(
+                Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+            ),
+        )
+    )
+    return scored.groupBy(
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("o_custkey").cast("long").alias("sample_custkey"),
+    )

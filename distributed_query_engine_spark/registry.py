@@ -157,6 +157,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "pareto_abc_classification",
     "timeseries_changepoint_cusum",
     "join_point_in_time_scd2",
+    "yoy_revenue_growth",
+    "rfm_segmentation",
 )
 
 
