@@ -2242,3 +2242,121 @@ def llm_url_canonicalize(spark, sf_dir):
             F.min("doc_id").cast("long").alias("keep_doc"),
         )
     )
+
+
+@query(
+    "llm_bigram_conditional_surprisal",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1])) AS bigram,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i])) AS w1
+      FROM words WHERE len(w) >= 2
+    ),
+    cb AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+    cu AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(length(bin(u.c1)) - length(bin(d.c2))) AS BIGINT)
+             AS surp_sum,
+           CAST((1000 * SUM(length(bin(u.c1)) - length(bin(d.c2))))
+                  // COUNT(*) AS BIGINT) AS mean_surp_milli
+    FROM bg b JOIN cb d USING (bigram) JOIN cu u USING (w1)
+    GROUP BY b.doc_id
+    """,
+)
+def llm_bigram_conditional_surprisal(spark, sf_dir):
+    """CONDITIONAL BIGRAM LM SCORING — the second-order companion to
+    llm_unigram_surprisal: per-occurrence surprisal of w2 GIVEN w1 in
+    integer log2 buckets, bits(c(w1)) − bits(c(w1 w2)) ≈ −log2 P(w2|w1)
+    (same transcendental-free contract). Documents whose word
+    TRANSITIONS are corpus-unusual score high even when every
+    individual word is common — the signal unigram models miss, and
+    the cheap proxy for LM-based quality filtering. Shape: one bigram
+    explode feeding two frequency relations (bigram and
+    conditioning-word counts, both partial-agg'd), joined back and
+    rolled up per doc — the same documented broadcast→shuffle
+    degradation story as the unigram variant, one order higher."""
+    d = Tables(spark, sf_dir).documents
+    w = F.split("text", " ")
+    bg = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ", F.element_at("w", i), F.element_at("w", i + 1)
+                        ).alias("bigram"),
+                        F.element_at("w", i).alias("w1"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.bigram", "p.w1")
+    )
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bits = lambda col: F.length(F.bin(col)).cast("long")  # noqa: E731
+    surp = bits(F.col("c1")) - bits(F.col("c2"))
+    return (
+        bg.join(cb, "bigram")
+        .join(cu, "w1")
+        .select("doc_id", surp.alias("surp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("surp").cast("long").alias("surp_sum"),
+            F.expr("CAST((1000 * sum(surp)) div count(1) AS BIGINT)").alias(
+                "mean_surp_milli"
+            ),
+        )
+    )
+
+
+@query(
+    "llm_feature_hashing",
+    # Replays the hashing trick arithmetically: bucket = tid % 16, sign
+    # from bit 4 of the md5-mod-P token id; contributions sum exactly.
+    oracle=lambda: f"""
+    WITH {_tokens_cte(hashed=True)}
+    SELECT doc_id,
+           CAST(tid % 16 AS BIGINT) AS j,
+           CAST(SUM(CASE WHEN (tid // 16) % 2 = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS val
+    FROM tt GROUP BY doc_id, tid % 16
+    """,
+)
+def llm_feature_hashing(spark, sf_dir):
+    """THE HASHING TRICK (feature hashing, Weinberger et al. 2009 —
+    public): embed each document's token set into a fixed 16-dim
+    vector with NO vocabulary at all — bucket j = tid mod 16, sign
+    from the next hash bit, contributions summed. This is the
+    vocabulary-free featurization that feeds linear classifiers and
+    quality models at corpus scale: row-local ids (the same md5-mod-P
+    as the minhash family), one partial-agg'd shuffle on (doc_id,
+    bucket), output the tidy sparse (doc_id, j, val) relation with
+    empty buckets absent — exactly what a downstream trainer consumes.
+    Sign-hashing makes collisions cancel in expectation instead of
+    accumulating bias — the property that separates the hashing trick
+    from naive modular bucketing."""
+    d = Tables(spark, sf_dir).documents
+    toks = D.tokenize(d)
+    tid = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % D.P
+    return (
+        toks.select(
+            "doc_id",
+            (tid % 16).alias("j"),
+            F.when((tid / 16).cast("long") % 2 == 0, 1).otherwise(-1).alias("sgn"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("sgn").cast("long").alias("val"))
+    )

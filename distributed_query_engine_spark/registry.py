@@ -159,6 +159,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "join_point_in_time_scd2",
     "yoy_revenue_growth",
     "rfm_segmentation",
+    "llm_bigram_conditional_surprisal",
+    "llm_feature_hashing",
 )
 
 
