@@ -2432,8 +2432,9 @@ def basket_pair_lift(spark, sf_dir):
             FROM lineitem),
     ranked AS (
       SELECT r.l_suppkey, r.revenue,
-             SUM(r.revenue) OVER (ORDER BY r.revenue DESC, r.l_suppkey
-                                  ROWS UNBOUNDED PRECEDING) / t.t
+             CAST(SUM(CAST(r.revenue AS DECIMAL(38,6))) OVER (
+                    ORDER BY r.revenue DESC, r.l_suppkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.t
                AS cum_share
       FROM rev r CROSS JOIN tot t
     )
@@ -2448,8 +2449,9 @@ def pareto_abc_classification(spark, sf_dir):
     """PARETO / ABC CLASSIFICATION — the warehouse 80/15/5 rule:
     suppliers ranked by revenue, classified by cumulative revenue
     share (A ≤ 80%, B ≤ 95%, C rest). Per-supplier revenues are
-    decimal-exact; the running share is a window sum of those exact
-    doubles in a PINNED order (revenue desc, suppkey tiebreak), so
+    decimal-exact; the running share is a window sum accumulated in EXACT DECIMAL
+    (window engines may reassociate double addition — DuckDB's segment
+    tree does) in a PINNED order (revenue desc, suppkey tiebreak), so
     every cumulative value — and therefore every class boundary
     decision — is bit-identical cross-engine. The window is global by
     definition (a ranking of suppliers), but it runs over the
@@ -2466,8 +2468,14 @@ def pareto_abc_classification(spark, sf_dir):
         Window.orderBy(F.col("revenue").desc(), F.col("l_suppkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The running sum accumulates in EXACT DECIMAL, not double: window
+    # engines are free to reassociate double addition (DuckDB's segment
+    # tree does), so a double cumsum is only ~1e-16-reproducible; the
+    # decimal sum is order-independent and casts once at the end.
     ranked = rev.crossJoin(F.broadcast(total)).withColumn(
-        "cum_share", F.sum("revenue").over(w) / F.col("t")
+        "cum_share",
+        F.sum(F.col("revenue").cast("decimal(38,6)")).over(w).cast("double")
+        / F.col("t"),
     )
     return ranked.select(
         "l_suppkey",
