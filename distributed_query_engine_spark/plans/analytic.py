@@ -2782,3 +2782,101 @@ def rfm_segmentation(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.min("o_custkey").cast("long").alias("sample_custkey"),
     )
+
+
+@query(
+    "dq_expectations_report",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS rule, CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'lineitem_partkey_fk', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    UNION ALL
+    SELECT 'customer_custkey_unique', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem_quantity_range', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'documents_text_nonempty', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    """,
+)
+def dq_expectations_report(spark, sf_dir):
+    """DATA-QUALITY EXPECTATIONS REPORT — the Great-Expectations-style
+    rule suite as one relation: referential integrity (orphan FK rows
+    via null-extension counting on a left join — the dimension side
+    broadcasts, so the check costs one fact scan), key uniqueness
+    (count vs distinct-count), range conformance, and non-emptiness,
+    each one scan + partial aggregation, unioned into the
+    (rule, n_checked, n_violations) report a pipeline gate consumes.
+    At 100 TB each rule is independently one pass over its table with
+    broadcast lookups — no rule multiplies another's cost, and the
+    report is the natural place observe()-style metrics land
+    (scan_observed_metrics demonstrates the streaming-side variant)."""
+    t = Tables(spark, sf_dir)
+
+    def rule(name, df, viol_col):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(viol_col).cast("long").alias("n_violations"),
+        )
+
+    fk_orders = t.orders.join(
+        F.broadcast(t.customer.select("c_custkey")),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left",
+    )
+    fk_lineitem = t.lineitem.join(
+        F.broadcast(t.part.select("p_partkey")),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left",
+    )
+    uniq = t.customer.agg(
+        F.lit("customer_custkey_unique").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.count_distinct("c_custkey"))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    return (
+        rule(
+            "orders_custkey_fk",
+            fk_orders,
+            F.when(F.col("c_custkey").isNull(), 1).otherwise(0),
+        )
+        .unionByName(
+            rule(
+                "lineitem_partkey_fk",
+                fk_lineitem,
+                F.when(F.col("p_partkey").isNull(), 1).otherwise(0),
+            )
+        )
+        .unionByName(uniq)
+        .unionByName(
+            rule(
+                "lineitem_quantity_range",
+                t.lineitem,
+                F.when(F.col("l_quantity").between(1, 50), 0).otherwise(1),
+            )
+        )
+        .unionByName(
+            rule(
+                "documents_text_nonempty",
+                t.documents,
+                F.when(
+                    F.col("text").isNull() | (F.length("text") == 0), 1
+                ).otherwise(0),
+            )
+        )
+    )

@@ -161,6 +161,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "rfm_segmentation",
     "llm_bigram_conditional_surprisal",
     "llm_feature_hashing",
+    "dq_expectations_report",
 )
 
 
