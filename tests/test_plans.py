@@ -309,3 +309,20 @@ def test_sort_within_partitions_is_local(spark, sf_dir):
     plan = _plan(_q("sort_within_partitions", spark, sf_dir))
     assert "Exchange" not in plan, plan
     assert "Sort [" in plan and "false, 0" in plan, plan  # global=false
+
+
+def test_dq_report_fk_checks_broadcast(spark, sf_dir):
+    # Referential-integrity rules must cost one fact scan + broadcast
+    # lookup each — a shuffled FK join would make the DQ gate as
+    # expensive as the queries it guards.
+    plan = _plan(_q("dq_expectations_report", spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_point_in_time_join_is_keyed_not_range_product(spark, sf_dir):
+    # The validity join must shuffle on the equi key with the interval
+    # bounds as join filters — never a cartesian/BNL range product.
+    plan = _plan(_q("join_point_in_time_scd2", spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
