@@ -832,3 +832,45 @@ def sort_within_partitions(spark, sf_dir):
     return l.select("l_orderkey", "l_shipdate", "l_extendedprice").sortWithinPartitions(
         "l_shipdate"
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+      FROM customer
+    ),
+    d AS (
+      SELECT NULLIF(s, 'NONE') AS seg, label FROM (VALUES
+        ('AUTOMOBILE', 'cars'), ('MACHINERY', 'machines'),
+        ('NONE', 'unsegmented')) AS t(s, label)
+    )
+    SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.label
+    """,
+)
+def join_null_safe_eq(spark, sf_dir):
+    """NULL-SAFE EQUALITY JOIN (``<=>`` / IS NOT DISTINCT FROM): the
+    join variant where NULL matches NULL — here customers whose
+    segment was nulled (BUILDING → NULL) still land on the
+    'unsegmented' dimension row instead of silently dropping out, the
+    exact trap a plain equi join springs on nullable keys. Spark plans
+    ``<=>`` as a HASH join key (null-safe keys hash like values), so
+    the shape stays a broadcast hash join — no degradation to a
+    nested-loop over the null rows."""
+    c = Tables(spark, sf_dir).customer.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    spark_ = c.sparkSession
+    d = spark_.createDataFrame(
+        [("AUTOMOBILE", "cars"), ("MACHINERY", "machines"), (None, "unsegmented")],
+        "seg string, label string",
+    )
+    return (
+        c.join(F.broadcast(d), c.seg.eqNullSafe(d.seg))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -162,6 +162,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_bigram_conditional_surprisal",
     "llm_feature_hashing",
     "dq_expectations_report",
+    "join_null_safe_eq",
 )
 
 
