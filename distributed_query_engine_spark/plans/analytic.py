@@ -2880,3 +2880,58 @@ def dq_expectations_report(spark, sf_dir):
             )
         )
     )
+
+
+@query(
+    "markov_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    totals AS (
+      SELECT prev_type, SUM(cnt) AS row_total FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type,
+           CAST(t.cnt AS BIGINT) AS cnt,
+           CAST(t.cnt AS DOUBLE) / tt.row_total AS p
+    FROM trans t JOIN totals tt USING (prev_type)
+    """,
+)
+def markov_transition_matrix(spark, sf_dir):
+    """FIRST-ORDER MARKOV TRANSITION MATRIX over per-user event
+    sequences: P(next_type | prev_type) estimated from adjacent-event
+    counts — the sequence-modeling summary behind next-action
+    prediction, funnel leak analysis, and bot detection (bots have
+    degenerate transition rows). One lag() window over the user/time
+    order (the same single exchange the SCD2 build uses), exact
+    integer transition counts, row-normalized with one double division
+    against the broadcast row totals — a |types|² relation regardless
+    of corpus size."""
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("cnt").alias("row_total"))
+    return trans.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        (F.col("cnt").cast("double") / F.col("row_total")).alias("p"),
+    )

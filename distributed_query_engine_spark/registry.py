@@ -163,6 +163,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_feature_hashing",
     "dq_expectations_report",
     "join_null_safe_eq",
+    "markov_transition_matrix",
 )
 
 
