@@ -395,3 +395,141 @@ def test_multimodal_codecs_roundtrip_vs_python(spark, ids):
             zc,
             sum(s[::8]),
         ), d
+
+
+@SET
+@given(
+    daysets=st.lists(
+        st.lists(st.integers(0, 20), min_size=1, max_size=12, unique=True),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_gaps_islands_matches_python(spark, daysets):
+    # Islands via dayno - row_number constancy vs a direct python walk
+    # over sorted day sets with arbitrary gaps.
+    import datetime
+
+    rows = []
+    eid = 0
+    for u, days in enumerate(daysets):
+        for d in sorted(days):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d), u)
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    df.createOrReplaceTempView("_gi_events")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    days_df = df.select(
+        "user_id",
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+        .cast("long")
+        .alias("dayno"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dayno")
+    islands = (
+        days_df.withColumn("grp", F.col("dayno") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("streak"))
+    )
+    got = {
+        (r.user_id, r.longest, r.n_islands)
+        for r in islands.groupBy("user_id")
+        .agg(
+            F.max("streak").alias("longest"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+        .collect()
+    }
+    expected = set()
+    for u, days in enumerate(daysets):
+        ds = sorted(set(days))
+        streaks, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        expected.add((u, max(streaks), len(streaks)))
+    assert got == expected, (daysets, got ^ expected)
+
+
+@SET
+@given(
+    series=st.lists(
+        st.lists(st.integers(-50, 50), min_size=2, max_size=12),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_cusum_changepoint_matches_python(spark, series):
+    # The multiply-through-by-n CUSUM walk vs a direct python argmax.
+    import datetime
+
+    rows = []
+    eid = 0
+    for t, vals in enumerate(series):
+        for i, v in enumerate(vals):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+                    f"type{t}",
+                    float(v),
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    iv = df.select(
+        "event_type", "event_id", "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    stats = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    order = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    walked = (
+        iv.join(F.broadcast(stats), "event_type")
+        .withColumn("k", F.row_number().over(order))
+        .withColumn(
+            "prefix",
+            F.sum("v").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    cusum = walked.select(
+        "event_type", "k",
+        F.abs(F.col("n") * F.col("prefix") - F.col("k") * F.col("s")).alias("acs"),
+    )
+    peak = Window.partitionBy("event_type")
+    got = {
+        (r.event_type, r.cp, r.m)
+        for r in cusum.withColumn("m", F.max("acs").over(peak))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("acs") == F.col("m"), F.col("k"))).alias("cp"),
+            F.max("acs").alias("m"),
+        )
+        .collect()
+    }
+    expected = set()
+    for t, vals in enumerate(series):
+        iv_vals = [v * 1000 for v in vals]
+        n, s = len(iv_vals), sum(iv_vals)
+        prefix, best_k, best = 0, None, -1
+        for k, v in enumerate(iv_vals, start=1):
+            prefix += v
+            acs = abs(n * prefix - k * s)
+            if acs > best:
+                best, best_k = acs, k
+        expected.add((f"type{t}", best_k, best))
+    assert got == expected, (series, got ^ expected)
