@@ -2935,3 +2935,89 @@ def markov_transition_matrix(spark, sf_dir):
         F.col("cnt").cast("long").alias("cnt"),
         (F.col("cnt").cast("double") / F.col("row_total")).alias("p"),
     )
+
+
+@query(
+    "agg_string_agg_ordered",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_string_agg_ordered(spark, sf_dir):
+    """ORDERED STRING AGGREGATION (LISTAGG/string_agg with ORDER BY) —
+    the reporting surface every warehouse user reaches for: group
+    members concatenated in a PINNED order. Spark's collect_list is
+    partition-order-dependent, so the deterministic form is
+    array_join(sort_array(collect_list(...))) — same value as SQL's
+    ordered string_agg in any engine, any partitioning. The rollup is
+    a partial-agg'd shuffle of the (tiny) dimension join."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.nation.join(
+            F.broadcast(t.region),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "window_running_distinct_count",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_types_so_far
+    FROM marked
+    """,
+)
+def window_running_distinct_count(spark, sf_dir):
+    """RUNNING COUNT(DISTINCT) — not directly expressible as a window
+    aggregate in ANY engine (distinct windows are unsupported), so the
+    standard two-window rewrite: mark each (user, type)'s FIRST
+    occurrence with row_number, then a running sum of the marks gives
+    the distinct-type count as of every event. Both windows hash on
+    user_id (the second reuses the first's exchange), integer-exact at
+    any scale — the pattern behind 'how many distinct features had
+    this account touched by time t' product questions."""
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return marked.select(
+        "user_id", "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias(
+            "distinct_types_so_far"
+        ),
+    )

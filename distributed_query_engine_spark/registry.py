@@ -164,6 +164,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "dq_expectations_report",
     "join_null_safe_eq",
     "markov_transition_matrix",
+    "agg_string_agg_ordered",
+    "window_running_distinct_count",
 )
 
 
