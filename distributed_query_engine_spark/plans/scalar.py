@@ -396,3 +396,43 @@ def scalar_try_family(spark, sf_dir):
             "stable_one"
         ),
     )
+
+
+@query(
+    "scalar_regex_family",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+o[a-z]+')) AS BIGINT)
+             AS n_matches,
+           COALESCE(array_to_string(regexp_extract_all(text, '[a-z]+o[a-z]+'), '|'), '')
+             AS all_matches,
+           regexp_extract(text, '[a-z]+o[a-z]+') AS first_match,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
+    FROM documents
+    """,
+)
+def scalar_regex_family(spark, sf_dir):
+    """The REGEXP function family beyond the basic extract/replace in
+    scalar_string: regexp_count (as the match-array length — the
+    driver-hashable scalar form), EXTRACT-ALL (re-joined to a string:
+    the array-column canonicalizer lesson), first-match extraction,
+    and global replacement (the zero-match edge pinned: DuckDB's
+    array_to_string returns NULL for an empty match list where Spark's
+    array_join gives '' — the oracle coalesces). Patterns are kept in the
+    character-class/quantifier subset where Java regex (Spark) and RE2
+    (DuckDB) agree exactly — lookarounds and backreferences are where
+    the engines fork, and a cross-engine pipeline must not depend on
+    them. All row-local, codegen'd, zero shuffles before the scan."""
+    d = Tables(spark, sf_dir).documents
+    pat = "[a-z]+o[a-z]+"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long").alias(
+            "n_matches"
+        ),
+        F.array_join(F.regexp_extract_all("text", F.lit(pat), 0), "|").alias(
+            "all_matches"
+        ),
+        F.regexp_extract("text", pat, 0).alias("first_match"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+    )

@@ -166,6 +166,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "markov_transition_matrix",
     "agg_string_agg_ordered",
     "window_running_distinct_count",
+    "scalar_regex_family",
 )
 
 
