@@ -3021,3 +3021,50 @@ def window_running_distinct_count(spark, sf_dir):
             "distinct_types_so_far"
         ),
     )
+
+
+@query(
+    "user_path_analysis",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    """,
+)
+def user_path_analysis(spark, sf_dir):
+    """USER PATH ANALYSIS — the first-three-actions journey report
+    behind onboarding funnels: each user's first 3 events (by time,
+    event_id tiebreak) joined into a path string, counted across
+    users. One user_id window exchange shared with the rollup; the
+    path build is collect_list UNDER THE WINDOW ORDER re-joined (the
+    deterministic LISTAGG form), and the output is |distinct paths| ≤
+    |types|³ rows regardless of corpus size."""
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))

@@ -2360,3 +2360,75 @@ def llm_feature_hashing(spark, sf_dir):
         .groupBy("doc_id", "j")
         .agg(F.sum("sgn").cast("long").alias("val"))
     )
+
+
+@query(
+    "llm_embedding_outliers",
+    # Exact integer arithmetic end-to-end via the multiply-through
+    # trick: dist²_scaled(x) = ||n·x − S||² where S = Σ ivec — shares
+    # the true distance-to-centroid's ORDER exactly, no division until
+    # the reported ratio.
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    ex AS (
+      SELECT vec_id, unnest(range(len(ivec))) AS d, unnest(ivec) AS x
+      FROM nv
+    ),
+    cs AS (SELECT d, CAST(SUM(x) AS BIGINT) AS sd FROM ex GROUP BY d),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nv),
+    scored AS (
+      SELECT e.vec_id,
+             CAST(SUM((n.n * e.x - c.sd) * (n.n * e.x - c.sd)) AS BIGINT)
+               AS dsq
+      FROM ex e JOIN cs c USING (d) CROSS JOIN nn n
+      GROUP BY e.vec_id
+    ),
+    med AS (SELECT median(dsq) AS m FROM scored)
+    SELECT s.vec_id, CAST(s.dsq AS DOUBLE) / m.m AS dist_ratio,
+           s.dsq > 4 * m.m AS is_outlier
+    FROM scored s CROSS JOIN med m
+    """,
+)
+def llm_embedding_outliers(spark, sf_dir):
+    """EMBEDDING-SPACE OUTLIER DETECTION — corpus quality control:
+    vectors far from the centroid are mislabeled/corrupted/off-domain
+    candidates. Exact integers end-to-end via the CUSUM-style
+    multiply-through trick: instead of x − mean (a division), score
+    ||n·x − S||² with S the integer coordinate sums — n² times the
+    true squared distance, sharing its ORDER exactly — and flag
+    vectors whose score exceeds 4× the median score (distance > 2×
+    the median distance). The centroid is one aggregate row broadcast
+    back; scoring is row-local; the only divisions are in the
+    REPORTED ratio, one per row, from exact integers. At 100 TB this
+    is one scan + one tiny broadcast — the cheapest useful embedding
+    audit that exists."""
+    e = Tables(spark, sf_dir).embeddings
+    base = S.with_int_vec(e).select("vec_id", "ivec")
+    dim = F.size("ivec")
+    cent = base.select(F.posexplode("ivec").alias("d", "x")).groupBy("d").agg(
+        F.sum("x").alias("sd")
+    )
+    cent_row = (
+        cent.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("d", "sd"))).alias("pairs"))
+        .select(F.transform("pairs", lambda p: p["sd"]).alias("s"))
+        .crossJoin(base.groupBy().agg(F.count(F.lit(1)).alias("n")))
+    )
+    scored = base.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                "ivec",
+                "s",
+                lambda x, sd: (F.col("n") * x - sd) * (F.col("n") * x - sd),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("dsq"),
+    )
+    med = scored.agg(F.median("dsq").alias("m"))
+    return scored.crossJoin(F.broadcast(med)).select(
+        "vec_id",
+        (F.col("dsq").cast("double") / F.col("m")).alias("dist_ratio"),
+        (F.col("dsq") > 4 * F.col("m")).alias("is_outlier"),
+    )

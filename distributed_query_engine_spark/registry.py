@@ -167,6 +167,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "agg_string_agg_ordered",
     "window_running_distinct_count",
     "scalar_regex_family",
+    "user_path_analysis",
+    "llm_embedding_outliers",
 )
 
 
