@@ -2432,3 +2432,69 @@ def llm_embedding_outliers(spark, sf_dir):
         (F.col("dsq").cast("double") / F.col("m")).alias("dist_ratio"),
         (F.col("dsq") > 4 * F.col("m")).alias("is_outlier"),
     )
+
+
+_VOCAB_K = 20
+
+
+@query(
+    "llm_vocab_oov_coverage",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+        FROM occ GROUP BY tok
+      ) WHERE rk <= {_VOCAB_K}
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(1000 * SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                  // COUNT(*) AS BIGINT) AS oov_permille
+    FROM occ o LEFT JOIN vocab v USING (tok)
+    GROUP BY o.doc_id
+    """,
+)
+def llm_vocab_oov_coverage(spark, sf_dir):
+    """VOCABULARY COVERAGE / OOV RATE — the tokenizer-fit diagnostic a
+    pre-training pipeline runs before committing to a vocabulary: with
+    the top-20 corpus tokens as the vocab (count-ranked, token
+    tiebreak so the cut is deterministic), report each document's
+    out-of-vocabulary token count and per-mille rate (integer floor
+    division — hash-exact). The vocab relation is top-k-sized and
+    BROADCASTS into the occurrence scan; the per-doc rollup is one
+    partial-agg'd shuffle. In production k is 32k-256k — still
+    broadcast-sized — and the same query prices vocabulary-size
+    choices against real OOV rates instead of folklore."""
+    d = Tables(spark, sf_dir).documents
+    occ = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    from pyspark.sql.window import Window
+
+    vocab = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("tok"))),
+        )
+        .filter(F.col("rk") <= _VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        occ.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.expr(
+                "CAST((1000 * sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END))"
+                " div count(1) AS BIGINT)"
+            ).alias("oov_permille"),
+        )
+    )

@@ -169,6 +169,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "scalar_regex_family",
     "user_path_analysis",
     "llm_embedding_outliers",
+    "llm_vocab_oov_coverage",
 )
 
 
