@@ -694,3 +694,50 @@ def scan_python_datasource(spark, sf_dir):
         .option("parts", "8")
         .load()
     )
+
+
+@query(
+    "scan_schema_evolution_merge",
+    # Two parquet generations staged from nation: v1 has the base
+    # columns, v2 adds a populated `n_comment_len`; the merged read
+    # must surface the union schema with NULLs for v1 rows. The oracle
+    # replays the staging rule itself.
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(CASE WHEN n_nationkey % 2 = 1 THEN length(n_name) END
+                AS INT) AS n_comment_len,
+           CAST(n_nationkey % 2 AS INT) AS gen
+    FROM nation
+    """,
+)
+def scan_schema_evolution_merge(spark, sf_dir):
+    """SCHEMA EVOLUTION ON READ — the schema-on-read behavior at the
+    heart of the reference's data model (SURVEY.md §1.1: inferred,
+    per-source schemas that drift over time): two parquet generations
+    of the same table, the newer one with an added column, read
+    together with ``mergeSchema=true``. Spark unions the footer
+    schemas at planning time — old files surface NULL for the new
+    column, no rewrite of historical data, which is exactly how a
+    100 TB lake absorbs schema change (the alternative — rewriting
+    every historical file — is the thing this feature exists to
+    avoid). The staging rule is deterministic (odd keys are gen-1), so
+    the oracle states the merged result directly over the source
+    table."""
+    t = Tables(spark, sf_dir)
+    base = _tmp(sf_dir, "nation_evolution")
+    n = t.nation
+    v0 = n.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey", "n_name", F.lit(0).alias("gen")
+    )
+    v1 = n.filter(F.col("n_nationkey") % 2 == 1).select(
+        "n_nationkey",
+        "n_name",
+        F.length("n_name").alias("n_comment_len"),
+        F.lit(1).alias("gen"),
+    )
+    v0.write.mode("overwrite").parquet(base + "/gen=0x")
+    v1.write.mode("overwrite").parquet(base + "/gen=1x")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=0x", base + "/gen=1x"
+    )
+    return merged.select("n_nationkey", "n_name", "n_comment_len", "gen")

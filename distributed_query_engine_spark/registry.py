@@ -170,6 +170,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "user_path_analysis",
     "llm_embedding_outliers",
     "llm_vocab_oov_coverage",
+    "scan_schema_evolution_merge",
 )
 
 
