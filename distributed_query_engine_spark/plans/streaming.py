@@ -491,3 +491,51 @@ def stream_cdc_apply(spark, sf_dir):
     same MERGE SQL the batch query uses. See streaming/ops.py for the
     copy-on-write version/pointer mechanism."""
     return ops.stream_cdc_apply(spark, sf_dir)
+
+
+@query(
+    "stream_tumbling_topk",
+    # Oracle: the batch equivalent — hourly type rollup, top-2 types
+    # per window by count (value_sum, type tiebreaks pin the order).
+    oracle=lambda: f"""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             {sql_dsum('value')} AS value_sum
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, cnt, value_sum, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY cnt DESC, value_sum DESC, event_type) AS BIGINT) AS rn
+      FROM agg
+    ) WHERE rn <= 2
+    """,
+)
+def stream_tumbling_topk(spark, sf_dir):
+    """STREAMING TOP-K SERVING — the materialized-view pattern: the
+    tumbling-window rollup runs as a genuine stream (complete mode
+    into the memory sink, state store and all), and the top-2
+    event types per window are ranked in the SERVING read of the sink
+    — because rank() cannot run inside a streaming aggregate (no
+    engine supports windowed ranking over updating state), every real
+    dashboard does exactly this split: stream maintains the rollup,
+    the query layer ranks it. The ranking window runs over the
+    |windows|×|types| sink relation — tiny at any corpus scale — with
+    cnt/value_sum/type tiebreaks pinning the order cross-engine."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = ops.read_events_stream(spark, sf_dir)
+    sink = ops.run_to_memory(
+        ops.tumbling_window_agg(ev), "mem_tumbling_topk", "complete"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col("value_sum").desc(), F.col("event_type")
+    )
+    return (
+        sink.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("window_start", "event_type", "cnt", "value_sum", "rn")
+    )

@@ -171,6 +171,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_embedding_outliers",
     "llm_vocab_oov_coverage",
     "scan_schema_evolution_merge",
+    "stream_tumbling_topk",
 )
 
 
