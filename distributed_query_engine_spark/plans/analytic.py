@@ -3068,3 +3068,143 @@ def user_path_analysis(spark, sf_dir):
         ).alias("path")
     )
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_seasonality_profile(spark, sf_dir):
+    """SEASONALITY PROFILE — the day-of-week × hour-of-day activity
+    heatmap behind capacity planning and anomaly baselines: event and
+    distinct-user counts per (dow, hod) cell. One partial-agg'd
+    shuffle into at most 168 cells regardless of corpus size; the
+    distinct count is per-cell exact (the approx/salted variants exist
+    for when cells are hot — agg_approx_count_distinct,
+    agg_salted_distinct). DuckDB's dayofweek is 0-6 Sunday-first and
+    Spark's dayofweek is 1-7 Sunday-first — the Spark side subtracts
+    one so the calendars line up (an off-by-one that silently shifts
+    every weekly profile if unpinned)."""
+    ev = Tables(spark, sf_dir).events
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@query(
+    "interval_concurrency_peak",
+    # Sessions = sessionize(30 min gap) per user; sweep-line: +1 at
+    # each session start, −1 at end, running sum in (ts, delta, user)
+    # order (ends before starts at the same instant via delta asc),
+    # global peak + the time it was first reached.
+    oracle="""
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM (SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marks)
+      GROUP BY user_id, sid
+    ),
+    sweep AS (
+      SELECT s_start AS t, 1 AS delta, user_id FROM sess
+      UNION ALL
+      SELECT s_end AS t, -1 AS delta, user_id FROM sess
+    ),
+    walked AS (
+      SELECT t, SUM(delta) OVER (ORDER BY t, delta, user_id
+                                 ROWS UNBOUNDED PRECEDING) AS open_now
+      FROM sweep
+    )
+    SELECT CAST(MAX(open_now) AS BIGINT) AS peak_concurrency,
+           CAST(floor(MIN(CASE WHEN open_now = m THEN epoch(t) END)) AS BIGINT)
+             AS first_peak_epoch
+    FROM (SELECT w.*, MAX(open_now) OVER () AS m FROM walked w)
+    """,
+)
+def interval_concurrency_peak(spark, sf_dir):
+    """SWEEP-LINE INTERVAL CONCURRENCY — the classic max-overlap
+    algorithm as a dataflow: user sessions (30-minute-gap sessionize)
+    become ±1 boundary events, a running sum over the global time
+    order counts simultaneously-open sessions, and the report is the
+    peak plus the first instant it was reached. The deliberate
+    convention — ends sort BEFORE starts at the same instant (delta
+    ascending) — makes back-to-back sessions NOT count as overlapping,
+    and the user_id tiebreak pins the walk exactly. The global-order
+    window runs over the SESSION-boundary relation (2 rows per
+    session, already reduced), the same exemption every global ranking
+    in this repo relies on; at extreme session counts the standard
+    fix is per-time-bucket partial sweeps merged by offset."""
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events
+    w_u = Window.partitionBy("user_id").orderBy("ts")
+    marks = ev.select(
+        "user_id", "ts",
+        F.when(
+            F.lag("ts").over(w_u).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w_u).cast("long")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = (
+        marks.withColumn(
+            "sid",
+            F.sum("is_new").over(
+                w_u.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    sweep = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        sess.select(
+            F.col("s_end").alias("t"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    w_g = Window.orderBy("t", "delta", "user_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    walked = sweep.select("t", F.sum("delta").over(w_g).alias("open_now"))
+    peak = Window.partitionBy()
+    return (
+        walked.withColumn("m", F.max("open_now").over(peak))
+        .agg(
+            F.max("open_now").cast("long").alias("peak_concurrency"),
+            F.min(
+                F.when(
+                    F.col("open_now") == F.col("m"),
+                    F.unix_timestamp("t"),
+                )
+            )
+            .cast("long")
+            .alias("first_peak_epoch"),
+        )
+    )

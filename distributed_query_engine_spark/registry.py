@@ -172,6 +172,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_vocab_oov_coverage",
     "scan_schema_evolution_merge",
     "stream_tumbling_topk",
+    "events_seasonality_profile",
+    "interval_concurrency_peak",
 )
 
 
