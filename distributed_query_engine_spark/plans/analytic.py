@@ -3208,3 +3208,82 @@ def interval_concurrency_peak(spark, sf_dir):
             .alias("first_peak_epoch"),
         )
     )
+
+
+@query(
+    "agg_higher_moments",
+    # Skewness/kurtosis from EXACT integer power sums (l_quantity is
+    # integer-valued): both engines compute the identical final double
+    # expression over bit-equal inputs. Population (biased) form.
+    oracle="""
+    WITH ps AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS s2,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(s3 AS DOUBLE) / n
+              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+              + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+             / pow(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                   1.5) AS skewness,
+           (CAST(s4 AS DOUBLE) / n
+              - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+              + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / ((CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                * (CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+             - 3.0 AS excess_kurtosis
+    FROM ps
+    """,
+)
+def agg_higher_moments(spark, sf_dir):
+    """SKEWNESS AND EXCESS KURTOSIS — the 3rd/4th-moment completion of
+    agg_stats_family, by the same discipline: exact integer power sums
+    (l_quantity is integer-valued, so s1..s4 are bit-equal in any
+    engine at any partitioning), then ONE identical double expression
+    per statistic on both sides. The built-in skewness/kurtosis
+    aggregates stream doubles and are order-dependent — unusable for
+    cross-engine replay; the power-sum form is the textbook
+    numerically-naive one, which is exactly what makes it reproducible
+    (and fine here: the moments fit comfortably in int64 for bounded
+    integer measures)."""
+    l = Tables(spark, sf_dir).lineitem
+    q = F.col("l_quantity").cast("long")
+    ps = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4").cast("double") / n
+    var = m2 - m1 * m1
+    skew = (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (
+        m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1
+    ) / (var * var) - 3.0
+    return ps.select(
+        "l_returnflag",
+        "n",
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    )

@@ -174,6 +174,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "stream_tumbling_topk",
     "events_seasonality_profile",
     "interval_concurrency_peak",
+    "agg_higher_moments",
 )
 
 
