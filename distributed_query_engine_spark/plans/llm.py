@@ -2498,3 +2498,61 @@ def llm_vocab_oov_coverage(spark, sf_dir):
             ).alias("oov_permille"),
         )
     )
+
+
+_N_SHARDS = 64
+
+
+@query(
+    "llm_shard_balance_audit",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_N_SHARDS} AS shard,
+             n_chars
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM sharded GROUP BY shard
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(MIN(n_docs) AS BIGINT) AS min_docs,
+           CAST(MAX(n_docs) AS BIGINT) AS max_docs,
+           CAST(MAX(total_chars) AS BIGINT) AS max_chars,
+           CAST((100 * MAX(n_docs)) // MIN(n_docs) AS BIGINT)
+             AS max_min_pct
+    FROM per
+    """,
+)
+def llm_shard_balance_audit(spark, sf_dir):
+    """SHARD BALANCE AUDIT — the pre-write check before a corpus is
+    hash-sharded into output files: docs assigned to 64 shards by a
+    row-local md5 hash of the id (the same partitioning a
+    ``repartition(64, hash)`` + partitioned sink would produce),
+    reporting min/max docs and bytes per shard and the max/min
+    imbalance percentage in integer arithmetic. A skewed report here
+    means skewed output files — straggler readers for every future
+    consumer — caught BEFORE the write instead of discovered in the
+    next job's task-time histogram. One scan, one shard-keyed partial
+    aggregate, one 64-row rollup."""
+    d = Tables(spark, sf_dir).documents
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _N_SHARDS
+    )
+    per = d.select(shard.alias("shard"), "n_chars").groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.min("n_docs").cast("long").alias("min_docs"),
+        F.max("n_docs").cast("long").alias("max_docs"),
+        F.max("total_chars").cast("long").alias("max_chars"),
+        F.expr("CAST((100 * max(n_docs)) div min(n_docs) AS BIGINT)").alias(
+            "max_min_pct"
+        ),
+    )

@@ -175,6 +175,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "events_seasonality_profile",
     "interval_concurrency_peak",
     "agg_higher_moments",
+    "llm_shard_balance_audit",
 )
 
 
