@@ -3234,9 +3234,11 @@ def interval_concurrency_peak(spark, sf_dir):
               - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
               + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
                     * (CAST(s1 AS DOUBLE) / n))
-             / pow(CAST(s2 AS DOUBLE) / n
-                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
-                   1.5) AS skewness,
+             / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                * sqrt(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+               AS skewness,
            (CAST(s4 AS DOUBLE) / n
               - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
               + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
@@ -3277,7 +3279,10 @@ def agg_higher_moments(spark, sf_dir):
     m3 = F.col("s3").cast("double") / n
     m4 = F.col("s4").cast("double") / n
     var = m2 - m1 * m1
-    skew = (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / F.pow(var, 1.5)
+    # var^1.5 as var*sqrt(var): sqrt is IEEE-correctly-rounded in both
+    # engines, pow(x, 1.5) is NOT (libm implementations differ in the
+    # last ulp — caught by the repr-exact driver sweep at sf0.01)
+    skew = (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / (var * F.sqrt(var))
     kurt = (
         m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1
     ) / (var * var) - 3.0
