@@ -2556,3 +2556,53 @@ def llm_shard_balance_audit(spark, sf_dir):
             "max_min_pct"
         ),
     )
+
+
+@query(
+    "llm_dedup_cluster_summary",
+    # Wraps the llm_dedup_clusters oracle (star edges + recursive walk)
+    # in a size histogram; singletons are size-1 clusters.
+    oracle=lambda: f"""
+    WITH RECURSIVE {_STAR_EDGE_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dups
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM dups
+    ),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+    csizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS k
+               FROM comp GROUP BY component)
+    SELECT k AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(k) AS BIGINT) AS n_docs
+    FROM csizes GROUP BY k
+    """,
+)
+def llm_dedup_cluster_summary(spark, sf_dir):
+    """NEAR-DUP CLUSTER SIZE HISTOGRAM — the one-screen dedup report a
+    curation dashboard shows: how many clusters of each size exist and
+    how many documents they hold (size 1 = unique docs; the histogram's
+    tail is the boilerplate problem made visible, and n_docs − 
+    n_clusters summed over sizes ≥ 2 is exactly the dedup savings).
+    Built on the full production pipeline — row-local signatures, star
+    edges, pointer-jumping connected components — plus two tiny
+    rollups over the component relation."""
+    d = Tables(spark, sf_dir).documents
+    comp = D.connected_components(D.minhash_dup_edges(d, threshold=0.5)).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    comp_all = d.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    sizes = comp_all.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    return sizes.groupBy(F.col("k").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("k").cast("long").alias("n_docs"),
+    )

@@ -176,6 +176,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "interval_concurrency_peak",
     "agg_higher_moments",
     "llm_shard_balance_audit",
+    "llm_dedup_cluster_summary",
 )
 
 
