@@ -2606,3 +2606,100 @@ def llm_dedup_cluster_summary(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("k").cast("long").alias("n_docs"),
     )
+
+
+@query(
+    "llm_curation_funnel_report",
+    # Stage counts of the llm_corpus_curation pipeline — same CTEs,
+    # rolled to the one-row funnel a corpus dashboard quotes.
+    oracle=lambda: f"""
+    WITH RECURSIVE {_STAR_EDGE_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dups
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM dups
+    ),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM walk GROUP BY node),
+    scored AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality, md5(text) AS fp
+      FROM documents
+    ),
+    pass AS (SELECT * FROM scored WHERE quality >= 0.5),
+    uniq AS (
+      SELECT * FROM pass
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    kept AS (
+      SELECT u.doc_id
+      FROM uniq u JOIN comp c USING (doc_id)
+      QUALIFY row_number() OVER (PARTITION BY c.component ORDER BY u.doc_id) = 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
+           CAST((SELECT COUNT(*) FROM pass) AS BIGINT) AS n_quality_pass,
+           CAST((SELECT COUNT(*) FROM uniq) AS BIGINT) AS n_exact_unique,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_final,
+           CAST(1000 * (SELECT COUNT(*) FROM kept)
+                  // (SELECT COUNT(*) FROM documents) AS BIGINT)
+             AS keep_permille
+    """,
+)
+def llm_curation_funnel_report(spark, sf_dir):
+    """CURATION FUNNEL — the one-row report every corpus build quotes:
+    raw docs → quality-gate survivors → exact-dedup uniques → near-dup
+    cluster winners, with the final keep rate in integer per-mille.
+    Each stage count is the exact cardinality of the corresponding
+    llm_corpus_curation stage (same operators, same thresholds —
+    the funnel and the pipeline can never disagree because they share
+    the construction); the counts themselves are scalar aggregates, so
+    the report costs the pipeline plus four metadata-sized rollups."""
+    from pyspark.sql.window import Window
+
+    d = Tables(spark, sf_dir).documents
+    comp = D.connected_components(D.minhash_dup_edges(d, threshold=0.5)).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    comp_all = d.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    scored = d.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    pass_ = scored.filter(F.col("quality") >= 0.5)
+    uniq = pass_.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    ).filter(F.col("rn") == 1)
+    kept = (
+        uniq.join(comp_all, "doc_id")
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("crn") == 1)
+    )
+    n_raw = d.count()
+    n_pass = pass_.count()
+    n_uniq = uniq.count()
+    n_final = kept.count()
+    spark_ = d.sparkSession
+    return spark_.createDataFrame(
+        [
+            (
+                int(n_raw),
+                int(n_pass),
+                int(n_uniq),
+                int(n_final),
+                int(1000 * n_final // n_raw),
+            )
+        ],
+        "n_raw long, n_quality_pass long, n_exact_unique long, "
+        "n_final long, keep_permille long",
+    )

@@ -177,6 +177,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "agg_higher_moments",
     "llm_shard_balance_audit",
     "llm_dedup_cluster_summary",
+    "llm_curation_funnel_report",
 )
 
 
