@@ -10,5 +10,6 @@ from distributed_query_engine_spark.plans import relational  # noqa: F401
 from distributed_query_engine_spark.plans import scalar  # noqa: F401
 from distributed_query_engine_spark.plans import sources  # noqa: F401
 from distributed_query_engine_spark.plans import streaming  # noqa: F401
+from distributed_query_engine_spark.plans import tpch  # noqa: F401
 from distributed_query_engine_spark.plans import udf  # noqa: F401
 from distributed_query_engine_spark.plans import windows  # noqa: F401

@@ -326,3 +326,25 @@ def test_point_in_time_join_is_keyed_not_range_product(spark, sf_dir):
     plan = _plan(_q("join_point_in_time_scd2", spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q21_double_correlation_decorrelates_to_semi_and_anti(spark, sf_dir):
+    # The EXISTS must become a LEFT SEMI hash join and the NOT EXISTS a
+    # LEFT ANTI hash join, both keyed on l_orderkey with the non-equi
+    # conjuncts as join conditions — never a nested-loop re-scan of
+    # lineitem per outer row.
+    plan = _plan(_q("tpch_q21_waiting_suppliers", spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q17_per_part_average_broadcasts(spark, sf_dir):
+    # The decorrelated per-part average (cardinality ≤ |part|, a
+    # dimension) must broadcast back into the lineitem probe — a
+    # shuffled join here would re-shuffle the fact table at 100 TB.
+    plan = _plan(_q("tpch_q17_small_quantity_revenue", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    s = plan.split("BroadcastExchange")
+    assert any("partial_" in seg or "HashAggregate" in seg for seg in s[1:]), plan
