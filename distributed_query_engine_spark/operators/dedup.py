@@ -286,6 +286,8 @@ def exact_jaccard(
     while staying deterministic: the comparison is the identical double
     division the projection computes, so survivors are bit-exactly the
     pairs whose reported jaccard passes."""
+    if tokens is None and doc_sets is None:
+        raise ValueError("exact_jaccard: pass tokens or doc_sets")
     if doc_sets is None:
         t64 = tokens.select("doc_id", F.xxhash64("tok").alias("t"))
         doc_sets = t64.groupBy("doc_id").agg(
@@ -1109,7 +1111,16 @@ def containment_pairs(
     tokens land in their prefix. Verification is exact set arithmetic
     on the row-local hash-set arrays; the qualifying filter is the
     integer comparison den·|A∩B| ≥ num·min(|A|,|B|), and the reported
-    doubles are derived from the same exact integers."""
+    doubles are derived from the same exact integers.
+
+    Hash-collision caveat (mirrors :func:`hash_sets_from_arrays`): |A|,
+    |B| and |A∩B| are set sizes over xxhash64 TOKEN IDS, so a 64-bit
+    collision inside one doc shrinks its set by one and can flip a
+    near-threshold pair relative to a true-token oracle — the
+    asymmetric filter depends on these sizes directly. Negligible at
+    any realistic vocabulary (P ≈ n²/2⁶⁵ per doc), and self-consistent
+    here: the registry oracle hashes tokens the same way, so the
+    comparison stays exact."""
     arrays = doc_token_arrays(docs)
     tokens = arrays.select(
         "doc_id", F.size("toks").alias("n_tok"), F.explode("toks").alias("tok")

@@ -2184,9 +2184,11 @@ def window_gaps_islands_streaks(spark, sf_dir):
            CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
            CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
            CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
-           CAST((SELECT 3000 * t FROM tri)
-                  // (SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT)
-             AS clustering_milli
+           CASE WHEN COALESCE((SELECT SUM(d * (d - 1) / 2) FROM deg), 0) = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST((SELECT 3000 * t FROM tri)
+                       // (SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT)
+           END AS clustering_milli
     """,
 )
 def graph_triangle_count(spark, sf_dir):
@@ -2255,6 +2257,10 @@ def graph_triangle_count(spark, sf_dir):
     n_wedges = (
         deg.agg(F.sum(F.expr("d * (d - 1) div 2")).alias("w")).collect()[0]["w"]
     )
+    # Empty/trivial co-order graph has no wedges: define the clustering
+    # coefficient as 0 instead of dividing by zero (oracle mirrors).
+    n_wedges = int(n_wedges or 0)
+    clustering_milli = 3000 * n_tri // n_wedges if n_wedges else 0
     spark = t.lineitem.sparkSession
     return spark.createDataFrame(
         [
@@ -2263,7 +2269,7 @@ def graph_triangle_count(spark, sf_dir):
                 int(n_edges),
                 int(n_wedges),
                 int(n_tri),
-                int(3000 * n_tri // n_wedges),
+                int(clustering_milli),
             )
         ],
         "n_nodes long, n_edges long, n_wedges long, n_triangles long, clustering_milli long",
@@ -2531,8 +2537,12 @@ def timeseries_changepoint_cusum(spark, sf_dir):
     that would leave the fixed-point world), the walk accumulates
     n·prefix_k − k·S, which is n× the true CUSUM and shares its argmax
     — so the detected position and peak are bit-identical in any
-    engine, no float drift over a million-step walk. One shuffle into
-    the per-type time order; the prefix sum, the peak, and the
+    engine, no float drift. Range bound: |n·prefix − k·S| ≤
+    n²·max|v_milli|, so int64 holds while n²·max|v_milli| < 2⁶³ —
+    e.g. a million-step series is safe up to |v| ≈ 9.2e3 (milli-scaled
+    9.2e6), and a 10⁸-row per-type series needs |v_milli| < ~922; past
+    that, accumulate the score in DECIMAL(38,0) instead. One shuffle
+    into the per-type time order; the prefix sum, the peak, and the
     earliest-argmax tiebreak all share that partitioning."""
     from pyspark.sql.window import Window
 
