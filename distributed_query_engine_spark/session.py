@@ -36,6 +36,42 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# Streaming state store backend. The default HDFS-backed provider keeps
+# every store's state in executor heap (plus checkpoint deltas) — fine
+# for bounded local state, but at 100 TB-scale key populations the
+# production answer is RocksDB: state lives off-heap/on-disk per store,
+# with incremental changelog checkpointing. Select with
+# DQE_STREAM_STATE_STORE=rocksdb (or =hdfs to pin the default
+# explicitly); unset keeps Spark's default so batch-only sessions pay
+# nothing. The provider class is a per-query conf read at checkpoint
+# init, so tune_session can apply it to the driver's vanilla session.
+_STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+def state_store_provider() -> str | None:
+    """Fully-qualified provider class for ``DQE_STREAM_STATE_STORE``,
+    or None when the knob is unset (keep Spark's default)."""
+    choice = os.environ.get("DQE_STREAM_STATE_STORE", "").strip().lower()
+    if not choice:
+        return None
+    try:
+        return _STATE_STORE_PROVIDERS[choice]
+    except KeyError:
+        raise ValueError(
+            f"DQE_STREAM_STATE_STORE={choice!r}: expected one of "
+            f"{sorted(_STATE_STORE_PROVIDERS)}"
+        ) from None
+
+
 def get_spark(
     app_name: str = "distributed-query-engine-spark",
     master: str | None = None,
@@ -54,6 +90,9 @@ def get_spark(
     )
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    provider = state_store_provider()
+    if provider:
+        conf["spark.sql.streaming.stateStore.providerClass"] = provider
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
@@ -98,6 +137,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # static confs (e.g. spark.ui.enabled) — ignore
             pass
+    provider = state_store_provider()
+    if provider:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     if not _shuffle_partitions_explicitly_set(spark):
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(default_parallelism())
