@@ -445,6 +445,64 @@ def scan_jdbc_agg_pushdown(spark, sf_dir):
 
 
 @query(
+    "scan_jdbc_limit_offset_pushdown",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey >= 100
+    ORDER BY o_orderkey LIMIT 10 OFFSET 5
+    """,
+)
+def scan_jdbc_limit_offset_pushdown(spark, sf_dir):
+    """Federated LIMIT/OFFSET (paging) pushdown through the DSv2
+    ``JDBCTableCatalog`` — completing ``pushToRdbms`` parity
+    (``DistributedQueryEngine.diff:121`` pushes operators generally;
+    filters and aggregates are covered by scan_jdbc_pushdown /
+    scan_jdbc_agg_pushdown). The remote here is the in-process Spark
+    Thrift server over real ``jdbc:hive2://`` + HiveDriver — chosen
+    deliberately: it is the one in-container endpoint that PROVABLY
+    honors a pushed limit, whereas Derby's dialect claims limit
+    support it doesn't deliver (the measured wrong-results bug pinned
+    by tests/test_federation.py::test_jdbc_v2_limit_not_pushed_to_derby
+    — pushdown capability must be verified per-dialect, never assumed).
+
+    The plan shape (asserted in tests/test_plans.py): ``PushedTopN:
+    ORDER BY [o_orderkey] LIMIT 15`` ships sort+limit+offset to the
+    remote as one TopN of limit+offset rows, and the local side only
+    skips the first 5 (``CollectLimit -1, 5``) — so at federation
+    scale the wire carries 15 rows, not the filtered relation. The
+    ORDER BY on the unique key makes paging deterministic (LIMIT/
+    OFFSET without a total order is nondeterministic in ANY engine,
+    driver-compare included)."""
+    from distributed_query_engine_spark import federation as FED
+
+    port = FED.start_thrift_server(spark)
+    t = Tables(spark, sf_dir)
+    t.orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).createOrReplaceGlobalTempView("orders_page_fed")
+    cat = "fed_lim_" + (Path(sf_dir).name or "sf").replace(".", "_")
+    url = (
+        f"jdbc:hive2://localhost:{port}/default"
+        "?spark.sql.ansi.doubleQuotedIdentifiers=true"
+    )
+    spark.conf.set(
+        f"spark.sql.catalog.{cat}",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+    )
+    spark.conf.set(f"spark.sql.catalog.{cat}.url", url)
+    spark.conf.set(f"spark.sql.catalog.{cat}.driver", "org.apache.hive.jdbc.HiveDriver")
+    spark.conf.set(f"spark.sql.catalog.{cat}.pushDownLimit", "true")
+    spark.conf.set(f"spark.sql.catalog.{cat}.pushDownOffset", "true")
+    fed = spark.table(f"{cat}.global_temp.orders_page_fed")
+    return (
+        fed.filter(F.col("o_orderkey") >= 100)
+        .orderBy("o_orderkey")
+        .offset(5)
+        .limit(10)
+    )
+
+
+@query(
     "scan_observed_metrics",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -348,3 +348,18 @@ def test_q17_per_part_average_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     s = plan.split("BroadcastExchange")
     assert any("partial_" in seg or "HashAggregate" in seg for seg in s[1:]), plan
+
+
+def test_jdbc_limit_offset_pushes_topn_to_remote(spark, sf_dir):
+    # The paging query must ship ORDER BY + LIMIT(limit+offset) to the
+    # remote as PushedTopN and keep only the offset-skip local — the
+    # wire carries 15 rows, not the filtered relation. (Derby's
+    # claimed-but-broken limit support is pinned separately in
+    # test_federation.py; this asserts the hive2 path that honors it.)
+    df = _q("scan_jdbc_limit_offset_pushdown", spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedTopN" in plan and "LIMIT 15" in plan, plan
+    assert "PushedFilters" in plan and "o_orderkey" in plan, plan
+    rows = df.collect()
+    assert len(rows) == 10
+    assert [r.o_orderkey for r in rows] == sorted(r.o_orderkey for r in rows)
