@@ -64,6 +64,9 @@ def main() -> None:
         fn = queries[name]
         run_once(fn, spark, sf_dir)  # discarded warm-up
         timings[name] = round(statistics.median(run_once(fn, spark, sf_dir) for _ in range(3)), 4)
+        # per-query progress on stderr (stdout stays the one JSON line);
+        # on an abort this names the query that died, not just a stage id
+        print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

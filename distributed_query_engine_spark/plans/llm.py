@@ -1665,6 +1665,108 @@ def llm_train_val_test_split(spark, sf_dir):
     )
 
 
+@query(
+    "llm_cluster_aware_split",
+    oracle=lambda: f"""
+    WITH RECURSIVE {_STAR_EDGE_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dups
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM dups
+    ),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM walk GROUP BY node),
+    assigned AS (
+      SELECT doc_id, component,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1000 < 800 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM comp
+    ),
+    leaks AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leaky_clusters
+      FROM (SELECT component FROM assigned
+            GROUP BY component HAVING COUNT(DISTINCT split) > 1)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+           leaky_clusters
+    FROM assigned, leaks
+    GROUP BY split, leaky_clusters
+    """,
+)
+def llm_cluster_aware_split(spark, sf_dir):
+    """LEAKAGE-SAFE train/val/test split: assignment is by NEAR-DUP
+    CLUSTER, not by document. A doc-level hash split
+    (llm_train_val_test_split) silently places near-duplicate twins on
+    both sides of the train/test boundary — the held-out set then
+    scores memorization, not generalization, and no decontamination
+    pass catches it because nothing "leaked" by exact match. Here the
+    minhash dup graph's connected components (the already-verified
+    llm_dedup_clusters pipeline) become the split unit: md5-permille of
+    the CLUSTER id (80/10/10), so every member of a cluster lands in
+    the same split by construction. The result carries the proof as
+    data: ``leaky_clusters`` — the count of clusters spanning more than
+    one split — is computed from the assignment itself and must be 0.
+
+    The measured flip side, visible in this synthetic corpus: the
+    80/10/10 ratio holds over CLUSTERS, not documents — a mega-cluster
+    carries its whole document mass into one split (here the dominant
+    near-dup cluster lands hundreds of docs on one side). That is the
+    correct trade: the doc-level ratio was only ever an illusion
+    maintained by splitting twins apart.
+
+    100 TB: the CC labeling is the pointer-jumping pipeline (per-round
+    shuffles keyed on node, lineage cut per iteration); the split
+    decision and permille hash are row-local on the labeled relation;
+    the leak audit is one extra aggregate over (cluster, split) pairs —
+    bounded by the cluster count, not the corpus."""
+    d = Tables(spark, sf_dir).documents
+    comp = D.connected_components(D.minhash_dup_edges(d, threshold=0.5)).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    assigned = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
+    pm = (
+        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    assigned = assigned.select(
+        "doc_id",
+        "component",
+        F.when(pm < 800, "train").when(pm < 900, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    leaks = (
+        assigned.groupBy("component")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaky_clusters"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("component").alias("n_clusters"),
+        )
+        .join(F.broadcast(leaks))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding quantization
 # ---------------------------------------------------------------------------

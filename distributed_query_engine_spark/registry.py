@@ -198,6 +198,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "scan_jdbc_limit_offset_pushdown",
+    "llm_cluster_aware_split",
 )
 
 

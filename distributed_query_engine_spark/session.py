@@ -89,6 +89,13 @@ def get_spark(
         master or f"local[{cpus}]"
     )
     conf = dict(_DEFAULTS)
+    # local-mode JVM heap: Spark's 1 GiB default fits sf0.1 but OOMs at
+    # sf1 (measured: shuffle map task OOM in the r7 scale-up smoke). In
+    # local mode the driver JVM hosts every executor thread, so heap
+    # must scale with data × parallelism — on a real cluster the same
+    # knob is spark.executor.memory per node. Only effective when this
+    # call launches the JVM (ignored with a warning on reuse).
+    conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
     provider = state_store_provider()
     if provider:
