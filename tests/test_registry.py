@@ -105,6 +105,11 @@ def test_driver_order_fronts_unverified_queries():
             "an unverified/changed query is sorted behind a verified-green "
             "one — it would rotate out of the driver's check window"
         )
+    # every rotation-list name must be a real registered query — a typo
+    # here silently no-ops (the `if n in names` guards below would skip
+    # it) and the intended query never reaches the driver window
+    for n in (*registry._PRIORITY, *registry._DEFER_NEW, *registry._CHANGED):
+        assert n in names, f"rotation list references unknown query {n!r}"
     # priority names lead the window (while they remain unverified)
     for i, n in enumerate(registry._PRIORITY):
         if n in names and not green(n):
