@@ -62,10 +62,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = queries[name]
+        # progress on stderr (stdout stays the one JSON line); printed
+        # BEFORE the runs so an abort's last line names the query that
+        # died, and again after with its timing
+        print(f"bench: {name} ...", file=sys.stderr, flush=True)
         run_once(fn, spark, sf_dir)  # discarded warm-up
         timings[name] = round(statistics.median(run_once(fn, spark, sf_dir) for _ in range(3)), 4)
-        # per-query progress on stderr (stdout stays the one JSON line);
-        # on an abort this names the query that died, not just a stage id
         print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
     total = round(sum(timings.values()), 4)
     print(

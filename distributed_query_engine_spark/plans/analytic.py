@@ -2182,7 +2182,8 @@ def window_gaps_islands_streaks(spark, sf_dir):
     )
     SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
            CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
-           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST(COALESCE((SELECT SUM(d * (d - 1) / 2) FROM deg), 0)
+                AS BIGINT) AS n_wedges,
            CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
            CASE WHEN COALESCE((SELECT SUM(d * (d - 1) / 2) FROM deg), 0) = 0
                 THEN CAST(0 AS BIGINT)

@@ -477,10 +477,17 @@ def scan_jdbc_limit_offset_pushdown(spark, sf_dir):
 
     port = FED.start_thrift_server(spark)
     t = Tables(spark, sf_dir)
+    # Catalog AND view share one sf-keyed suffix: here (unlike the
+    # Derby catalogs, whose URLs embed the sf) the remote endpoint is
+    # the session's own thrift server, so the sf-dependent state is the
+    # VIEW — an unkeyed shared view would let a cached fed_lim_sf0_1
+    # catalog silently serve another sf's rows after a re-point.
+    tag = (Path(sf_dir).name or "sf").replace(".", "_")
+    view = f"orders_page_fed_{tag}"
     t.orders.select(
         "o_orderkey", "o_custkey", "o_totalprice"
-    ).createOrReplaceGlobalTempView("orders_page_fed")
-    cat = "fed_lim_" + (Path(sf_dir).name or "sf").replace(".", "_")
+    ).createOrReplaceGlobalTempView(view)
+    cat = f"fed_lim_{tag}"
     url = (
         f"jdbc:hive2://localhost:{port}/default"
         "?spark.sql.ansi.doubleQuotedIdentifiers=true"
@@ -493,7 +500,7 @@ def scan_jdbc_limit_offset_pushdown(spark, sf_dir):
     spark.conf.set(f"spark.sql.catalog.{cat}.driver", "org.apache.hive.jdbc.HiveDriver")
     spark.conf.set(f"spark.sql.catalog.{cat}.pushDownLimit", "true")
     spark.conf.set(f"spark.sql.catalog.{cat}.pushDownOffset", "true")
-    fed = spark.table(f"{cat}.global_temp.orders_page_fed")
+    fed = spark.table(f"{cat}.global_temp.{view}")
     return (
         fed.filter(F.col("o_orderkey") >= 100)
         .orderBy("o_orderkey")

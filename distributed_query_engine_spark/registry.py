@@ -105,6 +105,9 @@ _PRIORITY: tuple[str, ...] = (
     "llm_multimodal_ppm_decode",
     "llm_multimodal_wav_decode",
     "llm_multimodal_video_frames",
+    # r6-CHANGED agg_percentile: its only green row is r5 (pre-stamp),
+    # so the invariant demands a slot this round.
+    "agg_percentile",
     "tpch_q4_late_shipments",
     "tpch_q7_nation_volume",
     "tpch_q14_promo_revenue",
@@ -147,8 +150,11 @@ _PRIORITY: tuple[str, ...] = (
     "scan_hive2_thrift",
     "scan_python_datasource",
     "scan_schema_evolution_merge",
-    "join_bloom_pruned",
-    "subquery_not_in_nulls",
+    # r7-CHANGED (zero-wedge guard): a changed query must re-front into
+    # the window per the _CHANGED invariant. It and agg_percentile
+    # displace subquery_not_in_nulls and join_bloom_pruned (now first
+    # in the r8 backlog) from the ~50-slot window.
+    "graph_triangle_count",
 )
 
 # Queries without a driver row that DON'T fit in this round's ~50-slot
@@ -156,7 +162,9 @@ _PRIORITY: tuple[str, ...] = (
 # so the hand-off is auditable), plus every query ADDED in round 7
 # (locally oracle-exact at birth; they queue behind the r8 backlog).
 _DEFER_NEW: tuple[str, ...] = (
-    # --- r8 backlog: the 27 never-sampled names left after the r7 window
+    # --- r8 backlog: the never-sampled names left after the r7 window
+    "subquery_not_in_nulls",
+    "join_bloom_pruned",
     "window_time_rolling",
     "agg_mode_deterministic",
     "groupby_all",
@@ -166,7 +174,6 @@ _DEFER_NEW: tuple[str, ...] = (
     "timeseries_resample_ffill",
     "join_lateral_topn",
     "window_gaps_islands_streaks",
-    "graph_triangle_count",
     "fuzzy_match_names",
     "basket_pair_lift",
     "pareto_abc_classification",
@@ -252,17 +259,20 @@ def _driver_order(names: list[str]) -> list[str]:
     def verified_green(n: str) -> bool:
         return _verified_green(n, rows)
 
-    defer = set(_DEFER_NEW)
+    defer = {n: i for i, n in enumerate(_DEFER_NEW)}
     prio = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = [n for n in names if not verified_green(n)]
     # Window priority within the unverified set: explicit _PRIORITY
     # names, then queries with NO driver row at all (the longest-
     # unchecked backlog), then stale-green/changed ones, then deferred
-    # new ones; ties keep registration order (stable sort).
+    # ones IN _DEFER_NEW's own order (the tuple is the documented r8
+    # hand-off sequence, so its index — not registration order — must
+    # decide within the group); remaining ties keep registration order
+    # (stable sort).
     unverified.sort(
         key=lambda n: (
             1 if n in defer else 0,
-            prio.get(n, len(prio)),
+            defer[n] if n in defer else prio.get(n, len(prio)),
             1 if n in rows else 0,
         )
     )

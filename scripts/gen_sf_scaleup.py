@@ -68,6 +68,18 @@ def main() -> None:
                 f" (FORMAT PARQUET)"
             )
         else:
+            # STRIDE must exceed every source key or copies collide
+            # (silent duplicate PKs / cross-copy FK aliasing) — e.g.
+            # re-scaling an already-scaled output. Fail loudly instead.
+            for kcol in keys:
+                mx = con.sql(
+                    f"SELECT max({kcol}) FROM read_parquet('{src_file}')"
+                ).fetchone()[0]
+                if mx is not None and mx >= STRIDE:
+                    raise SystemExit(
+                        f"{table}.{kcol} max {mx} >= STRIDE {STRIDE}: "
+                        f"key ranges of adjacent copies would overlap"
+                    )
             cols = con.sql(f"DESCRIBE SELECT * FROM read_parquet('{src_file}')")
             names = [r[0] for r in cols.fetchall()]
             proj = ", ".join(

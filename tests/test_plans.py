@@ -345,9 +345,17 @@ def test_q17_per_part_average_broadcasts(spark, sf_dir):
     # dimension) must broadcast back into the lineitem probe — a
     # shuffled join here would re-shuffle the fact table at 100 TB.
     plan = _plan(_q("tpch_q17_small_quantity_revenue", spark, sf_dir))
-    assert "BroadcastHashJoin" in plan, plan
-    s = plan.split("BroadcastExchange")
-    assert any("partial_" in seg or "HashAggregate" in seg for seg in s[1:]), plan
+    # BOTH joins (part filter AND the pa aggregate) must be broadcast:
+    # any shuffled join here means the per-part average re-shuffled the
+    # fact table. Then pin that at least one broadcast build side is the
+    # aggregate itself (a HashAggregate beneath a BroadcastExchange).
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert re.search(
+        r"BroadcastExchange(?:(?!Exchange hashpartitioning).)*?HashAggregate",
+        plan,
+        re.DOTALL,
+    ), plan
 
 
 def test_jdbc_limit_offset_pushes_topn_to_remote(spark, sf_dir):
