@@ -761,6 +761,178 @@ def scan_python_datasource(spark, sf_dir):
     )
 
 
+# In-process S3-compatible object store (moto server). Memoized like
+# federation.start_thrift_server: one daemon-threaded endpoint per
+# process, seeded once per (sf, layout) prefix.
+_MOTO: dict[str, object] = {}
+
+
+def _start_moto_s3() -> str:
+    """Start (once) a LIVE S3-compatible HTTP endpoint in this process
+    and return its URL. Import-gated: environments without moto raise
+    cleanly here rather than at module import."""
+    if "url" not in _MOTO:
+        from moto.server import ThreadedMotoServer
+
+        server = ThreadedMotoServer(port=0, verbose=False)
+        server.start()
+        host, port = server.get_host_and_port()
+        _MOTO["server"] = server
+        _MOTO["url"] = f"http://{host}:{port}"
+    return _MOTO["url"]  # type: ignore[return-value]
+
+
+def _s3_client(endpoint: str):
+    import boto3
+
+    return boto3.client(
+        "s3",
+        endpoint_url=endpoint,
+        region_name="us-east-1",
+        aws_access_key_id="testing",
+        aws_secret_access_key="testing",
+    )
+
+
+@query(
+    "scan_s3_bucket_objects",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_s3_bucket_objects(spark, sf_dir):
+    """OBJECT-STORE BUCKET SOURCE over a LIVE S3 wire protocol — the
+    reference's ``TestBuckets`` fixture (``DistributedQueryEngine.
+    diff:293``: queries over named buckets of objects) exercised
+    against a real S3-compatible HTTP endpoint (in-process moto
+    server), not a local-path stand-in. The nation table is staged as
+    one JSON-lines object PER REGION under ``nation/region=<k>/``, then
+    read back through a custom Python DataSource whose planner LISTS
+    the bucket (driver-side, metadata-only) and emits one
+    InputPartition per object; each partition GETs and parses only its
+    own object on the executor. That is the 100 TB object-store shape:
+    planning cost ~ object count, read cost partitioned per object,
+    no driver materialization of data. (Spark's native s3a:// path
+    needs the hadoop-aws jars, absent in this container — the wire
+    protocol, bucket layout, and partition-per-object planning are
+    what this pins; the native reader would slot in above the same
+    layout.) Classes are defined in-query so cloudpickle ships them by
+    value; the endpoint URL travels through reader options."""
+    import json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    endpoint = _start_moto_s3()
+    bucket = "corpus-" + (Path(sf_dir).name or "sf").replace(".", "-")
+    client = _s3_client(endpoint)
+    seeded_key = f"seeded::{bucket}"
+    if not _MOTO.get(seeded_key):
+        try:
+            client.create_bucket(Bucket=bucket)
+        except client.exceptions.BucketAlreadyOwnedByYou:
+            pass
+        rows = (
+            Tables(spark, sf_dir)
+            .nation.select("n_nationkey", "n_name", "n_regionkey")
+            .collect()  # 25 rows — dimension-sized seed, not a data path
+        )
+        by_region: dict[int, list] = {}
+        for r in rows:
+            by_region.setdefault(int(r.n_regionkey), []).append(r)
+        for region, rs in sorted(by_region.items()):
+            body = "\n".join(
+                json.dumps(
+                    {
+                        "n_nationkey": int(r.n_nationkey),
+                        "n_name": r.n_name,
+                        "n_regionkey": int(r.n_regionkey),
+                    }
+                )
+                for r in sorted(rs, key=lambda x: int(x.n_nationkey))
+            )
+            client.put_object(
+                Bucket=bucket,
+                Key=f"nation/region={region}/part-0.jsonl",
+                Body=body.encode(),
+            )
+        _MOTO[seeded_key] = True
+
+    class S3ObjectsReader(DataSourceReader):
+        def __init__(self, options):
+            self.endpoint = options["endpoint"]
+            self.bucket = options["bucket"]
+            self.prefix = options.get("prefix", "")
+
+        def partitions(self):
+            # driver-side planning = bucket LIST only (metadata)
+            import boto3
+
+            c = boto3.client(
+                "s3",
+                endpoint_url=self.endpoint,
+                region_name="us-east-1",
+                aws_access_key_id="testing",
+                aws_secret_access_key="testing",
+            )
+            keys = []
+            token = None
+            while True:
+                kw = {"Bucket": self.bucket, "Prefix": self.prefix}
+                if token:
+                    kw["ContinuationToken"] = token
+                resp = c.list_objects_v2(**kw)
+                keys += [o["Key"] for o in resp.get("Contents", [])]
+                if not resp.get("IsTruncated"):
+                    break
+                token = resp.get("NextContinuationToken")
+            return [InputPartition(k) for k in sorted(keys)]
+
+        def read(self, partition):
+            # executor-side: GET + parse exactly one object
+            import json as _json
+
+            import boto3
+
+            c = boto3.client(
+                "s3",
+                endpoint_url=self.endpoint,
+                region_name="us-east-1",
+                aws_access_key_id="testing",
+                aws_secret_access_key="testing",
+            )
+            body = c.get_object(Bucket=self.bucket, Key=partition.value)[
+                "Body"
+            ].read()
+            for line in body.decode().splitlines():
+                if line.strip():
+                    d = _json.loads(line)
+                    yield (d["n_nationkey"], d["n_name"], d["n_regionkey"])
+
+    class S3ObjectsSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "s3objects"
+
+        def schema(self):
+            return "n_nationkey INT, n_name STRING, n_regionkey INT"
+
+        def reader(self, schema):
+            return S3ObjectsReader(self.options)
+
+    spark.dataSource.register(S3ObjectsSource)
+    return (
+        spark.read.format("s3objects")
+        .option("endpoint", endpoint)
+        .option("bucket", bucket)
+        .option("prefix", "nation/")
+        .load()
+    )
+
+
 @query(
     "scan_schema_evolution_merge",
     # Two parquet generations staged from nation: v1 has the base

@@ -206,6 +206,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "tpch_q22_global_sales_opportunity",
     "scan_jdbc_limit_offset_pushdown",
     "llm_cluster_aware_split",
+    "scan_s3_bucket_objects",
 )
 
 
