@@ -371,3 +371,11 @@ def test_jdbc_limit_offset_pushes_topn_to_remote(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == 10
     assert [r.o_orderkey for r in rows] == sorted(r.o_orderkey for r in rows)
+
+
+def test_s3_bucket_scan_plans_one_partition_per_object(spark, sf_dir):
+    # The object-store source's planning contract: the bucket LIST
+    # yields one InputPartition per object (5 region objects), so read
+    # parallelism tracks the object layout, not a driver-side merge.
+    df = _q("scan_s3_bucket_objects", spark, sf_dir)
+    assert df.rdd.getNumPartitions() == 5, df.rdd.getNumPartitions()
