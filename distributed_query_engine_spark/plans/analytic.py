@@ -2439,15 +2439,16 @@ def basket_pair_lift(spark, sf_dir):
             FROM lineitem),
     ranked AS (
       SELECT r.l_suppkey, r.revenue,
-             CAST(SUM(CAST(r.revenue AS DECIMAL(38,6))) OVER (
-                    ORDER BY r.revenue DESC, r.l_suppkey
-                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.t
-               AS cum_share
+             SUM(CAST(CAST(r.revenue AS DECIMAL(38,6)) * 1000000 AS BIGINT))
+               OVER (ORDER BY r.revenue DESC, r.l_suppkey
+                     ROWS UNBOUNDED PRECEDING) AS cum_micros,
+             CAST(CAST(t.t AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS t_micros
       FROM rev r CROSS JOIN tot t
     )
-    SELECT l_suppkey, revenue, cum_share,
-           CASE WHEN cum_share <= 0.8 THEN 'A'
-                WHEN cum_share <= 0.95 THEN 'B'
+    SELECT l_suppkey, revenue,
+           CAST(cum_micros AS DOUBLE) / CAST(t_micros AS DOUBLE) AS cum_share,
+           CASE WHEN cum_micros * 20 <= 16 * t_micros THEN 'A'
+                WHEN cum_micros * 20 <= 19 * t_micros THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM ranked
     """,
@@ -2456,14 +2457,23 @@ def pareto_abc_classification(spark, sf_dir):
     """PARETO / ABC CLASSIFICATION — the warehouse 80/15/5 rule:
     suppliers ranked by revenue, classified by cumulative revenue
     share (A ≤ 80%, B ≤ 95%, C rest). Per-supplier revenues are
-    decimal-exact; the running share is a window sum accumulated in EXACT DECIMAL
-    (window engines may reassociate double addition — DuckDB's segment
-    tree does) in a PINNED order (revenue desc, suppkey tiebreak), so
-    every cumulative value — and therefore every class boundary
-    decision — is bit-identical cross-engine. The window is global by
-    definition (a ranking of suppliers), but it runs over the
-    SUPPLIER-sized aggregate, not the fact table — the same
-    already-reduced-relation exemption the topk family uses."""
+    decimal-exact; the running sum accumulates in INTEGER MICROS in a
+    PINNED order (revenue desc, suppkey tiebreak) — two r6/r7 catches
+    live here: (1) window engines may reassociate double addition
+    (DuckDB's segment tree does), so the cumsum must not be double;
+    (2) the r7 sf1 smoke showed CAST(DECIMAL AS DOUBLE) itself
+    diverges in the last ulp once the cumulative value exceeds
+    double's ~16 exact digits (Spark converts the exact BigDecimal,
+    DuckDB scales an integer through double arithmetic) — whereas
+    int64→double is a SINGLE correctly-rounded IEEE conversion in
+    both engines. So the window sums bigint micros, the reported
+    share is one int64→double division pair, and the A/B/C boundary
+    decisions are pure integer comparisons (cum·20 vs 16·t / 19·t) —
+    overflow-safe while total corpus revenue ≤ ~4.6e17 micro-dollars.
+    The window is global by definition (a ranking of suppliers), but
+    it runs over the SUPPLIER-sized aggregate, not the fact table —
+    the same already-reduced-relation exemption the topk family
+    uses."""
     t = Tables(spark, sf_dir)
     l = t.lineitem
     rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -2475,21 +2485,23 @@ def pareto_abc_classification(spark, sf_dir):
         Window.orderBy(F.col("revenue").desc(), F.col("l_suppkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # The running sum accumulates in EXACT DECIMAL, not double: window
-    # engines are free to reassociate double addition (DuckDB's segment
-    # tree does), so a double cumsum is only ~1e-16-reproducible; the
-    # decimal sum is order-independent and casts once at the end.
-    ranked = rev.crossJoin(F.broadcast(total)).withColumn(
-        "cum_share",
-        F.sum(F.col("revenue").cast("decimal(38,6)")).over(w).cast("double")
-        / F.col("t"),
+    micros = (F.col("revenue").cast("decimal(38,6)") * 1000000).cast("long")
+    ranked = (
+        rev.crossJoin(F.broadcast(total))
+        .withColumn("cum_micros", F.sum(micros).over(w))
+        .withColumn(
+            "t_micros",
+            (F.col("t").cast("decimal(38,6)") * 1000000).cast("long"),
+        )
     )
     return ranked.select(
         "l_suppkey",
         "revenue",
-        "cum_share",
-        F.when(F.col("cum_share") <= 0.8, "A")
-        .when(F.col("cum_share") <= 0.95, "B")
+        (
+            F.col("cum_micros").cast("double") / F.col("t_micros").cast("double")
+        ).alias("cum_share"),
+        F.when(F.col("cum_micros") * 20 <= 16 * F.col("t_micros"), "A")
+        .when(F.col("cum_micros") * 20 <= 19 * F.col("t_micros"), "B")
         .otherwise("C")
         .alias("abc_class"),
     )

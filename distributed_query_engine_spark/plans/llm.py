@@ -2466,10 +2466,15 @@ def llm_feature_hashing(spark, sf_dir):
 
 @query(
     "llm_embedding_outliers",
-    # Exact integer arithmetic end-to-end via the multiply-through
-    # trick: dist²_scaled(x) = ||n·x − S||² where S = Σ ivec — shares
-    # the true distance-to-centroid's ORDER exactly, no division until
-    # the reported ratio.
+    # Exact integer arithmetic via the multiply-through trick with a
+    # power-of-two downshift: r_d = n·x_d − S_d (int64-safe), score =
+    # Σ ⌊|r_d|/2^10⌋² — the r7 sf1 scale smoke caught the unshifted
+    # ||n·x − S||² overflowing int64 once n·2^20 > ~3e9 (n ≈ 3k
+    # vectors). The /1024.0 is a power-of-two double division (exact:
+    # only the exponent changes), so ⌊·⌋ is the true floor in BOTH
+    # engines; the shift costs 10 low bits of a ≥2^30 residual —
+    # noise for an outlier rank. int64-safe to n ≈ 3·10^5 vectors;
+    # raise the shift constant in lock-step (engine + oracle) beyond.
     oracle=lambda: f"""
     WITH {_IVEC_CTE},
     ex AS (
@@ -2480,8 +2485,9 @@ def llm_feature_hashing(spark, sf_dir):
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nv),
     scored AS (
       SELECT e.vec_id,
-             CAST(SUM((n.n * e.x - c.sd) * (n.n * e.x - c.sd)) AS BIGINT)
-               AS dsq
+             CAST(SUM(CAST(floor(abs(n.n * e.x - c.sd) / 1024.0) AS BIGINT)
+                      * CAST(floor(abs(n.n * e.x - c.sd) / 1024.0) AS BIGINT))
+                  AS BIGINT) AS dsq
       FROM ex e JOIN cs c USING (d) CROSS JOIN nn n
       GROUP BY e.vec_id
     ),
@@ -2495,15 +2501,23 @@ def llm_embedding_outliers(spark, sf_dir):
     """EMBEDDING-SPACE OUTLIER DETECTION — corpus quality control:
     vectors far from the centroid are mislabeled/corrupted/off-domain
     candidates. Exact integers end-to-end via the CUSUM-style
-    multiply-through trick: instead of x − mean (a division), score
-    ||n·x − S||² with S the integer coordinate sums — n² times the
-    true squared distance, sharing its ORDER exactly — and flag
-    vectors whose score exceeds 4× the median score (distance > 2×
-    the median distance). The centroid is one aggregate row broadcast
-    back; scoring is row-local; the only divisions are in the
-    REPORTED ratio, one per row, from exact integers. At 100 TB this
-    is one scan + one tiny broadcast — the cheapest useful embedding
-    audit that exists."""
+    multiply-through trick: instead of x − mean (a division), the
+    per-dim residual is r_d = n·x_d − S_d with S the integer
+    coordinate sums (n× the true deviation, same ORDER), and the
+    score is the sum of squared DOWNSHIFTED residuals ⌊|r_d|/2^10⌋²;
+    flag vectors whose score exceeds 4× the median score (distance >
+    ~2× the median distance). The shift before squaring is the r7
+    scale fix: the unshifted ||n·x − S||² overflows int64 once
+    n·2^20 exceeds ~3e9 (caught by the sf1 smoke at n = 20k vectors);
+    |r|/1024.0 is a power-of-two double division (exact — only the
+    exponent changes), so the floor is the true floor in BOTH
+    engines, and the cost is 10 low bits of a ≥2^30 residual —
+    invisible to an outlier rank. int64-safe to n ≈ 3e5 vectors;
+    beyond that raise the shift constant in engine and oracle
+    together. The centroid is one aggregate row broadcast back;
+    scoring is row-local; the only divisions are the exact shift and
+    the REPORTED ratio. At 100 TB this is one scan + one tiny
+    broadcast — the cheapest useful embedding audit that exists."""
     e = Tables(spark, sf_dir).embeddings
     base = S.with_int_vec(e).select("vec_id", "ivec")
     dim = F.size("ivec")
@@ -2522,10 +2536,12 @@ def llm_embedding_outliers(spark, sf_dir):
             F.zip_with(
                 "ivec",
                 "s",
-                lambda x, sd: (F.col("n") * x - sd) * (F.col("n") * x - sd),
+                lambda x, sd: F.floor(
+                    F.abs(F.col("n") * x - sd) / F.lit(1024.0)
+                ),
             ),
             F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
+            lambda acc, h: acc + h * h,
         ).alias("dsq"),
     )
     med = scored.agg(F.median("dsq").alias("m"))

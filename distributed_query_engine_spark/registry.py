@@ -86,6 +86,12 @@ _CHANGED: dict[str, int] = {
     # r7: clustering coefficient guarded against the zero-wedge graph
     # (ADVICE item 3) — engine and oracle both changed.
     "graph_triangle_count": 7,
+    # r7: residual downshift before squaring (sf1 int64-overflow fix) —
+    # engine and oracle both changed.
+    "llm_embedding_outliers": 7,
+    # r7: running share re-based to integer micros (sf1 decimal→double
+    # cast-rounding divergence) — engine and oracle both changed.
+    "pareto_abc_classification": 7,
 }
 
 # Checked first within the unverified group (ordering hint only — a
@@ -151,10 +157,11 @@ _PRIORITY: tuple[str, ...] = (
     "scan_python_datasource",
     "scan_schema_evolution_merge",
     # r7-CHANGED (zero-wedge guard): a changed query must re-front into
-    # the window per the _CHANGED invariant. It and agg_percentile
-    # displace subquery_not_in_nulls and join_bloom_pruned (now first
-    # in the r8 backlog) from the ~50-slot window.
+    # the window per the _CHANGED invariant. It, agg_percentile, and
+    # the sf1-smoke-fixed pareto displace three backlog names (now
+    # first in the r8 backlog) from the ~50-slot window.
     "graph_triangle_count",
+    "pareto_abc_classification",
 )
 
 # Queries without a driver row that DON'T fit in this round's ~50-slot
@@ -176,7 +183,6 @@ _DEFER_NEW: tuple[str, ...] = (
     "window_gaps_islands_streaks",
     "fuzzy_match_names",
     "basket_pair_lift",
-    "pareto_abc_classification",
     "timeseries_changepoint_cusum",
     "join_point_in_time_scd2",
     "yoy_revenue_growth",

@@ -28,6 +28,13 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.compression.codec": "zstd",
+    # Recursive-CTE working-set cap: Spark's 1M-row default trips on a
+    # ~1M-row fixpoint that is working exactly as designed (measured:
+    # the sf1 smoke's 150k-customer × 8-level walk). Size it to the
+    # recursion's expected |rows| × depth, not to "small"; the
+    # level-limit (cteRecursionLevelLimit, default 100) stays as the
+    # runaway guard.
+    "spark.sql.cteRecursionRowLimit": "100000000",
     "spark.ui.enabled": "false",
 }
 
