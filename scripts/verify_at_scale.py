@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Full oracle-contract verification at a scaled-up slice (default the
+scripts/gen_sf_scaleup.py sf1 output): repr-exact compare below a row
+cap, count-parity above it, with an explicit skip list for oracles
+whose DuckDB replay is inherently quadratic in the twin-replicated
+corpus (scored-pairs dedup, all-pairs recall, recursive CC walks).
+This is the sweep that caught the r7 int64-overflow /
+decimal-cast-rounding / recursion-row-limit scale bugs (BASELINE.md).
+
+Usage: python scripts/verify_at_scale.py [SF_DIR]
+"""
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import os
+os.environ.setdefault("SPARK_GRAFT_CPUS","32")
+from distributed_query_engine_spark.session import get_spark
+spark = get_spark("driver-sim-sf1")
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as E
+import duckdb
+SF = sys.argv[1] if len(sys.argv) > 1 else str(Path(__file__).resolve().parents[1] / ".tmp" / "sf1")
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+qs, os_ = E.queries(), E.oracle_sql()
+SKIP = {
+ "llm_dedup_minhash","llm_dedup_minhash_dict","llm_dedup_simhash",
+ "llm_dedup_simhash_multiband","llm_dedup_containment","llm_dedup_ngram",
+ "llm_dedup_embcos","llm_semdedup","llm_dedup_incremental",
+ "llm_dedup_signature_store","llm_similarity_recall",
+ "llm_similarity_projected_recall","stream_ingest_dedup",
+ "graph_pagerank","graph_triangle_count",
+ # recursive min-label CC oracles: the walk CTE's working set is
+ # quadratic in cluster size; the 10x-twin corpus makes the giant
+ # cluster ~10x larger => ~100x recursion rows on the DuckDB side
+ # (the Spark CC side measures 8.7 s at sf1)
+ "llm_cluster_aware_split","llm_corpus_curation",
+ "llm_curation_funnel_report","llm_dedup_cluster_summary",
+ "llm_dedup_clusters",
+}
+CAP = 200_000  # above this, compare row counts only (repr diff too slow)
+fails, n_ok, n_cap = [], 0, 0
+for name, fn in sorted(qs.items()):
+    if name in SKIP:
+        print("SKIP", name, flush=True); continue
+    try:
+        df = fn(spark, SF)
+        n = df.count()
+        if name not in os_:
+            print("ROWS", name, n, flush=True); n_ok += 1; continue
+        if n > CAP:
+            dn = con.sql(f"SELECT COUNT(*) FROM ({os_[name]})").fetchone()[0]
+            ok = (n == dn)
+            print(("OKC " if ok else "MISM"), name, n, dn, flush=True)
+            if ok: n_ok += 1; n_cap += 1
+            else: fails.append(name)
+            continue
+        srows = [tuple(r) for r in df.collect()]
+        rel = con.sql(os_[name]); drows = rel.fetchall()
+        scols=[c.lower() for c in df.columns]; dcols=[c.lower() for c in rel.columns]
+        oi=sorted(range(len(scols)),key=lambda i:scols[i]); od=sorted(range(len(dcols)),key=lambda i:dcols[i])
+        ss=sorted([tuple(repr(r[i]) for i in oi) for r in srows]); dd=sorted([tuple(repr(r[i]) for i in od) for r in drows])
+        ok=(sorted(scols)==sorted(dcols)) and ss==dd
+        print(("OK  " if ok else "MISM"), name, n, flush=True)
+        if ok: n_ok += 1
+        else: fails.append(name)
+    except Exception as ex:
+        print("ERR ", name, str(ex).split("\n")[0][:150], flush=True); fails.append(name)
+print("SF1 OK:", n_ok, "(count-only:", n_cap, ") FAILURES:", fails)
+spark.stop()
