@@ -379,3 +379,13 @@ def test_s3_bucket_scan_plans_one_partition_per_object(spark, sf_dir):
     # parallelism tracks the object layout, not a driver-side merge.
     df = _q("scan_s3_bucket_objects", spark, sf_dir)
     assert df.rdd.getNumPartitions() == 5, df.rdd.getNumPartitions()
+
+
+def test_q20_nested_in_chain_decorrelates_to_two_semi_joins(spark, sf_dir):
+    # Both IN levels must become LEFT SEMI hash joins (part-name semi
+    # into the lineitem scan, supplier semi over the HAVING-filtered
+    # aggregate) — never a nested-loop per-row re-evaluation.
+    plan = _plan(_q("tpch_q20_potential_promotion", spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
