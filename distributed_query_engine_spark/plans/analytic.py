@@ -1763,6 +1763,89 @@ def join_lateral_topn(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# EWMA smoothing as an integer FIR filter
+# ---------------------------------------------------------------------------
+
+# 8-lag FIR truncation of EWMA(α=1/4): w_k = round(α(1−α)^k · 2^20),
+# PRECOMPUTED to integer literals shared verbatim by engine and oracle —
+# the transcendental pow() never executes in either engine (r6 pinned
+# libm pow as cross-engine-divergent), and the truncation tail
+# (1−α)^8 ≈ 10% is a fixed, documented property of the filter, not a
+# float artifact.
+_EWMA_W = (262144, 196608, 147456, 110592, 82944, 62208, 46656, 34992)
+
+
+@query(
+    "timeseries_ewma_smooth",
+    oracle=lambda: f"""
+    WITH iv AS (
+      SELECT event_type, event_id, ts,
+             CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    lagged AS (
+      SELECT event_type, event_id, ts, v_milli, rn,
+             {' + '.join(f"{w} * lag(v_milli, {k}) OVER (PARTITION BY event_type ORDER BY ts, event_id)" if k else f"{w} * v_milli" for k, w in enumerate(_EWMA_W))}
+               AS ewma_e20
+      FROM iv
+    )
+    SELECT event_type, event_id, v_milli,
+           CAST(ewma_e20 AS BIGINT) AS ewma_e20,
+           CAST(ewma_e20 AS DOUBLE) / 943600.0 AS smoothed_milli
+    FROM lagged
+    WHERE rn >= {len(_EWMA_W)}
+    """,
+)
+def timeseries_ewma_smooth(spark, sf_dir):
+    """EWMA SMOOTHING per event type as an INTEGER FIR FILTER: the
+    8-lag truncation of the exponential moving average (α = 1/4),
+    with weights round(α(1−α)^k·2²⁰) baked as integer literals shared
+    by engine and oracle — no pow() executes anywhere (libm pow is
+    last-ulp-divergent cross-engine, the r6 catch), and every smoothed
+    value is an exact int64 dot product of the last 8 milli-scaled
+    observations (|ewma_e20| ≤ 2²⁰·Σ|v| — int64-safe to |v_milli| ~
+    10¹²). The reported smoothed value normalizes by the exact weight
+    sum (943600) in ONE double division of exact integers. Rows with
+    fewer than 8 lags are excluded (full-window semantics) so the
+    truncated filter's warm-up is explicit, not silently biased.
+
+    100 TB: one shuffle into the per-type time order; the 8 lags and
+    the dot product all share that single window sort — the identical
+    plan class as window_lag_lead, linear in the series."""
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events
+    order = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+    ).withColumn("rn", F.row_number().over(order))
+    ewma = None
+    for k, w in enumerate(_EWMA_W):
+        term = F.lit(w) * (
+            F.col("v_milli") if k == 0 else F.lag("v_milli", k).over(order)
+        )
+        ewma = term if ewma is None else ewma + term
+    return (
+        iv.withColumn("ewma_e20", ewma)
+        .filter(F.col("rn") >= len(_EWMA_W))
+        .select(
+            "event_type",
+            "event_id",
+            "v_milli",
+            F.col("ewma_e20").cast("long").alias("ewma_e20"),
+            (F.col("ewma_e20").cast("double") / F.lit(943600.0)).alias(
+                "smoothed_milli"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Robust time-series anomaly detection (median / MAD)
 # ---------------------------------------------------------------------------
 

@@ -213,6 +213,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "scan_jdbc_limit_offset_pushdown",
     "llm_cluster_aware_split",
     "scan_s3_bucket_objects",
+    "timeseries_ewma_smooth",
 )
 
 
