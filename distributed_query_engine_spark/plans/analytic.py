@@ -1353,6 +1353,120 @@ def scd2_from_events(spark, sf_dir):
     )
 
 
+# Count-min sketch geometry: D independent hash rows × W buckets. The
+# per-row hash is the repo's engine-portable md5 idiom (both engines
+# hash identical UTF-8 bytes), so sketch contents are bit-identical
+# cross-engine and the oracle can rebuild the exact same sketch.
+_CMS_D, _CMS_W = 4, 64
+
+
+def _cms_bucket_sql(r: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' || "
+        f"CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@query(
+    "agg_countmin_heavy_hitters",
+    oracle=lambda: f"""
+    WITH rows_d AS (SELECT unnest(range({_CMS_D})) AS r),
+    cells AS (
+      SELECT r, {_cms_bucket_sql('r', 'user_id')} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events CROSS JOIN rows_d
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+    ),
+    est AS (
+      SELECT e.user_id, e.exact_n, MIN(c.c) AS cms_est
+      FROM exact e
+      CROSS JOIN rows_d d
+      JOIN cells c ON c.r = d.r
+                  AND c.bucket = {_cms_bucket_sql('d.r', 'e.user_id')}
+      GROUP BY e.user_id, e.exact_n
+    )
+    SELECT user_id, exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_n AS BIGINT) AS overcount,
+           cms_est >= exact_n AS is_upper_bound
+    FROM est
+    ORDER BY exact_n DESC, user_id
+    LIMIT 10
+    """,
+)
+def agg_countmin_heavy_hitters(spark, sf_dir):
+    """COUNT-MIN SKETCH heavy hitters — the fixed-memory frequency
+    sketch next to HLL (cardinality) and t-digest (quantiles): D=4
+    hash rows × W=64 buckets hold event counts per user in 256 cells
+    TOTAL, regardless of key cardinality; a key's estimate is the MIN
+    of its D cells, which OVER-counts (collisions only add) and never
+    under-counts — the classic one-sided guarantee, emitted here as an
+    ``is_upper_bound`` column the oracle re-derives (every row TRUE by
+    construction, and checked against the true counts, not assumed).
+    Hashes are the engine-portable md5 idiom, so the sketch is
+    bit-identical cross-engine and the WHOLE THING is exact-oracle —
+    unlike engine-opaque sketch bytes (cf. agg_hll_sketch_merge's
+    estimate-within-5% contract).
+
+    100 TB: the sketch build is ONE partial-aggregated shuffle of
+    D×|events| rows into D·W = 256 cells (map-side combine does almost
+    all of it); the estimate probe broadcasts those 256 cells; exact
+    counts here exist only to ground the oracle. Memory is O(D·W)
+    per executor whatever the key cardinality — the whole point of
+    sketching at scale."""
+    ev = Tables(spark, sf_dir).events.select("user_id")
+    rows_d = F.explode(
+        F.sequence(F.lit(0), F.lit(_CMS_D - 1))
+    ).alias("r")
+
+    def bucket(r, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", r.cast("string"), key.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    cells = (
+        ev.select("user_id", rows_d)
+        .select("user_id", "r", bucket(F.col("r"), F.col("user_id")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select("user_id", "exact_n", rows_d).select(
+        "user_id",
+        "exact_n",
+        "r",
+        bucket(F.col("r"), F.col("user_id")).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "user_id",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overcount"),
+            (F.col("cms_est") >= F.col("exact_n")).alias("is_upper_bound"),
+        )
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+
+
 @query(
     "agg_hll_sketch_merge",
     oracle="""

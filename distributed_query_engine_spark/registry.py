@@ -214,6 +214,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_cluster_aware_split",
     "scan_s3_bucket_objects",
     "timeseries_ewma_smooth",
+    "agg_countmin_heavy_hitters",
 )
 
 
