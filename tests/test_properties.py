@@ -533,3 +533,96 @@ def test_cusum_changepoint_matches_python(spark, series):
                 best, best_k = acs, k
         expected.add((f"type{t}", best_k, best))
     assert got == expected, (series, got ^ expected)
+
+
+@SET
+@given(
+    counts=st.lists(st.integers(1, 20), min_size=1, max_size=10),
+)
+def test_countmin_estimate_upper_bounds_every_key(spark, counts):
+    """The count-min one-sided guarantee against a pure-Python model:
+    for ANY stream, every key's min-of-cells estimate >= its true
+    count, and equals it when no other key collides in all D rows."""
+    import hashlib
+
+    from distributed_query_engine_spark.plans.analytic import (
+        _CMS_D,
+        _CMS_W,
+    )
+
+    stream = [uid for uid, c in enumerate(counts) for _ in range(c)]
+
+    def bucket(r, uid):
+        h = hashlib.md5(f"{r}:{uid}".encode()).hexdigest()[:8]
+        return int(h, 16) % _CMS_W
+
+    cells: dict = {}
+    for uid in stream:
+        for r in range(_CMS_D):
+            k = (r, bucket(r, uid))
+            cells[k] = cells.get(k, 0) + 1
+    for uid, c in enumerate(counts):
+        est = min(cells[(r, bucket(r, uid))] for r in range(_CMS_D))
+        assert est >= c
+        # exactness holds whenever SOME row gives uid a private bucket
+        if any(
+            all(
+                bucket(r, other) != bucket(r, uid)
+                for other in range(len(counts))
+                if other != uid
+            )
+            for r in range(_CMS_D)
+        ):
+            assert est == c
+
+
+@SET
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=8, max_size=20),
+)
+def test_ewma_fir_matches_python_dot_product(spark, vals):
+    """The integer FIR EWMA against a trivial Python convolution on a
+    single synthetic series (full-window rows only)."""
+    from datetime import datetime, timedelta
+
+    from distributed_query_engine_spark.plans.analytic import _EWMA_W
+    from distributed_query_engine_spark.registry import all_queries  # noqa: F401
+
+    t0 = datetime(2001, 1, 1)
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # write the fixture like the driver's generator (µs timestamps via
+    # pyarrow) — Spark's own writer defaults to INT96, which is not a
+    # shape the catalog's footer sniffer needs to support
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(vals)), pa.int64()),
+            "ts": pa.array(
+                [t0 + timedelta(seconds=i) for i in range(len(vals))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([0] * len(vals), pa.int64()),
+            "event_type": pa.array(["t"] * len(vals)),
+            "value": pa.array([float(v) for v in vals], pa.float64()),
+            "props": pa.array(["{}"] * len(vals)),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(table, f"{d}/events.parquet")
+        got = {
+            r.event_id: r.ewma_e20
+            for r in all_queries()["timeseries_ewma_smooth"](
+                spark, d
+            ).collect()
+        }
+    import math
+
+    milli = [math.floor(v * 1000.0) for v in (float(x) for x in vals)]
+    for i in range(len(_EWMA_W) - 1, len(vals)):
+        want = sum(
+            w * milli[i - k] for k, w in enumerate(_EWMA_W)
+        )
+        assert got[i] == want, (i, got[i], want)
