@@ -304,6 +304,61 @@ def llm_token_count(spark, sf_dir):
 
 
 @query(
+    "llm_bpe_pair_stats",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair
+      FROM words, unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def llm_bpe_pair_stats(spark, sf_dir):
+    """BPE MERGE-PAIR STATISTICS — the counting core of tokenizer
+    training: for every in-word adjacent character pair, its corpus
+    frequency; the top pair IS the first BPE merge decision, and
+    iterating this count-merge-recount loop is the whole algorithm.
+    Expressed as pure JVM expressions: lowercase split to words, each
+    word explodes its length−1 adjacent pairs via a sequence
+    transform, then ONE partial-aggregated shuffle keyed on the pair
+    (alphabet², a tiny key space, so map-side combine collapses almost
+    everything before the exchange). Top-20 with a full (count, pair)
+    tiebreak plans as TakeOrderedAndProject.
+
+    100 TB: the explode fans out ~|chars| rows but they collapse into
+    ≤ |alphabet|² partial-agg cells per task before shuffling — the
+    canonical word-count shape; subsequent BPE iterations re-run the
+    same plan over the re-tokenized corpus (the merge table itself is
+    a broadcast-sized artifact)."""
+    d = Tables(spark, sf_dir).documents
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
     "llm_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -215,6 +215,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "scan_s3_bucket_objects",
     "timeseries_ewma_smooth",
     "agg_countmin_heavy_hitters",
+    "llm_bpe_pair_stats",
 )
 
 
