@@ -85,11 +85,20 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
                 if not p.name.startswith((".", "_"))
             )
         schema = pa_pq.read_schema(str(probe))
+        # pyarrow reports BOTH TIMESTAMP(NANOS) and legacy INT96 as
+        # timestamp[ns]; only the former needs (or tolerates) the
+        # nanosAsLong shim — Spark reads INT96 natively as TIMESTAMP.
+        # Distinguish via the parquet PHYSICAL type (metadata-only).
+        phys = {
+            col.path_in_schema: col.physical_type
+            for rg in [pa_pq.ParquetFile(str(probe)).metadata.row_group(0)]
+            for col in [rg.column(i) for i in range(rg.num_columns)]
+        }
         for f in schema:
             if pa_types.is_timestamp(f.type):
-                if f.type.unit == "ns":
+                if f.type.unit == "ns" and phys.get(f.name) != "INT96":
                     ns_cols.append(f.name)
-                elif f.type.tz is None:
+                elif f.type.tz is None and phys.get(f.name) != "INT96":
                     ntz = True
     except Exception:
         pass

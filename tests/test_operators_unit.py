@@ -604,3 +604,39 @@ def test_stream_cdc_apply_is_multibatch_and_matches_batch_merge(spark, sf_dir):
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_read_parquet_table_normalizes_all_timestamp_encodings(spark, tmp_path):
+    """The catalog reader must yield TIMESTAMP (ltz) for every parquet
+    timestamp encoding in the wild: INT96 (Spark's legacy default —
+    read natively, NO nanos shim: pyarrow reports it as timestamp[ns]
+    but the physical type disambiguates), µs-NTZ (the driver
+    generator), and values must survive unchanged."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_query_engine_spark.catalog import read_parquet_table
+
+    want = datetime(2001, 2, 3, 4, 5, 6)
+    # INT96 via Spark's own writer
+    spark.createDataFrame([(1, want)], "id long, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "int96.parquet"))
+    got = read_parquet_table(spark, str(tmp_path / "int96.parquet"))
+    assert got.schema["ts"].dataType.typeName() == "timestamp"
+    assert got.collect()[0].ts == want
+    # µs NTZ via pyarrow (driver-generator shape)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1], pa.int64()),
+                "ts": pa.array([want], pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "us.parquet"),
+    )
+    got = read_parquet_table(spark, str(tmp_path / "us.parquet"))
+    assert got.schema["ts"].dataType.typeName() == "timestamp"
+    assert got.collect()[0].ts == want

@@ -595,8 +595,9 @@ def test_ewma_fir_matches_python_dot_product(spark, vals):
     import pyarrow.parquet as pq
 
     # write the fixture like the driver's generator (µs timestamps via
-    # pyarrow) — Spark's own writer defaults to INT96, which is not a
-    # shape the catalog's footer sniffer needs to support
+    # pyarrow); Spark's own INT96 default is also handled by the
+    # catalog sniffer now (physical-type check), but the µs path is
+    # the one the driver data exercises
     table = pa.table(
         {
             "event_id": pa.array(range(len(vals)), pa.int64()),
