@@ -1594,6 +1594,105 @@ _SQL_DOC_PERMILLE = (
 
 
 @query(
+    "llm_temperature_mix_sqrt",
+    oracle=lambda: f"""
+    WITH bucketed AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 200 THEN 'short'
+                  WHEN n_chars < 500 THEN 'medium'
+                  ELSE 'long' END AS domain
+      FROM documents
+    ),
+    per_dom AS (
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_orig
+      FROM bucketed GROUP BY domain
+    ),
+    mn AS (SELECT MIN(n_orig) AS n_min FROM per_dom),
+    rates AS (
+      SELECT domain, n_orig,
+             CAST(greatest(1, floor(1000 * sqrt(CAST(mn.n_min AS DOUBLE)
+                                                / CAST(n_orig AS DOUBLE))))
+                  AS BIGINT) AS keep_permille
+      FROM per_dom, mn
+    ),
+    kept AS (
+      SELECT b.domain, COUNT(*) AS kept_docs
+      FROM bucketed b JOIN rates r ON b.domain = r.domain
+      WHERE {_SQL_DOC_PERMILLE} < r.keep_permille
+      GROUP BY b.domain
+    )
+    SELECT r.domain, r.n_orig, r.keep_permille,
+           CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs
+    FROM rates r LEFT JOIN kept k ON r.domain = k.domain
+    """,
+)
+def llm_temperature_mix_sqrt(spark, sf_dir):
+    """TEMPERATURE-0.5 DOMAIN REBALANCING — the sqrt-scaling mixing
+    strategy of large pretraining corpora (sampling domain d with
+    probability ∝ n_d^τ, τ = 1/2, so over-represented domains are
+    damped toward balance): domains are document-LENGTH buckets here
+    (the synthetic corpus's ``source`` labels are deliberately
+    uniform — length buckets give a real 148/314/38 skew at sf0.01,
+    so the damping branch actually exercises); keep rate per domain =
+    √(n_min / n_d),
+    which puts the EXPECTED kept size at √(n_min·n_d) — the geometric
+    mean between the smallest domain and itself. Determinism without
+    a transcendental: τ = 1/2 needs only ``sqrt``, which IEEE-754
+    requires to be CORRECTLY ROUNDED (unlike pow/exp/log, whose libm
+    last-ulp divergence r6 pinned), and the rate derivation is a
+    fixed chain of single-rounded ops — exact-int division → sqrt →
+    ×1000 → floor — identical bit-for-bit in both engines. Membership
+    is the row-local md5-permille filter, so the sample is
+    partitioning/seed-independent. Deliberately avoided: any
+    cross-domain SUM of doubles (a Σ√n_d normalizer would be
+    accumulation-order-dependent); the n_min formulation needs only
+    an exact integer MIN.
+
+    100 TB: one aggregate pass for the counts, a 1-row broadcast for
+    n_min, a broadcast rate table onto the corpus, zero corpus
+    shuffles — the same shape as llm_domain_mix_sample."""
+    d = Tables(spark, sf_dir).documents
+    bucketed = d.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 500, "medium")
+        .otherwise("long")
+        .alias("domain"),
+    )
+    per_dom = bucketed.groupBy("domain").agg(F.count(F.lit(1)).alias("n_orig"))
+    mn = per_dom.agg(F.min("n_orig").alias("n_min"))
+    rates = (
+        per_dom.crossJoin(F.broadcast(mn))
+        .withColumn(
+            "keep_permille",
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    1000
+                    * F.sqrt(
+                        F.col("n_min").cast("double")
+                        / F.col("n_orig").cast("double")
+                    )
+                ),
+            ).cast("long"),
+        )
+        .select("domain", "n_orig", "keep_permille")
+    )
+    kept = (
+        bucketed.join(F.broadcast(rates), "domain")
+        .filter(_doc_permille() < F.col("keep_permille"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("kept_docs"))
+    )
+    return rates.join(kept, "domain", "left").select(
+        "domain",
+        "n_orig",
+        "keep_permille",
+        F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+    )
+
+
+@query(
     "llm_domain_mix_sample",
     oracle=lambda: f"""
     WITH per_src AS (

@@ -216,6 +216,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "timeseries_ewma_smooth",
     "agg_countmin_heavy_hitters",
     "llm_bpe_pair_stats",
+    "llm_temperature_mix_sqrt",
 )
 
 
