@@ -640,3 +640,53 @@ def test_read_parquet_table_normalizes_all_timestamp_encodings(spark, tmp_path):
     got = read_parquet_table(spark, str(tmp_path / "us.parquet"))
     assert got.schema["ts"].dataType.typeName() == "timestamp"
     assert got.collect()[0].ts == want
+
+
+def test_embedding_outliers_survives_overflow_scale(spark, tmp_path):
+    """Regression pin for the r7 sf1 catch: the UNSHIFTED
+    ||n·x − S||² overflows int64 once n·2^20 ≳ 3e9 (n ≈ 3k vectors).
+    Run the fixed operator on 4000 synthetic unit-scale vectors —
+    past the old overflow point — and check the scores against a
+    pure-Python model of the same shifted arithmetic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_query_engine_spark.registry import all_queries
+
+    n, dim = 4000, 8
+    vecs = [
+        [((i * 31 + d * 17) % 200 - 100) / 100.0 for d in range(dim)]
+        for i in range(n)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    df = all_queries()["llm_embedding_outliers"](spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == n
+    # python model: SCALE=2^20 fixed point, r = n*x - S, h = floor(|r|/1024)
+    SCALE = 1 << 20
+    ivecs = [
+        [int(round(float(pa.scalar(x, pa.float32()).as_py()) * SCALE))
+         for x in v]
+        for v in vecs
+    ]
+    sums = [sum(iv[d] for iv in ivecs) for d in range(dim)]
+    import statistics as _st
+
+    want_scores = [
+        sum((abs(n * iv[d] - sums[d]) // 1024) ** 2 for d in range(dim))
+        for iv in ivecs
+    ]
+    med = _st.median(want_scores)
+    by_id = {r.vec_id: r for r in rows}
+    for i in range(0, n, 499):
+        r = by_id[i]
+        assert r.is_outlier == (want_scores[i] > 4 * med), i
