@@ -2629,17 +2629,22 @@ def basket_pair_lift(spark, sf_dir):
     oracle=lambda: f"""
     WITH rev AS (
       SELECT l_suppkey,
-             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+               AS rev_micros
       FROM lineitem GROUP BY l_suppkey
     ),
-    tot AS (SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS t
+    tot AS (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+              AS t_micros
             FROM lineitem),
     ranked AS (
       SELECT r.l_suppkey, r.revenue,
-             SUM(CAST(CAST(r.revenue AS DECIMAL(38,6)) * 1000000 AS BIGINT))
+             SUM(r.rev_micros)
                OVER (ORDER BY r.revenue DESC, r.l_suppkey
                      ROWS UNBOUNDED PRECEDING) AS cum_micros,
-             CAST(CAST(t.t AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS t_micros
+             t.t_micros
       FROM rev r CROSS JOIN tot t
     )
     SELECT l_suppkey, revenue,
@@ -2674,22 +2679,29 @@ def pareto_abc_classification(spark, sf_dir):
     t = Tables(spark, sf_dir)
     l = t.lineitem
     rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    rev = l.groupBy("l_suppkey").agg(dsum(rev_expr, "revenue"))
-    total = l.agg(dsum(rev_expr, "t"))
+    # micros derive from the DECIMAL sum directly — never from dsum's
+    # double output: re-casting a ~2e11-magnitude double (ulp ≈ 3e-5)
+    # back to DECIMAL(38,6) re-opens the engine-divergent cast rounding
+    # this query exists to avoid (caught by the unit-scale pin).
+    rev = l.groupBy("l_suppkey").agg(
+        dsum(rev_expr, "revenue"),
+        (F.sum(rev_expr.cast("decimal(38,6)")) * 1000000)
+        .cast("long")
+        .alias("rev_micros"),
+    )
+    total = l.agg(
+        (F.sum(rev_expr.cast("decimal(38,6)")) * 1000000)
+        .cast("long")
+        .alias("t_micros")
+    )
     from pyspark.sql.window import Window
 
     w = (
         Window.orderBy(F.col("revenue").desc(), F.col("l_suppkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    micros = (F.col("revenue").cast("decimal(38,6)") * 1000000).cast("long")
-    ranked = (
-        rev.crossJoin(F.broadcast(total))
-        .withColumn("cum_micros", F.sum(micros).over(w))
-        .withColumn(
-            "t_micros",
-            (F.col("t").cast("decimal(38,6)") * 1000000).cast("long"),
-        )
+    ranked = rev.crossJoin(F.broadcast(total)).withColumn(
+        "cum_micros", F.sum("rev_micros").over(w)
     )
     return ranked.select(
         "l_suppkey",

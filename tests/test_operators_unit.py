@@ -690,3 +690,54 @@ def test_embedding_outliers_survives_overflow_scale(spark, tmp_path):
     for i in range(0, n, 499):
         r = by_id[i]
         assert r.is_outlier == (want_scores[i] > 4 * med), i
+
+
+def test_pareto_running_share_exact_past_double_digits(spark, tmp_path):
+    """Regression pin for the r7 sf1 catch: once the cumulative revenue
+    exceeds double's ~16 exact digits, CAST(DECIMAL AS DOUBLE) rounds
+    differently in Spark vs DuckDB (1884/10000 rows off by 1 ulp at
+    sf1). The fixed query accumulates bigint micros; verify repr-exact
+    against DuckDB on a synthetic corpus whose CUMULATIVE micros pass
+    2^53 while every PER-SUPPLIER revenue stays inside dsum's
+    documented exact envelope (< 2^53/10^6 dollars)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_query_engine_spark.registry import all_oracles, all_queries
+
+    n = 60
+    rows = {
+        "l_orderkey": pa.array(range(n), pa.int64()),
+        "l_partkey": pa.array([1] * n, pa.int64()),
+        "l_suppkey": pa.array(range(n), pa.int64()),  # one row per supplier
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array([1.0] * n, pa.float64()),
+        # ~5e8 per supplier (15 sig digits at 6 decimals — inside
+        # dsum's exact double envelope) × 60 suppliers → cumulative
+        # ≈ 2.9e16 micros: past 2^53 but inside the cum·20 int64 bound
+        "l_extendedprice": pa.array(
+            [5.0e8 + i * 1234.56 for i in range(n)], pa.float64()
+        ),
+        "l_discount": pa.array([0.05] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array(
+            [__import__("datetime").datetime(1996, 1, 1)] * n,
+            pa.timestamp("us"),
+        ),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "lineitem.parquet"))
+    df = all_queries()["pareto_abc_classification"](spark, str(tmp_path))
+    srows = sorted(tuple(map(repr, r)) for r in df.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    drows = sorted(
+        tuple(map(repr, r))
+        for r in con.sql(all_oracles()["pareto_abc_classification"]).fetchall()
+    )
+    assert srows == drows
