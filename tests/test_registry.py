@@ -110,10 +110,26 @@ def test_driver_order_fronts_unverified_queries():
     # it) and the intended query never reaches the driver window
     for n in (*registry._PRIORITY, *registry._DEFER_NEW, *registry._CHANGED):
         assert n in names, f"rotation list references unknown query {n!r}"
-    # priority names lead the window (while they remain unverified)
-    for i, n in enumerate(registry._PRIORITY):
-        if n in names and not green(n):
-            assert names.index(n) == i, f"{n} must be checked first"
+    # priority names lead the window (while they remain unverified):
+    # assert RELATIVE order, not absolute indices — once the driver
+    # verifies some priority names, the remaining unverified ones shift
+    # forward, which is correct behavior (ADVICE r7).
+    unverified_priority = [
+        n for n in registry._PRIORITY if n in names and not green(n)
+    ]
+    prio_idx = [names.index(n) for n in unverified_priority]
+    assert prio_idx == sorted(prio_idx), (
+        "unverified priority names must keep their _PRIORITY order"
+    )
+    if prio_idx:
+        non_priority_front = [
+            i for i in fronted if names[i] not in registry._PRIORITY
+        ]
+        if non_priority_front:
+            assert max(prio_idx) < min(non_priority_front), (
+                "unverified priority names must precede every other "
+                "unverified query"
+            )
     # deferred-new queries sort after every other unverified query
     non_defer_front = [
         i for i in fronted if names[i] not in registry._DEFER_NEW
