@@ -89,11 +89,23 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
         # timestamp[ns]; only the former needs (or tolerates) the
         # nanosAsLong shim — Spark reads INT96 natively as TIMESTAMP.
         # Distinguish via the parquet PHYSICAL type (metadata-only).
-        phys = {
-            col.path_in_schema: col.physical_type
-            for rg in [pa_pq.ParquetFile(str(probe)).metadata.row_group(0)]
-            for col in [rg.column(i) for i in range(rg.num_columns)]
-        }
+        # Read physical types from the FILE-LEVEL parquet schema, not
+        # row-group metadata: a zero-row-group file (empty table, or
+        # the first part-file of a multi-part Spark write) has no
+        # row_group(0) but its schema still carries INT96 vs INT64 —
+        # so the probe works on empty data AND can't mistake an empty
+        # INT96 part for a NANOS file (ADVICE r7 + the regression its
+        # suggested phys={} fallback would have introduced). The probe
+        # still gets its OWN try/except so an unexpected failure only
+        # disables the INT96 disambiguation, not the unit/tz shims.
+        try:
+            pschema = pa_pq.ParquetFile(str(probe)).schema
+            phys = {
+                pschema.column(i).path: pschema.column(i).physical_type
+                for i in range(len(pschema))
+            }
+        except Exception:
+            phys = {}
         for f in schema:
             if pa_types.is_timestamp(f.type):
                 if f.type.unit == "ns" and phys.get(f.name) != "INT96":

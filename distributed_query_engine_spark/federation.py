@@ -264,6 +264,8 @@ class SqlDialect:
         columns: list[str] | None = None,
         predicates: list[str] | None = None,
         schema: str | None = None,
+        limit: int | None = None,
+        offset: int = 0,
     ) -> str:
         cols = (
             ", ".join(self.quote(c) for c in columns) if columns else "*"
@@ -274,7 +276,22 @@ class SqlDialect:
         sql = f"SELECT {cols} FROM {target}"
         if predicates:
             sql += " WHERE " + " AND ".join(f"({p})" for p in predicates)
+        if limit is not None or offset:
+            sql += " " + self.paginate_clause(limit, offset)
         return sql
+
+    def paginate_clause(self, limit: int | None, offset: int = 0) -> str:
+        """Vendor paging form appended to a pushed-down SELECT. Base =
+        ANSI ``OFFSET … ROWS FETCH NEXT … ROWS ONLY`` — the only form
+        Oracle (12c+) and Derby accept (neither has a LIMIT keyword;
+        Derby's DSv2 ``supportsLimit`` lie is pinned in
+        test_federation.py) and also valid on Postgres."""
+        parts = []
+        if offset:
+            parts.append(f"OFFSET {int(offset)} ROWS")
+        if limit is not None:
+            parts.append(f"FETCH NEXT {int(limit)} ROWS ONLY")
+        return " ".join(parts)
 
 
 class AnsiDialect(SqlDialect):
@@ -282,20 +299,39 @@ class AnsiDialect(SqlDialect):
     (reference default printer, diff:47-56)."""
 
 
+class OracleDialect(AnsiDialect):
+    """Oracle (reference vendor slot, diff:50): ANSI quoting; paging
+    inherits OFFSET/FETCH (the 12c+ form — Oracle has never accepted
+    LIMIT)."""
+
+
 class HiveDialect(SqlDialect):
     """Backtick identifiers — the entire point of the reference's
-    ``HiveSqlPrettyPrinter`` (diff:58-66)."""
+    ``HiveSqlPrettyPrinter`` (diff:58-66). Paging is HiveQL's
+    ``LIMIT [offset,] rows`` (2.0+); no OFFSET keyword."""
 
     quote_char = "`"
 
+    def paginate_clause(self, limit: int | None, offset: int = 0) -> str:
+        if limit is None:
+            # LIMIT-only dialects can't express a bare offset; emit an
+            # unbounded upper bound so the offset still applies.
+            limit = 2**31 - 1
+        if offset:
+            return f"LIMIT {int(offset)}, {int(limit)}"
+        return f"LIMIT {int(limit)}"
+
 
 class MysqlDialect(HiveDialect):
-    """MySQL also backticks identifiers."""
+    """MySQL (reference vendor slot, diff:51): backtick identifiers and
+    the classic ``LIMIT offset, count`` paging form, both shared with
+    HiveQL."""
 
 
 _DIALECTS: dict[str, SqlDialect] = {
     "hive2": HiveDialect(),
     "mysql": MysqlDialect(),
+    "oracle": OracleDialect(),
 }
 _DEFAULT_DIALECT = AnsiDialect()
 

@@ -91,3 +91,24 @@ def fingerprint_prefix(text: Column, n_tokens: int = 5) -> Column:
     return F.md5(
         F.concat_ws(" ", F.slice(words(text), 1, n_tokens)).cast("binary")
     )
+
+
+def bpe_encode(word: Column, merges: "tuple[tuple[str, str], ...]") -> Column:
+    """Apply an ordered BPE merge table to a single lowercase word,
+    returning the resulting token array (array<string>).
+
+    Encoding trick shared with the DuckDB oracle: the word becomes the
+    delimiter-framed character string ``||c1||c2||...||``; each merge
+    (a, b) -> ab is one literal non-overlapping left-to-right
+    ``replace('|a||b|' -> '|ab|')``. The pattern consumes only the
+    INNER pipes, so adjacent matches keep their shared frame and a
+    single replace() per merge reproduces greedy BPE merge application
+    exactly (pinned against a pure-Python BPE model in
+    tests/test_operators_unit.py). Tokens must not contain ``|`` —
+    callers filter to ``^[a-z]+$`` words."""
+    s = F.concat(
+        F.lit("|"), F.regexp_replace(word, "(.)", "|$1|"), F.lit("|")
+    )
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    return F.split(F.regexp_replace(s, r"^\|\||\|\|$", ""), r"\|\|")

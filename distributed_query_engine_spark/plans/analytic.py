@@ -1367,6 +1367,24 @@ def _cms_bucket_sql(r: str, key: str) -> str:
     )
 
 
+def _cms_bucket_col(r, key):
+    """Spark twin of ``_cms_bucket_sql`` — module-level so the
+    property suite can run the REAL engine expression against its
+    Python model (ADVICE r7), not a reimplementation of it."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", r.cast("string"), key.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
 @query(
     "agg_countmin_heavy_hitters",
     oracle=lambda: f"""
@@ -1421,21 +1439,7 @@ def agg_countmin_heavy_hitters(spark, sf_dir):
     rows_d = F.explode(
         F.sequence(F.lit(0), F.lit(_CMS_D - 1))
     ).alias("r")
-
-    def bucket(r, key):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", r.cast("string"), key.cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % _CMS_W
-        )
-
+    bucket = _cms_bucket_col
     cells = (
         ev.select("user_id", rows_d)
         .select("user_id", "r", bucket(F.col("r"), F.col("user_id")).alias("bucket"))

@@ -358,6 +358,85 @@ def llm_bpe_pair_stats(spark, sf_dir):
     )
 
 
+# Ordered BPE merge table applied by llm_bpe_encode — the artifact a
+# llm_bpe_pair_stats training loop would produce (rank order matters:
+# later merges consume tokens earlier merges created, e.g. t+h -> th,
+# then th+e -> the). Single source of truth for BOTH the Spark plan and
+# the DuckDB oracle.
+_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("i", "n"),
+    ("a", "n"),
+    ("r", "e"),
+    ("o", "n"),
+    ("e", "r"),
+    ("th", "e"),
+    ("an", "d"),
+    ("o", "u"),
+    ("s", "t"),
+)
+
+
+def _bpe_encode_oracle() -> str:
+    # Same delimiter-string trick as the Spark side (see docstring):
+    # '||a||b||' with pattern '|a||b|' -> '|ab|' keeps the double-pipe
+    # frame intact, so one non-overlapping left-to-right replace() per
+    # merge IS the greedy BPE merge application.
+    s = "'|' || regexp_replace(w, '(.)', '|\\1|', 'g') || '|'"
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+    WITH words AS (
+      SELECT w FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+    ),
+    enc AS (SELECT {s} AS s FROM words),
+    toks AS (
+      SELECT unnest(string_split(trim(s, '|'), '||')) AS token FROM enc
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY token ORDER BY n DESC, token LIMIT 30
+    """
+
+
+@query("llm_bpe_encode", oracle=_bpe_encode_oracle)
+def llm_bpe_encode(spark, sf_dir):
+    """BPE ENCODE — apply a learned, ordered merge table to the corpus
+    (the other half of tokenizer training next to llm_bpe_pair_stats,
+    which COUNTS candidate merges). Output: the resulting token
+    vocabulary's top-30 frequency table, which pins every merge's
+    application exactly.
+
+    Each word becomes a delimiter-framed character string
+    ``||c1||c2||...||`` and each merge (a, b) -> ab is ONE literal
+    ``replace('|a||b|' -> '|ab|')``. Because the pattern consumes only
+    the INNER pipes, adjacent matches keep their frames and a single
+    non-overlapping left-to-right replace() reproduces greedy BPE merge
+    semantics exactly — including hierarchical merges (th+e) over
+    tokens produced by earlier ranks. The whole merge loop is K chained
+    string functions per row: row-local, zero shuffles, inside
+    whole-stage codegen; only the final vocab count shuffles (keyed on
+    a vocab-sized space, so map-side combine collapses it).
+
+    100 TB: encode is scan + project (IO-bound, the ideal shape); the
+    merge table is a driver-side constant exactly as a real trained
+    tokenizer ships its merges file to every executor."""
+    d = Tables(spark, sf_dir).documents
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    toks = words.select(
+        F.explode(T.bpe_encode(F.col("w"), _BPE_MERGES)).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(30)
+    )
+
+
 @query(
     "llm_fingerprint",
     oracle="""

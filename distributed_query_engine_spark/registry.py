@@ -217,6 +217,9 @@ _DEFER_NEW: tuple[str, ...] = (
     "agg_countmin_heavy_hitters",
     "llm_bpe_pair_stats",
     "llm_temperature_mix_sqrt",
+    # --- r8 additions: queue BEHIND the 47-name r8 backlog so they
+    # never displace it from the ~50-slot window (47 + these <= 50).
+    "llm_bpe_encode",
 )
 
 

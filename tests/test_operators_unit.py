@@ -417,6 +417,42 @@ def test_read_parquet_table_normalizes_any_timestamp_encoding(spark, tmp_path):
         assert got == [(1, ts[0]), (2, ts[1])], unit
 
 
+def test_read_parquet_table_handles_zero_row_group_files(spark, tmp_path):
+    # An EMPTY table has no row groups, so the INT96 physical-type
+    # probe raises — that failure must stay contained (ADVICE r7): the
+    # unit/tz shims from read_schema alone must still normalize an
+    # empty TIMESTAMP(NANOS) file (readable at all only via the shim)
+    # and an empty NTZ file (must surface TIMESTAMP, not NTZ).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_query_engine_spark.catalog import read_parquet_table
+
+    for unit, tz, fname in (
+        ("ns", None, "empty_ns.parquet"),
+        ("us", None, "empty_ntz.parquet"),
+    ):
+        path = str(tmp_path / fname)
+        pq.write_table(
+            pa.table(
+                {"id": pa.array([], pa.int64()),
+                 "ts": pa.array([], pa.timestamp(unit, tz))}
+            ),
+            path,
+        )
+        df = read_parquet_table(spark, path)
+        assert df.schema["ts"].dataType.typeName() == "timestamp", unit
+        assert df.count() == 0, unit
+    # and the converse trap: an EMPTY INT96 dataset (Spark-written,
+    # zero rows) must NOT get the nanos shim — the file-level schema
+    # probe still sees INT96 even with no row groups.
+    p = str(tmp_path / "empty_int96.parquet")
+    spark.createDataFrame([], "id long, ts timestamp").write.parquet(p)
+    df = read_parquet_table(spark, p)
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.count() == 0
+
+
 def test_stream_ingest_dedup_is_multibatch_and_matches_batch_variant(spark, sf_dir):
     # The streaming ingest loop must (a) genuinely process one
     # micro-batch per slice and (b) produce a sink row-identical to the
@@ -741,3 +777,45 @@ def test_pareto_running_share_exact_past_double_digits(spark, tmp_path):
         for r in con.sql(all_oracles()["pareto_abc_classification"]).fetchall()
     )
     assert srows == drows
+
+
+def test_bpe_encode_matches_python_model(spark):
+    # The delimiter-replace trick must reproduce greedy left-to-right
+    # BPE merge application, including overlap runs ("aaa" + (a,a)) and
+    # hierarchical merges (t+h -> th, then th+e -> the). Pin it against
+    # a direct Python model, not the DuckDB oracle (which shares the
+    # same trick and would miss a shared-logic bug).
+    from distributed_query_engine_spark.functions.text import bpe_encode
+
+    def py_bpe(word, merges):
+        toks = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    merges = (
+        ("t", "h"), ("a", "a"), ("e", "r"), ("th", "e"), ("er", "s"),
+    )
+    cases = [
+        "the", "thethe", "aaa", "aaaa", "aaaaa", "ers", "erers",
+        "thers", "x", "rer", "eerr", "panther", "aathe",
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(w,) for w in cases], ["w"])
+    got = {
+        r.w: r.toks
+        for r in df.select(
+            "w", bpe_encode(F.col("w"), merges).alias("toks")
+        ).collect()
+    }
+    for w in cases:
+        assert got[w] == py_bpe(w, merges), (w, got[w], py_bpe(w, merges))

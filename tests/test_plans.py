@@ -389,3 +389,13 @@ def test_q20_nested_in_chain_decorrelates_to_two_semi_joins(spark, sf_dir):
     assert plan.count("LeftSemi") >= 2, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_encode_merge_loop_is_rowlocal_single_exchange(spark, sf_dir):
+    # The K chained merge replaces must stay row-local string functions
+    # inside the scan-side projection: exactly ONE Exchange in the whole
+    # plan (the vocab-count shuffle), with partial aggregation before it.
+    plan = _plan(_q("llm_bpe_encode", spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -540,14 +540,20 @@ def test_cusum_changepoint_matches_python(spark, series):
     counts=st.lists(st.integers(1, 20), min_size=1, max_size=10),
 )
 def test_countmin_estimate_upper_bounds_every_key(spark, counts):
-    """The count-min one-sided guarantee against a pure-Python model:
-    for ANY stream, every key's min-of-cells estimate >= its true
-    count, and equals it when no other key collides in all D rows."""
+    """The count-min one-sided guarantee, with the ENGINE in the loop
+    (ADVICE r7): build the sketch with the real Spark bucket expression
+    (``_cms_bucket_col``) over a synthetic stream, check its cells are
+    bit-identical to a pure-Python md5 model, and check every key's
+    min-of-cells ESTIMATE FROM SPARK >= its true count (equal when
+    some hash row gives the key a private bucket)."""
     import hashlib
+
+    import pyspark.sql.functions as F
 
     from distributed_query_engine_spark.plans.analytic import (
         _CMS_D,
         _CMS_W,
+        _cms_bucket_col,
     )
 
     stream = [uid for uid, c in enumerate(counts) for _ in range(c)]
@@ -556,13 +562,40 @@ def test_countmin_estimate_upper_bounds_every_key(spark, counts):
         h = hashlib.md5(f"{r}:{uid}".encode()).hexdigest()[:8]
         return int(h, 16) % _CMS_W
 
-    cells: dict = {}
+    model_cells: dict = {}
     for uid in stream:
         for r in range(_CMS_D):
             k = (r, bucket(r, uid))
-            cells[k] = cells.get(k, 0) + 1
+            model_cells[k] = model_cells.get(k, 0) + 1
+
+    # The engine side: same cells + min-of-cells pipeline the
+    # agg_countmin_heavy_hitters query builds, over the same stream.
+    ev = spark.createDataFrame([(uid,) for uid in stream], ["user_id"])
+    rows_d = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
+    cells_df = (
+        ev.select("user_id", rows_d)
+        .select("r", _cms_bucket_col(F.col("r"), F.col("user_id")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spark_cells = {(r.r, r.bucket): r.c for r in cells_df.collect()}
+    assert spark_cells == model_cells
+    est_df = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .select("user_id", "exact_n", rows_d)
+        .select(
+            "user_id", "exact_n", "r",
+            _cms_bucket_col(F.col("r"), F.col("user_id")).alias("bucket"),
+        )
+        .join(cells_df, ["r", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    spark_est = {r.user_id: (r.exact_n, r.cms_est) for r in est_df.collect()}
     for uid, c in enumerate(counts):
-        est = min(cells[(r, bucket(r, uid))] for r in range(_CMS_D))
+        exact_n, est = spark_est[uid]
+        assert exact_n == c
         assert est >= c
         # exactness holds whenever SOME row gives uid a private bucket
         if any(
