@@ -1216,6 +1216,11 @@ def llm_semdedup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _QUERY_IDS = [0, 1, 2, 3, 4]
+# The recall measurement uses a wider panel: 5 queries = 25 ground-truth
+# pairs, whose recall estimate swung +-0.2 between SFs (r8 sweep); 25
+# queries = 125 pairs is stable to ~+-0.05.
+_RECALL_QUERY_IDS = list(range(25))
+_RECALL_IDS_SQL = ", ".join(str(i) for i in _RECALL_QUERY_IDS)
 
 
 @query(
@@ -1376,18 +1381,21 @@ def llm_similarity_ivf_index(spark, sf_dir):
 
 @query(
     "llm_similarity_recall",
-    # Exact-oracle recall@5 of both ANN variants against the exact
-    # brute-force top-k: the oracle replays all three searches (same
-    # arithmetic as their individual oracles) and intersects. This is
-    # the quality metric that justifies N_PLANES / N_CELLS / N_PROBE —
-    # measured, not folklore (PLANS.md records the numbers per sf).
+    # Exact-oracle recall@5 AND cost of both ANN variants against the
+    # exact brute-force top-k, over a 25-query panel (5 queries = 25
+    # ground-truth pairs was too noisy to grade knobs by): the oracle
+    # replays all three searches (same arithmetic as their individual
+    # oracles), intersects, and counts each query's candidate set.
+    # This is the metric that justifies N_PLANES / MULTIPROBE_H /
+    # N_CELLS / N_PROBE — measured, not folklore (PLANS.md records the
+    # numbers per sf and the isotropy analysis behind them).
     oracle=lambda: f"""
     WITH {_IVEC_CTE},
     {_LSH_BUCKET_CTES},
     nb AS (SELECT nv.vec_id, nv.ivec, nv.nsq, b.bucket
            FROM nv JOIN buckets b USING (vec_id)),
     qs AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
-           FROM nv WHERE vec_id IN (0,1,2,3,4)),
+           FROM nv WHERE vec_id IN ({_RECALL_IDS_SQL})),
     exact_top AS (
       SELECT q_id, vec_id FROM (
         SELECT q.q_id, c.vec_id,
@@ -1437,33 +1445,73 @@ def llm_similarity_ivf_index(spark, sf_dir):
         FROM probes p
         JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id != p.q_id
         JOIN qs q ON q.q_id = p.q_id) WHERE rn <= 5
+    ),
+    lsh_cand AS (
+      SELECT q.q_id, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM (SELECT qs.q_id, xor(b.bucket, m.mask) AS probe_bucket
+            FROM qs
+            JOIN buckets b ON b.vec_id = qs.q_id,
+                 (SELECT unnest([{_PROBE_MASKS_SQL}]) AS mask) m) q
+      JOIN nb c ON c.bucket = q.probe_bucket AND c.vec_id != q.q_id
+      GROUP BY q.q_id
+    ),
+    ivf_cand AS (
+      SELECT p.q_id, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM probes p
+      JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id != p.q_id
+      GROUP BY p.q_id
     )
     SELECT 'lsh' AS method, e.q_id,
            CAST(count(l.vec_id) AS BIGINT) AS hits,
-           count(l.vec_id) / 5.0 AS recall
-    FROM exact_top e LEFT JOIN lsh_top l USING (q_id, vec_id)
+           count(l.vec_id) / 5.0 AS recall,
+           any_value(c.n_candidates) AS n_candidates
+    FROM exact_top e
+    LEFT JOIN lsh_top l USING (q_id, vec_id)
+    JOIN lsh_cand c ON c.q_id = e.q_id
     GROUP BY e.q_id
     UNION ALL
     SELECT 'ivf' AS method, e.q_id,
            CAST(count(i.vec_id) AS BIGINT) AS hits,
-           count(i.vec_id) / 5.0 AS recall
-    FROM exact_top e LEFT JOIN ivf_top i USING (q_id, vec_id)
+           count(i.vec_id) / 5.0 AS recall,
+           any_value(c.n_candidates) AS n_candidates
+    FROM exact_top e
+    LEFT JOIN ivf_top i USING (q_id, vec_id)
+    JOIN ivf_cand c ON c.q_id = e.q_id
     GROUP BY e.q_id
     """,
 )
 def llm_similarity_recall(spark, sf_dir):
-    """recall@5 of the two ANN paths vs the exact scan, per query id:
-    join each ANN top-k to the exact top-k on (q_id, vec_id) and count
-    survivors. All three searches are deterministic, so recall itself
-    is oracle-exact — the ANN knobs (N_PLANES, N_CELLS, N_PROBE) are
-    graded by measurement."""
+    """recall@5 AND measured cost of the two ANN paths vs the exact
+    scan, per query over a 25-query panel: join each ANN top-k to the
+    exact top-k on (q_id, vec_id), count survivors, and attach the
+    size of each query's candidate set (`n_candidates` — what the
+    probe radius actually paid). All searches are deterministic, so
+    both recall and cost are oracle-exact — the ANN knobs (N_PLANES,
+    MULTIPROBE_H, N_CELLS, N_PROBE) are graded by measurement.
+
+    r8 headline (PLANS.md has the full sweep): the LSH defaults
+    (5 planes, H=3) measure recall@5 = 0.82-0.87 across
+    sf0.001/0.01/0.1 at ~71% candidate fraction — on THIS corpus
+    (isotropic noise, no cluster structure) every data-blind family
+    swept (multi-table LSH, JL-projection rerank) sits on recall ~=
+    candidate fraction + 0.15, so that cost is the data-blind floor,
+    not a tuning artifact. The data-DEPENDENT quantizer does beat it:
+    IVF measures 0.77-0.82 recall at ~25% candidates here."""
     e = Tables(spark, sf_dir).embeddings
     k = 5
-    exact = S.topk_cosine(e, _QUERY_IDS, k=k).select("q_id", "vec_id")
+    exact = S.topk_cosine(e, _RECALL_QUERY_IDS, k=k).select("q_id", "vec_id")
     out = None
-    for method, ann in (
-        ("lsh", S.topk_cosine_ann(e, _QUERY_IDS, k=k)),
-        ("ivf", S.topk_cosine_ivf(e, _QUERY_IDS, k=k)),
+    for method, ann, cand in (
+        (
+            "lsh",
+            S.topk_cosine_ann(e, _RECALL_QUERY_IDS, k=k),
+            S.lsh_candidate_counts(e, _RECALL_QUERY_IDS),
+        ),
+        (
+            "ivf",
+            S.topk_cosine_ivf(e, _RECALL_QUERY_IDS, k=k),
+            S.ivf_candidate_counts(e, _RECALL_QUERY_IDS),
+        ),
     ):
         hits = (
             exact.join(
@@ -1474,11 +1522,12 @@ def llm_similarity_recall(spark, sf_dir):
             .groupBy("q_id")
             .agg(F.count("hit").alias("n_hits"))
         )
-        part = hits.select(
+        part = hits.join(cand, "q_id").select(
             F.lit(method).alias("method"),
             "q_id",
             F.col("n_hits").cast("long").alias("hits"),
             (F.col("n_hits") / F.lit(float(k))).alias("recall"),
+            "n_candidates",
         )
         out = part if out is None else out.unionByName(part)
     return out

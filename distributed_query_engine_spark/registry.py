@@ -92,6 +92,12 @@ _CHANGED: dict[str, int] = {
     # r7: running share re-based to integer micros (sf1 decimal→double
     # cast-rounding divergence) — engine and oracle both changed.
     "pareto_abc_classification": 7,
+    # r8: LSH knobs retuned for recall >= 0.8 (N_PLANES 8→5, H 2→3) —
+    # bucket ids, probe sets, and the ANN top-k all change.
+    "llm_similarity_ann_lsh": 8,
+    # r8: 25-query panel + n_candidates cost column (schema change),
+    # on top of the LSH knob change.
+    "llm_similarity_recall": 8,
 }
 
 # Checked first within the unverified group (ordering hint only — a
@@ -217,9 +223,11 @@ _DEFER_NEW: tuple[str, ...] = (
     "agg_countmin_heavy_hitters",
     "llm_bpe_pair_stats",
     "llm_temperature_mix_sqrt",
-    # --- r8 additions: queue BEHIND the 47-name r8 backlog so they
-    # never displace it from the ~50-slot window (47 + these <= 50).
+    # --- r8 additions/changes: queue BEHIND the 47-name r8 backlog so
+    # they never displace it from the ~50-slot window (47 + these = 50).
     "llm_bpe_encode",
+    "llm_similarity_ann_lsh",
+    "llm_similarity_recall",
 )
 
 
