@@ -437,6 +437,122 @@ def llm_bpe_encode(spark, sf_dir):
     )
 
 
+# Number of merges llm_bpe_train learns. Small because each iteration
+# is a full corpus re-tokenization (the canonical BPE training loop);
+# a production run batches more merges per scan.
+_BPE_TRAIN_K = 6
+
+
+def _bpe_train_oracle() -> str:
+    # Replays the SAME data-dependent loop: iteration k's encode uses
+    # scalar subqueries over best{k-1} inside replace(), so the oracle
+    # learns its merges from the data exactly like the engine does —
+    # no hardcoded expected pairs.
+    ctes = [
+        "words AS (SELECT w FROM (SELECT unnest(string_split(lower(text),"
+        " ' ')) AS w FROM documents) WHERE regexp_matches(w, '^[a-z]+$'))",
+        "enc0 AS (SELECT '|' || regexp_replace(w, '(.)', '|\\1|', 'g')"
+        " || '|' AS s FROM words)",
+    ]
+    selects = []
+    for k in range(1, _BPE_TRAIN_K + 1):
+        prev = f"enc{k - 1}"
+        ctes.append(
+            f"toks{k} AS (SELECT string_split(trim(s, '|'), '||') AS ts"
+            f" FROM {prev})"
+        )
+        ctes.append(
+            f"""pairs{k} AS (
+              SELECT t.p[1] AS a, t.p[2] AS b FROM (
+                SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                       i -> [ts[i], ts[i + 1]])) AS p
+                FROM toks{k} WHERE len(ts) >= 2) t)"""
+        )
+        ctes.append(
+            f"""best{k} AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS n
+              FROM pairs{k} GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)"""
+        )
+        if k < _BPE_TRAIN_K:
+            ctes.append(
+                f"""enc{k} AS (
+                  SELECT replace(s,
+                    '|' || (SELECT a FROM best{k}) || '||'
+                        || (SELECT b FROM best{k}) || '|',
+                    '|' || (SELECT a || b FROM best{k}) || '|') AS s
+                  FROM {prev})"""
+            )
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS merge_rank, a AS pair_left,"
+            f" b AS pair_right, a || b AS merged, n FROM best{k}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects) + "\nORDER BY merge_rank"
+    )
+
+
+@query("llm_bpe_train", oracle=_bpe_train_oracle)
+def llm_bpe_train(spark, sf_dir):
+    """BPE TRAINING — learn a merge table from the corpus: K rounds of
+    count-all-adjacent-pairs → take the most frequent (ties: lexical)
+    → merge it everywhere → recount. This is the actual BPE algorithm,
+    closing the tokenizer story: llm_bpe_pair_stats is one iteration's
+    counting step, llm_bpe_encode applies a learned table, this LEARNS
+    the table. Output: the merge table itself (rank, pair, merged
+    token, frequency) — the broadcast-sized artifact a tokenizer ships.
+
+    Driver loop legitimacy: each iteration collects exactly ONE row
+    (the argmax pair — a scalar aggregate, same pattern as pagerank's
+    per-iteration convergence check); the corpus never leaves
+    executors. Each iteration re-tokenizes from the raw words through
+    the merges learned so far (functions/text.py::bpe_encode — K
+    chained row-local replaces, zero shuffles), then ONE
+    partial-aggregated pair count over a vocab-sized key space.
+
+    100 TB: K full corpus scans is the canonical trade of iterative
+    training; production batches many merges per scan and/or trains on
+    a sample — both are this same loop with different constants. The
+    oracle replays the identical data-dependent loop in SQL (scalar
+    subqueries select each round's argmax), so the learned table is
+    exact-checked without hardcoding what it learns."""
+    d = Tables(spark, sf_dir).documents
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    merges: list[tuple[str, str]] = []
+    rows_out = []
+    for k in range(1, _BPE_TRAIN_K + 1):
+        tok_df = words.select(
+            T.bpe_encode(F.col("w"), tuple(merges)).alias("ts")
+        ).filter(F.size("ts") >= 2)
+        pairs = tok_df.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ts"), i).alias("a"),
+                        F.element_at(F.col("ts"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((best.a, best.b))
+        rows_out.append((k, best.a, best.b, best.a + best.b, best.n))
+    return spark.createDataFrame(
+        rows_out,
+        "merge_rank bigint, pair_left string, pair_right string, "
+        "merged string, n bigint",
+    )
+
+
 @query(
     "llm_fingerprint",
     oracle="""

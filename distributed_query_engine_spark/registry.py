@@ -228,6 +228,9 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_bpe_encode",
     "llm_similarity_ann_lsh",
     "llm_similarity_recall",
+    # 51st unverified name: first in line for the r9 window if the r8
+    # driver samples exactly 50.
+    "llm_bpe_train",
 )
 
 
