@@ -96,8 +96,13 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
         # so the probe works on empty data AND can't mistake an empty
         # INT96 part for a NANOS file (ADVICE r7 + the regression its
         # suggested phys={} fallback would have introduced). The probe
-        # still gets its OWN try/except so an unexpected failure only
-        # disables the INT96 disambiguation, not the unit/tz shims.
+        # still gets its OWN try/except; on failure phys=None means
+        # UNKNOWN, and the ns branch then fails safe toward the native
+        # INT96 read (applying the nanos shim to INT96 breaks the
+        # read; skipping it on a true NANOS file merely reproduces the
+        # pre-shim loud failure). The NTZ branch never needs phys:
+        # INT96 always surfaces as timestamp[ns], so a us-unit NTZ
+        # field cannot be INT96.
         try:
             pschema = pa_pq.ParquetFile(str(probe)).schema
             phys = {
@@ -105,12 +110,13 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
                 for i in range(len(pschema))
             }
         except Exception:
-            phys = {}
+            phys = None
         for f in schema:
             if pa_types.is_timestamp(f.type):
-                if f.type.unit == "ns" and phys.get(f.name) != "INT96":
-                    ns_cols.append(f.name)
-                elif f.type.tz is None and phys.get(f.name) != "INT96":
+                if f.type.unit == "ns":
+                    if phys is not None and phys.get(f.name) != "INT96":
+                        ns_cols.append(f.name)
+                elif f.type.tz is None:
                     ntz = True
     except Exception:
         pass

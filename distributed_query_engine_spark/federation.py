@@ -266,6 +266,7 @@ class SqlDialect:
         schema: str | None = None,
         limit: int | None = None,
         offset: int = 0,
+        order_by: list[str] | None = None,
     ) -> str:
         cols = (
             ", ".join(self.quote(c) for c in columns) if columns else "*"
@@ -276,6 +277,8 @@ class SqlDialect:
         sql = f"SELECT {cols} FROM {target}"
         if predicates:
             sql += " WHERE " + " AND ".join(f"({p})" for p in predicates)
+        if order_by:
+            sql += " ORDER BY " + ", ".join(self.quote(c) for c in order_by)
         if limit is not None or offset:
             sql += " " + self.paginate_clause(limit, offset)
         return sql
@@ -308,7 +311,13 @@ class OracleDialect(AnsiDialect):
 class HiveDialect(SqlDialect):
     """Backtick identifiers — the entire point of the reference's
     ``HiveSqlPrettyPrinter`` (diff:58-66). Paging is HiveQL's
-    ``LIMIT [offset,] rows`` (2.0+); no OFFSET keyword."""
+    ``LIMIT [offset,] rows`` (2.0+); Apache Hive has no OFFSET
+    keyword. CAVEAT (r8 review): a ``jdbc:hive2://`` URL may front
+    Spark's own Thrift server (this repo's live endpoint,
+    :func:`start_thrift_server`), which speaks Spark SQL and REJECTS
+    the comma form — use :class:`SparkSqlDialect` for those endpoints
+    (``dialect_for(url, flavor="spark")``); the wire protocol cannot
+    reveal which engine answers, so the caller must say."""
 
     quote_char = "`"
 
@@ -328,6 +337,23 @@ class MysqlDialect(HiveDialect):
     HiveQL."""
 
 
+class SparkSqlDialect(HiveDialect):
+    """A hive2-protocol endpoint served by Spark (Thrift JDBC server):
+    backticks like Hive, but paging is ``LIMIT n OFFSET m`` (Spark has
+    the OFFSET clause and rejects Hive's comma form — proven against
+    the live in-process server in test_federation.py)."""
+
+    def paginate_clause(self, limit: int | None, offset: int = 0) -> str:
+        parts = []
+        if limit is not None:
+            parts.append(f"LIMIT {int(limit)}")
+        elif offset:
+            parts.append(f"LIMIT {2**31 - 1}")
+        if offset:
+            parts.append(f"OFFSET {int(offset)}")
+        return " ".join(parts)
+
+
 _DIALECTS: dict[str, SqlDialect] = {
     "hive2": HiveDialect(),
     "mysql": MysqlDialect(),
@@ -336,11 +362,15 @@ _DIALECTS: dict[str, SqlDialect] = {
 _DEFAULT_DIALECT = AnsiDialect()
 
 
-def dialect_for(url: str) -> SqlDialect:
+def dialect_for(url: str, flavor: str | None = None) -> SqlDialect:
     """Dispatch the SQL dialect from the connection string — mirrors
     ``generateSql``'s ``vendor match { case "hive2" => … }``
     (diff:117-127): hive2 gets the backtick printer, everything else
-    the ANSI one."""
+    the ANSI one. ``flavor="spark"`` overrides a hive2 URL to the
+    Spark-Thrift paging form (the URL alone can't tell Apache Hive
+    from Spark's Thrift server — see :class:`SparkSqlDialect`)."""
+    if flavor == "spark" and vendor_from_connection_string(url) == "hive2":
+        return SparkSqlDialect()
     return _DIALECTS.get(vendor_from_connection_string(url), _DEFAULT_DIALECT)
 
 
@@ -526,6 +556,10 @@ def federated_scan(
     predicates: list[str] | None = None,
     session_conf: dict[str, str] | None = None,
     schema: str | None = None,
+    limit: int | None = None,
+    offset: int = 0,
+    order_by: list[str] | None = None,
+    flavor: str | None = None,
 ):
     """Dialect-dispatched federated scan: look up the connector, shape
     the pushdown SELECT with the vendor's dialect, and hand it to
@@ -551,8 +585,14 @@ def federated_scan(
                 f"(got {vendor_from_connection_string(url)!r})"
             )
         url += "?" + ";".join(f"{k}={v}" for k, v in sorted(session_conf.items()))
-    sql = dialect_for(db.connection_string()).select_sql(
-        table, columns, predicates, schema=schema
+    sql = dialect_for(db.connection_string(), flavor=flavor).select_sql(
+        table,
+        columns,
+        predicates,
+        schema=schema,
+        limit=limit,
+        offset=offset,
+        order_by=order_by,
     )
     return spark.read.jdbc(url, f"({sql}) pushed", properties=db.jdbc_properties())
 

@@ -269,6 +269,38 @@ def lsh_candidate_counts(
     )
 
 
+def topk_with_count(scored: DataFrame, k: int) -> DataFrame:
+    """(q_id, vec_id, n_candidates): the top-k of a (q_id, vec_id,
+    cosine) candidate relation with each row carrying its query's
+    candidate-set size — computed in ONE pass over the scored relation
+    (both window functions share the q_id partitioning, so one
+    exchange feeds both; the r8 recall query previously evaluated the
+    heavy candidate relation twice, once for top-k and once for the
+    count)."""
+    w = Window.partitionBy("q_id")
+    wo = w.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn(
+            "n_candidates", F.count(F.lit(1)).over(w).cast("long")
+        )
+        .withColumn("rn", F.row_number().over(wo).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "n_candidates")
+    )
+
+
+def lsh_scored(
+    emb: DataFrame,
+    query_ids: list[int],
+    n_planes: int | None = N_PLANES,
+    multiprobe_h: int = MULTIPROBE_H,
+) -> DataFrame:
+    """Public alias of the LSH candidate relation (see
+    :func:`_lsh_scored`) for callers composing top-k and cost in one
+    pass via :func:`topk_with_count`."""
+    return _lsh_scored(emb, query_ids, n_planes, multiprobe_h)
+
+
 N_CELLS = 16
 N_PROBE = 4
 
@@ -414,7 +446,7 @@ def _ivf_search(
     cents: DataFrame,
     assigned: DataFrame,
     query_ids: list[int],
-    k: int,
+    k: int | None,
     n_probe: int,
 ) -> DataFrame:
     """The IVF search given its two index relations: probe selection
@@ -463,22 +495,41 @@ def _ivf_search(
     )
 
 
+def ivf_scored(
+    emb: DataFrame,
+    query_ids: list[int],
+    n_cells: int | None = N_CELLS,
+    n_probe: int = N_PROBE,
+    strategy: str = "lowest_id",
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """The IVF candidate relation (q_id, vec_id, cosine) — same index
+    construction as :func:`topk_cosine_ivf` (knobs forwarded so cost
+    measurements can never silently describe a different index than
+    the search)."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    if n_cells is None:
+        n_cells = suggest_n_cells(base.count())
+    cents = ivf_centroids(base, n_cells, strategy=strategy, lloyd_iters=lloyd_iters)
+    assigned = _assign_to(base, cents)
+    return _ivf_search(cents, assigned, query_ids, None, n_probe)
+
+
 def ivf_candidate_counts(
     emb: DataFrame,
     query_ids: list[int],
     n_cells: int | None = N_CELLS,
     n_probe: int = N_PROBE,
+    strategy: str = "lowest_id",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """(q_id, n_candidates) for the IVF path — the vectors inside each
     query's ``n_probe`` probed cells (cost twin of
-    :func:`lsh_candidate_counts`)."""
-    if n_cells is None:
-        n_cells = suggest_n_cells(emb.count())
-    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
-    cents = ivf_centroids(base, n_cells)
-    assigned = _assign_to(base, cents)
+    :func:`lsh_candidate_counts`; index knobs forwarded like
+    :func:`topk_cosine_ivf` so the counts always describe the same
+    index as the search being measured)."""
     return (
-        _ivf_search(cents, assigned, query_ids, None, n_probe)
+        ivf_scored(emb, query_ids, n_cells, n_probe, strategy, lloyd_iters)
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     )

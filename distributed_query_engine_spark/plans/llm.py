@@ -537,13 +537,21 @@ def llm_bpe_train(spark, sf_dir):
                 )
             ).alias("p")
         ).select("p.a", "p.b")
-        best = (
+        top = (
             pairs.groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), "a", "b")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:
+            # degenerate corpus ran out of adjacent pairs before K
+            # merges: stop with the merges learned so far. The oracle
+            # degrades identically — its empty best{k} makes every
+            # later enc/best CTE empty, so both sides emit rows only
+            # for the learnable ranks.
+            break
+        best = top[0]
         merges.append((best.a, best.b))
         rows_out.append((k, best.a, best.b, best.a + best.b, best.n))
     return spark.createDataFrame(
@@ -1617,33 +1625,37 @@ def llm_similarity_recall(spark, sf_dir):
     k = 5
     exact = S.topk_cosine(e, _RECALL_QUERY_IDS, k=k).select("q_id", "vec_id")
     out = None
-    for method, ann, cand in (
-        (
-            "lsh",
-            S.topk_cosine_ann(e, _RECALL_QUERY_IDS, k=k),
-            S.lsh_candidate_counts(e, _RECALL_QUERY_IDS),
-        ),
-        (
-            "ivf",
-            S.topk_cosine_ivf(e, _RECALL_QUERY_IDS, k=k),
-            S.ivf_candidate_counts(e, _RECALL_QUERY_IDS),
-        ),
+    # Each method's heavy candidate relation is evaluated ONCE:
+    # topk_with_count rides the candidate count on the top-k window's
+    # own partitioning, and the outer join below is this plan's only
+    # other consumer (r8 review catch — the first cut evaluated the
+    # LSH probe join and the IVF index build twice each).
+    for method, ann in (
+        ("lsh", S.topk_with_count(S.lsh_scored(e, _RECALL_QUERY_IDS), k)),
+        ("ivf", S.topk_with_count(S.ivf_scored(e, _RECALL_QUERY_IDS), k)),
     ):
-        hits = (
-            exact.join(
-                ann.select("q_id", "vec_id").withColumn("hit", F.lit(1)),
-                ["q_id", "vec_id"],
-                "left",
-            )
-            .groupBy("q_id")
-            .agg(F.count("hit").alias("n_hits"))
+        j = exact.withColumn("ex", F.lit(1)).join(
+            ann.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "outer"
         )
-        part = hits.join(cand, "q_id").select(
-            F.lit(method).alias("method"),
-            "q_id",
-            F.col("n_hits").cast("long").alias("hits"),
-            (F.col("n_hits") / F.lit(float(k))).alias("recall"),
-            "n_candidates",
+        part = (
+            j.groupBy("q_id")
+            .agg(
+                F.count(
+                    F.when(F.col("ex").isNotNull() & F.col("hit").isNotNull(), 1)
+                ).alias("n_hits"),
+                F.max("n_candidates").alias("n_candidates"),
+            )
+            # a query with an empty candidate set has no ann rows and a
+            # NULL count — dropped, matching the oracle's inner join on
+            # the per-query candidate counts
+            .filter(F.col("n_candidates").isNotNull())
+            .select(
+                F.lit(method).alias("method"),
+                "q_id",
+                F.col("n_hits").cast("long").alias("hits"),
+                (F.col("n_hits") / F.lit(float(k))).alias("recall"),
+                "n_candidates",
+            )
         )
         out = part if out is None else out.unionByName(part)
     return out

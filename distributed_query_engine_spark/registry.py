@@ -98,6 +98,10 @@ _CHANGED: dict[str, int] = {
     # r8: 25-query panel + n_candidates cost column (schema change),
     # on top of the LSH knob change.
     "llm_similarity_recall": 8,
+    # r8: same N_PLANES retune — its blocking buckets (an output
+    # column) and the surviving near-dup pair set change (r8 review
+    # catch: the knob's third dependent query).
+    "llm_dedup_embcos": 8,
 }
 
 # Checked first within the unverified group (ordering hint only — a
@@ -228,9 +232,10 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_bpe_encode",
     "llm_similarity_ann_lsh",
     "llm_similarity_recall",
-    # 51st unverified name: first in line for the r9 window if the r8
-    # driver samples exactly 50.
+    # 51st+ unverified names: first in line for the r9 window if the
+    # r8 driver samples exactly 50.
     "llm_bpe_train",
+    "llm_dedup_embcos",
 )
 
 

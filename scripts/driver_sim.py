@@ -46,8 +46,8 @@ else:
 
 fails, n_ok = [], 0
 for name in names:
-    fn = qs[name]
     try:
+        fn = qs[name]  # inside try: a typo'd name prints ERR, not a crash
         df = fn(spark, SF)
         srows = [tuple(r) for r in df.collect()]
         if name not in oracles:

@@ -819,3 +819,40 @@ def test_bpe_encode_matches_python_model(spark):
     }
     for w in cases:
         assert got[w] == py_bpe(w, merges), (w, got[w], py_bpe(w, merges))
+
+
+def test_bpe_train_degenerate_corpus_stops_early_and_matches_oracle(
+    spark, tmp_path
+):
+    # r8 review catch: a corpus that runs out of adjacent pairs before
+    # K merges must truncate the merge table (not IndexError), and the
+    # oracle's scalar-subquery replay must degrade to the same rows.
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_query_engine_spark.plans.llm import (
+        _bpe_train_oracle,
+        llm_bpe_train,
+    )
+
+    # 'ab' x3 merges once (a+b), then every word is a single token:
+    # only 1 of K=6 merges is learnable.
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["ab ab ab", "x y"]),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = [
+        tuple(r)
+        for r in llm_bpe_train(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, "a", "b", "ab", 3)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    assert [tuple(r) for r in con.sql(_bpe_train_oracle()).fetchall()] == got
