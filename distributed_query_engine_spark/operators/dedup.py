@@ -1171,3 +1171,166 @@ def containment_pairs(
             (n_inter == F.least(n_a, n_b)).alias("is_subset"),
         )
     )
+
+
+SPAN_K = 8  # tokens per span — the duplicated-substring granularity
+
+
+def _span_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, tl: token array, n_tok) — the shared span-pipeline scan."""
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        F.col("doc_id"), toks.alias("tl"), F.size(toks).alias("n_tok")
+    )
+
+
+def _span_pos_seq(k: int) -> Column:
+    """pos 0..n_tok-k; EXPLICITLY empty when the doc is shorter than one
+    span (sequence(0, negative) would generate a DESCENDING ramp)."""
+    return F.when(
+        F.col("n_tok") >= k, F.sequence(F.lit(0), F.col("n_tok") - k)
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _span_text_fn(k: int):
+    """pos → the k-token span text starting there (row-local)."""
+    return lambda i: F.concat_ws(" ", F.slice("tl", i + 1, k))
+
+
+def _gid_fn(k: int):
+    """pos → 60-bit md5-prefix span id (row-local; same engine-portable
+    hash and collision caveat as ``hashed_token_ids``)."""
+    text = _span_text_fn(k)
+    return lambda i: F.conv(
+        F.substring(F.md5(text(i)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def duplicated_span_report(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Substring-level exact dedup report: per document, how many of its
+    k-token spans (and how many of its tokens) are covered by a span
+    that occurs >= 2 times ANYWHERE in the corpus (across docs or
+    repeated within one doc) — the Spark-scale re-expression of
+    suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a distributed suffix
+    array is impractical, but every duplicated substring of length
+    >= k contains a duplicated k-token span, so rolling k-gram
+    counting finds the same regions with one aggregation.
+
+    Returns (doc_id, n_spans, dup_spans, dup_tokens,
+    dup_token_permille) — dup_tokens is the size of the UNION of the
+    duplicated spans' [pos, pos+k) token intervals (overlapping spans
+    are not double-counted: ordered by pos, each span past the first
+    contributes min(k, pos - prev_pos)); the permille is exact integer
+    arithmetic (x1000 floor-div) so the oracle stays bit-exact.
+
+    100 TB shape:
+    - Span ids are ROW-LOCAL (posexplode of a transform over the token
+      array; md5-prefix of the joined span text, 60-bit — the same
+      engine-portable hash as ``hashed_token_ids``, same collision
+      caveat: a 60-bit collision can merge two unrelated spans and
+      over-report duplication by one span).
+    - One map-side-combined shuffle counts span ids; the dup-only
+      count table joins back on gid (shuffle join, NOT broadcast — at
+      corpus scale the dup-span table is itself huge). Boilerplate
+      spans with billions of occurrences skew that join's build side;
+      AQE skew-join splitting handles it because only the COUNT
+      table (one row per gid) rides the join, never the occurrence
+      fan-out.
+    - The interval-union walk is a per-doc window over only the
+      duplicated positions (tiny unless the doc is mostly dup), then
+      one per-doc join back to the corpus row — shuffles on doc_id,
+      the corpus' natural key.
+    """
+    base = _span_base(docs)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(F.transform(_span_pos_seq(k), _gid_fn(k))).alias(
+            "pos", "gid"
+        ),
+    )
+    dup_gids = (
+        grams.groupBy("gid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gid")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    step = F.when(prev.isNull(), F.lit(k)).otherwise(
+        F.least(F.lit(k), F.col("pos") - prev)
+    )
+    cov = (
+        grams.join(dup_gids, "gid")
+        .select("doc_id", "pos")
+        .withColumn("step", step)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_spans"),
+            F.sum("step").alias("dup_tokens"),
+        )
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.greatest(F.col("n_tok") - (k - 1), F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+        F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.expr("CAST((coalesce(dup_tokens, 0) * 1000) div n_tok AS BIGINT)").alias(
+            "dup_token_permille"
+        ),
+    )
+
+
+def top_duplicated_spans(
+    docs: DataFrame, k: int = SPAN_K, topn: int = 20
+) -> DataFrame:
+    """The boilerplate report over :func:`duplicated_span_report`'s span
+    space: the ``topn`` most frequent duplicated k-token spans with
+    their text, occurrence count, and distinct-doc reach — the
+    diagnostic a curation pipeline reads before deciding what
+    substring dedup will remove (headers, license blocks, templated
+    navigation).
+
+    100 TB shape: the count aggregation rides the NARROW (gid) gram
+    relation — span text never enters the big shuffle; the top-n is
+    TakeOrderedAndProject (cnt desc, gid asc tie-break so the rank
+    boundary is deterministic); only then does the tiny winner set
+    broadcast back onto a text-bearing gram scan to pick up the span
+    string (min() — members of one gid are identical modulo the 60-bit
+    collision caveat) and the distinct-doc count, which aggregates
+    only the winners' occurrences."""
+    base = _span_base(docs)
+    gid = _gid_fn(k)
+    narrow = base.select(
+        "doc_id", F.explode(F.transform(_span_pos_seq(k), gid)).alias("gid")
+    )
+    top = (
+        narrow.groupBy("gid")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("gid"))
+        .limit(topn)
+    )
+    text = _span_text_fn(k)
+    with_text = base.select(
+        "doc_id", F.explode(F.transform(_span_pos_seq(k), text)).alias("span")
+    ).select(
+        "doc_id",
+        "span",
+        # same md5-prefix id recomputed from the span string — shared
+        # by construction with _gid_fn's expression over slice()
+        F.conv(F.substring(F.md5("span"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gid"),
+    )
+    return (
+        with_text.join(F.broadcast(top), "gid")
+        .groupBy("gid", "n_occurrences")
+        .agg(
+            F.min("span").alias("span"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .select("span", "n_occurrences", "n_docs")
+    )

@@ -1291,6 +1291,87 @@ def llm_dedup_embcos(spark, sf_dir):
     return S.cosine_near_dup_pairs(e, threshold=0.35)
 
 
+@query(
+    "llm_dedup_substring",
+    # Mirrors operators/dedup.py::duplicated_span_report arithmetically:
+    # 0-based span positions (DuckDB's 1-based generate_series shifted by
+    # 1), the same md5-prefix-60-bit span id, the same interval-union
+    # walk (first span contributes k, later ones min(k, pos - prev)),
+    # integer floor-div permille. generate_series(1, len-k+1) is empty
+    # for short docs, matching the engine's explicit empty-array guard.
+    oracle=lambda: f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(('0x' || substr(md5(array_to_string(tl[i:i+{D.SPAN_K - 1}], ' ')), 1, 15))
+               AS BIGINT) AS gid
+      FROM base, LATERAL unnest(generate_series(1, len(tl) - {D.SPAN_K - 1})) AS g(i)
+    ),
+    dupg AS (SELECT gid FROM grams GROUP BY gid HAVING count(*) >= 2),
+    steps AS (
+      SELECT g.doc_id, g.pos,
+             lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+      FROM grams g JOIN dupg USING (gid)
+    ),
+    cov AS (
+      SELECT doc_id, count(*) AS dup_spans,
+             sum(CASE WHEN prev IS NULL THEN {D.SPAN_K}
+                      ELSE least({D.SPAN_K}, pos - prev) END) AS dup_tokens
+      FROM steps GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(greatest(len(b.tl) - {D.SPAN_K - 1}, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(c.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(c.dup_tokens, 0) * 1000 // len(b.tl) AS BIGINT)
+             AS dup_token_permille
+    FROM base b LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def llm_dedup_substring(spark, sf_dir):
+    """Substring-span exact-dedup report: per doc, the k-token spans
+    (k=8) occurring >= 2 times corpus-wide and the union of tokens they
+    cover — the rolling-k-gram re-expression of suffix-array dedup (see
+    operators/dedup.py::duplicated_span_report for the 100 TB shape:
+    row-local span ids, one counted shuffle, dup-only join-back)."""
+    d = Tables(spark, sf_dir).documents
+    return D.duplicated_span_report(d)
+
+
+@query(
+    "llm_dedup_substring_top",
+    # Same gram CTE as llm_dedup_substring, plus the span text; the
+    # rank-20 boundary is deterministic via the (count desc, gid asc)
+    # tie-break both engines share.
+    oracle=lambda: f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(tl[i:i+{D.SPAN_K - 1}], ' ') AS span,
+             CAST(('0x' || substr(md5(array_to_string(tl[i:i+{D.SPAN_K - 1}], ' ')), 1, 15))
+               AS BIGINT) AS gid
+      FROM base, LATERAL unnest(generate_series(1, len(tl) - {D.SPAN_K - 1})) AS g(i)
+    ),
+    top AS (
+      SELECT gid, count(*) AS n_occurrences FROM grams GROUP BY gid
+      HAVING count(*) >= 2
+      ORDER BY n_occurrences DESC, gid LIMIT 20
+    )
+    SELECT min(g.span) AS span,
+           t.n_occurrences,
+           count(DISTINCT g.doc_id) AS n_docs
+    FROM grams g JOIN top t USING (gid)
+    GROUP BY t.gid, t.n_occurrences
+    """,
+)
+def llm_dedup_substring_top(spark, sf_dir):
+    """Boilerplate report: the 20 most frequent duplicated 8-token spans
+    with text, occurrence count, and distinct-doc reach (see
+    operators/dedup.py::top_duplicated_spans — narrow gid count shuffle,
+    TakeOrderedAndProject top-n, winners broadcast back for text)."""
+    d = Tables(spark, sf_dir).documents
+    return D.top_duplicated_spans(d)
+
+
 _SEMDEDUP_THR = 0.35
 
 _COS = (

@@ -236,6 +236,8 @@ _DEFER_NEW: tuple[str, ...] = (
     # r8 driver samples exactly 50.
     "llm_bpe_train",
     "llm_dedup_embcos",
+    "llm_dedup_substring",
+    "llm_dedup_substring_top",
 )
 
 

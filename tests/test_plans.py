@@ -391,6 +391,32 @@ def test_q20_nested_in_chain_decorrelates_to_two_semi_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_substring_dedup_span_ids_are_rowlocal(spark, sf_dir):
+    # Span ids must be generated row-locally (posexplode over a
+    # transform of the token array — never a token explode + window
+    # re-assembly), the span count must partial-aggregate before its
+    # shuffle, and the whole pipeline stays JVM-side. Hash-partitioned
+    # exchanges: exactly 2 (gid count, doc_id interval-union window);
+    # the join-backs broadcast locally and AQE decides at scale.
+    plan = _plan(_q("llm_dedup_substring", spark, sf_dir))
+    assert "Generate posexplode(transform(" in plan, plan
+    assert "partial_count" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_substring_top_spans_counts_narrow_and_broadcasts_winners(spark, sf_dir):
+    # The count shuffle must ride the NARROW gid relation with a top-n
+    # as TakeOrderedAndProject (never a global sort), and the winner
+    # set must BROADCAST back onto the text-bearing scan.
+    plan = _plan(_q("llm_dedup_substring_top", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_bpe_encode_merge_loop_is_rowlocal_single_exchange(spark, sf_dir):
     # The K chained merge replaces must stay row-local string functions
     # inside the scan-side projection: exactly ONE Exchange in the whole

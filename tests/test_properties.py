@@ -660,3 +660,54 @@ def test_ewma_fir_matches_python_dot_product(spark, vals):
             w * milli[i - k] for k, w in enumerate(_EWMA_W)
         )
         assert got[i] == want, (i, got[i], want)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 9),
+            st.text(alphabet="ab ", min_size=1, max_size=40),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duplicated_span_report_matches_python_model(spark, docs):
+    """duplicated_span_report vs a brute-force Python model: count
+    corpus-wide k-gram multiplicities directly on the token tuples (no
+    hashing) and compute covered tokens as the literal set-union of the
+    duplicated spans' position ranges — verifying both the dup-span
+    classification AND that the lag-walk (min(k, pos-prev) per sorted
+    position) equals true interval-union size. A tiny two-letter
+    alphabet with k=2 forces heavy span repetition."""
+    K = 2
+    corpus = [(i, t) for i, t in docs]
+    from collections import Counter
+
+    grams: Counter = Counter()
+    per_doc = {}
+    for i, t in corpus:
+        toks = t.split(" ")
+        spans = [tuple(toks[p : p + K]) for p in range(len(toks) - K + 1)]
+        per_doc[i] = (toks, spans)
+        grams.update(spans)
+    expect = {}
+    for i, (toks, spans) in per_doc.items():
+        dup_pos = [p for p, g in enumerate(spans) if grams[g] >= 2]
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + K))
+        expect[i] = (
+            len(spans),
+            len(dup_pos),
+            len(covered),
+            len(covered) * 1000 // len(toks),
+        )
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_spans, r.dup_spans, r.dup_tokens, r.dup_token_permille)
+        for r in D.duplicated_span_report(df, k=K).collect()
+    }
+    assert got == expect
