@@ -1334,3 +1334,130 @@ def top_duplicated_spans(
         )
         .select("span", "n_occurrences", "n_docs")
     )
+
+
+def minhash_recall_curve(docs: DataFrame) -> DataFrame:
+    """AUDIT query — measured MinHash-LSH recall by exact-Jaccard
+    decile: for every pair with jaccard >= 0.1 (over the md5-mod-P tid
+    sets the signatures themselves hash — one shared arithmetic for
+    truth and candidates), did the banded LSH (N_BANDS x ROWS_PER_BAND)
+    surface it as a candidate? Returns (bucket, n_true, n_hit,
+    recall_permille) with bucket = floor(10 * jaccard) — the empirical
+    S-curve of the banding scheme, the number a user consults to know
+    what their dedup threshold actually captures.
+
+    Ground truth is intentionally QUADRATIC (all-pairs tid-set
+    intersection via one token-fanout self-join) — this is the
+    measurement harness, not the dedup path; at corpus scale you run it
+    on a sample, exactly like llm_similarity_recall's brute-force
+    panel. The candidate side reuses the production pipeline
+    (signatures_rowlocal → candidate_pairs_grouped) unchanged, and the
+    hit test is a duplicate-proof LEFT SEMI join."""
+    arrays = doc_token_arrays(docs)
+    tids = arrays.select(
+        "doc_id",
+        F.array_distinct(F.transform("toks", _tid_expr)).alias("tids"),
+    )
+    td = tids.select("doc_id", F.explode("tids").alias("tid"))
+    sizes = tids.select("doc_id", F.size("tids").alias("n"))
+    inter = (
+        td.alias("a")
+        .join(td.alias("b"), "tid")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST((10 * n_inter) div (na + nb - n_inter) AS BIGINT)"
+            ).alias("bucket"),
+        )
+        .filter(F.col("bucket") >= 1)
+    )
+    cand = candidate_pairs_grouped(signatures_rowlocal(docs)).select(
+        "doc_a", "doc_b"
+    )
+    n_true = truth.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = (
+        truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return n_true.join(n_hit, "bucket", "left").select(
+        "bucket",
+        "n_true",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        F.expr(
+            "CAST((coalesce(n_hit, 0) * 1000) div n_true AS BIGINT)"
+        ).alias("recall_permille"),
+    )
+
+
+def mask_duplicated_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """The TRANSFORM step of substring dedup: rewrite each document with
+    every token covered by a corpus-duplicated k-span removed (what the
+    suffix-array dedup papers actually do to the training set —
+    :func:`duplicated_span_report` is the report, this is the cut).
+
+    Returns (doc_id, clean_text, n_tok, n_removed) — clean_text keeps
+    the surviving tokens in original order; n_removed counts the cut
+    tokens (== dup_tokens in the report, same interval-union).
+
+    100 TB shape: identical narrow gid-count shuffle as the report;
+    the per-doc duplicated-position LIST (tiny: positions are ints,
+    docs are bounded) rides one aggregation back to the corpus row,
+    and the actual masking is a ROW-LOCAL higher-order filter — token
+    t survives iff no dup position p satisfies p <= t < p+k. No
+    exploded token relation is ever shuffled."""
+    base = _span_base(docs)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(F.transform(_span_pos_seq(k), _gid_fn(k))).alias(
+            "pos", "gid"
+        ),
+    )
+    dup_gids = (
+        grams.groupBy("gid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gid")
+    )
+    dup_pos = (
+        grams.join(dup_gids, "gid")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("dps"))
+    )
+    with_pos = base.join(dup_pos, "doc_id", "left").select(
+        "doc_id",
+        "tl",
+        "n_tok",
+        F.coalesce("dps", F.array().cast("array<int>")).alias("dps"),
+    )
+    # token index t survives iff NO dup span position covers it
+    covered = lambda t: F.exists(  # noqa: E731
+        "dps", lambda p: (p <= t) & (t < p + k)
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0), F.col("n_tok") - 1), lambda t: ~covered(t)
+    )
+    return with_pos.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform(kept, lambda t: F.element_at("tl", t + 1))
+        ).alias("clean_text"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        (F.col("n_tok") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -1372,6 +1372,105 @@ def llm_dedup_substring_top(spark, sf_dir):
     return D.top_duplicated_spans(d)
 
 
+@query(
+    "llm_dedup_substring_mask",
+    # Same gram/dup CTEs as llm_dedup_substring; the masking itself is
+    # a nested list lambda on both engines (token index t survives iff
+    # no dup position p has p <= t < p+k).
+    oracle=lambda: f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(('0x' || substr(md5(array_to_string(tl[i:i+{D.SPAN_K - 1}], ' ')), 1, 15))
+               AS BIGINT) AS gid
+      FROM base, LATERAL unnest(generate_series(1, len(tl) - {D.SPAN_K - 1})) AS g(i)
+    ),
+    dupg AS (SELECT gid FROM grams GROUP BY gid HAVING count(*) >= 2),
+    dp AS (
+      SELECT g.doc_id, list_sort(list(g.pos)) AS dps
+      FROM grams g JOIN dupg USING (gid) GROUP BY g.doc_id
+    ),
+    masked AS (
+      SELECT b.doc_id, b.tl,
+             list_filter(
+               generate_series(0, len(b.tl) - 1),
+               t -> len(list_filter(COALESCE(d.dps, []),
+                        p -> p <= t AND t < p + {D.SPAN_K})) = 0
+             ) AS kept
+      FROM base b LEFT JOIN dp d USING (doc_id)
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list_transform(kept, t -> tl[t + 1]), ' '), '')
+             AS clean_text,
+           CAST(len(tl) AS BIGINT) AS n_tok,
+           CAST(len(tl) - len(kept) AS BIGINT) AS n_removed
+    FROM masked
+    """,
+)
+def llm_dedup_substring_mask(spark, sf_dir):
+    """The substring-dedup TRANSFORM: each document rewritten with every
+    token covered by a corpus-duplicated 8-span removed (the cut the
+    suffix-array dedup papers apply to the training set; see
+    operators/dedup.py::mask_duplicated_spans — narrow gid count
+    shuffle, per-doc position lists, row-local nested-lambda mask)."""
+    d = Tables(spark, sf_dir).documents
+    return D.mask_duplicated_spans(d)
+
+
+@query(
+    "llm_dedup_minhash_recall",
+    # Truth and candidates share ONE arithmetic (md5-mod-P tid sets —
+    # the same tt CTE the signatures hash), so the recall curve is
+    # exact-checkable: the oracle replays the all-pairs tid-set join,
+    # the signature/band CTEs, and the decile bucketing verbatim.
+    oracle=lambda: f"""
+    WITH {_tokens_cte(hashed=True)},
+    td AS (SELECT DISTINCT doc_id, tid FROM tt),
+    sizes AS (SELECT doc_id, count(*) AS n FROM td GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM td a JOIN td b ON a.tid = b.tid AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST((10 * n_inter) // (sa.n + sb.n - n_inter) AS BIGINT) AS bucket
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE (10 * n_inter) // (sa.n + sb.n - n_inter) >= 1
+    ),
+    sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM tt GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    nt AS (SELECT bucket, count(*) AS n_true FROM truth GROUP BY bucket),
+    nh AS (
+      SELECT t.bucket, count(*) AS n_hit
+      FROM truth t JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+      GROUP BY t.bucket
+    )
+    SELECT t.bucket, CAST(t.n_true AS BIGINT) AS n_true,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(h.n_hit, 0) * 1000 // t.n_true AS BIGINT)
+             AS recall_permille
+    FROM nt t LEFT JOIN nh h USING (bucket)
+    """,
+)
+def llm_dedup_minhash_recall(spark, sf_dir):
+    """Measured MinHash-LSH recall S-curve by exact-Jaccard decile —
+    for each jaccard bucket >= 0.1, the fraction of true pairs the
+    banded candidate generation surfaces (see
+    operators/dedup.py::minhash_recall_curve; quadratic AUDIT harness,
+    production candidate path reused unchanged)."""
+    d = Tables(spark, sf_dir).documents
+    return D.minhash_recall_curve(d)
+
+
 _SEMDEDUP_THR = 0.35
 
 _COS = (

@@ -238,6 +238,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_dedup_embcos",
     "llm_dedup_substring",
     "llm_dedup_substring_top",
+    "llm_dedup_minhash_recall",
+    "llm_dedup_substring_mask",
 )
 
 

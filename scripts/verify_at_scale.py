@@ -28,6 +28,9 @@ SKIP = {
  "llm_dedup_minhash","llm_dedup_minhash_dict","llm_dedup_simhash",
  "llm_dedup_simhash_multiband","llm_dedup_containment","llm_dedup_ngram",
  "llm_dedup_embcos","llm_semdedup","llm_dedup_incremental",
+ # all-pairs tid-set truth join is the AUDIT harness: quadratic in the
+ # twin-replicated corpus by design; run on a sample at scale
+ "llm_dedup_minhash_recall",
  "llm_dedup_signature_store","llm_similarity_recall",
  "llm_similarity_projected_recall","stream_ingest_dedup",
  "graph_pagerank","graph_triangle_count",

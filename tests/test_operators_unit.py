@@ -856,3 +856,31 @@ def test_bpe_train_degenerate_corpus_stops_early_and_matches_oracle(
         f"read_parquet('{tmp_path}/documents.parquet')"
     )
     assert [tuple(r) for r in con.sql(_bpe_train_oracle()).fetchall()] == got
+
+
+def test_substring_mask_consistent_with_report(spark):
+    """mask_duplicated_spans and duplicated_span_report compute the
+    interval union through DIFFERENT arithmetic (explicit per-token
+    coverage filter vs the sorted-position lag-walk) — n_removed must
+    equal dup_tokens doc-for-doc, and surviving text must be the
+    original minus exactly the covered tokens, order preserved."""
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = _docs(
+        spark,
+        [
+            (1, f"alpha {eight} beta", "en"),   # shares the 8-span with 2
+            (2, f"{eight} gamma delta", "en"),
+            (3, "a short unique doc", "en"),    # < k tokens: untouched
+            (4, eight, "en"),                   # fully duplicated
+        ],
+    )
+    rep = {r.doc_id: r for r in D.duplicated_span_report(docs).collect()}
+    msk = {r.doc_id: r for r in D.mask_duplicated_spans(docs).collect()}
+    assert set(rep) == set(msk) == {1, 2, 3, 4}
+    for i in rep:
+        assert msk[i].n_removed == rep[i].dup_tokens, i
+    assert msk[1].clean_text == "alpha beta"
+    assert msk[2].clean_text == "gamma delta"
+    assert msk[3].clean_text == "a short unique doc"
+    assert msk[4].clean_text == ""
+    assert msk[4].n_removed == 8
