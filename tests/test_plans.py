@@ -406,6 +406,20 @@ def test_substring_dedup_span_ids_are_rowlocal(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_substring_mask_is_rowlocal_after_position_agg(spark, sf_dir):
+    # The mask itself must be a row-local nested higher-order filter:
+    # after the gid count and the per-doc position collect, no further
+    # wide exchange, no Python eval, no token-relation explode — every
+    # Generate in the plan is the span-id posexplode (the gram relation
+    # is deliberately recomputed for count and join-back, so 2 of them).
+    plan = _plan(_q("llm_dedup_substring_mask", spark, sf_dir))
+    n_gen = plan.count("Generate ")
+    assert n_gen == plan.count("Generate posexplode(transform(") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
 def test_substring_top_spans_counts_narrow_and_broadcasts_winners(spark, sf_dir):
     # The count shuffle must ride the NARROW gid relation with a top-n
     # as TakeOrderedAndProject (never a global sort), and the winner
