@@ -1291,23 +1291,32 @@ def llm_dedup_embcos(spark, sf_dir):
     return S.cosine_near_dup_pairs(e, threshold=0.35)
 
 
+# Shared CTEs of the substring-span family (report / top / mask): the
+# 0-based span positions (DuckDB's 1-based generate_series shifted by 1),
+# the span text, the md5-prefix-60-bit span id, and the duplicated-gid
+# set. generate_series(1, len-k+1) is empty for short docs, matching the
+# engine's explicit empty-array guard in operators/dedup._span_pos_seq.
+_SPAN_CTES = f"""
+    base AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(tl[i:i+{{K1}}], ' ') AS span,
+             CAST(('0x' || substr(md5(array_to_string(tl[i:i+{{K1}}], ' ')), 1, 15))
+               AS BIGINT) AS gid
+      FROM base, LATERAL unnest(generate_series(1, len(tl) - {{K1}})) AS g(i)
+    ),
+    dupg AS (SELECT gid FROM grams GROUP BY gid HAVING count(*) >= 2)
+""".replace("{K1}", str(D.SPAN_K - 1))
+
+
 @query(
     "llm_dedup_substring",
     # Mirrors operators/dedup.py::duplicated_span_report arithmetically:
-    # 0-based span positions (DuckDB's 1-based generate_series shifted by
-    # 1), the same md5-prefix-60-bit span id, the same interval-union
-    # walk (first span contributes k, later ones min(k, pos - prev)),
-    # integer floor-div permille. generate_series(1, len-k+1) is empty
-    # for short docs, matching the engine's explicit empty-array guard.
+    # the same span ids, the same interval-union walk (first span
+    # contributes k, later ones min(k, pos - prev)), integer floor-div
+    # permille.
     oracle=lambda: f"""
-    WITH base AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
-    grams AS (
-      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-             CAST(('0x' || substr(md5(array_to_string(tl[i:i+{D.SPAN_K - 1}], ' ')), 1, 15))
-               AS BIGINT) AS gid
-      FROM base, LATERAL unnest(generate_series(1, len(tl) - {D.SPAN_K - 1})) AS g(i)
-    ),
-    dupg AS (SELECT gid FROM grams GROUP BY gid HAVING count(*) >= 2),
+    WITH {_SPAN_CTES},
     steps AS (
       SELECT g.doc_id, g.pos,
              lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
@@ -1340,17 +1349,10 @@ def llm_dedup_substring(spark, sf_dir):
 
 @query(
     "llm_dedup_substring_top",
-    # Same gram CTE as llm_dedup_substring, plus the span text; the
-    # rank-20 boundary is deterministic via the (count desc, gid asc)
-    # tie-break both engines share.
+    # Shared span CTEs; the rank-20 boundary is deterministic via the
+    # (count desc, gid asc) tie-break both engines share.
     oracle=lambda: f"""
-    WITH base AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
-    grams AS (
-      SELECT doc_id, array_to_string(tl[i:i+{D.SPAN_K - 1}], ' ') AS span,
-             CAST(('0x' || substr(md5(array_to_string(tl[i:i+{D.SPAN_K - 1}], ' ')), 1, 15))
-               AS BIGINT) AS gid
-      FROM base, LATERAL unnest(generate_series(1, len(tl) - {D.SPAN_K - 1})) AS g(i)
-    ),
+    WITH {_SPAN_CTES},
     top AS (
       SELECT gid, count(*) AS n_occurrences FROM grams GROUP BY gid
       HAVING count(*) >= 2
@@ -1374,18 +1376,11 @@ def llm_dedup_substring_top(spark, sf_dir):
 
 @query(
     "llm_dedup_substring_mask",
-    # Same gram/dup CTEs as llm_dedup_substring; the masking itself is
-    # a nested list lambda on both engines (token index t survives iff
-    # no dup position p has p <= t < p+k).
+    # Shared span CTEs; the masking itself is a nested list lambda on
+    # both engines (token index t survives iff no dup position p has
+    # p <= t < p+k).
     oracle=lambda: f"""
-    WITH base AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
-    grams AS (
-      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-             CAST(('0x' || substr(md5(array_to_string(tl[i:i+{D.SPAN_K - 1}], ' ')), 1, 15))
-               AS BIGINT) AS gid
-      FROM base, LATERAL unnest(generate_series(1, len(tl) - {D.SPAN_K - 1})) AS g(i)
-    ),
-    dupg AS (SELECT gid FROM grams GROUP BY gid HAVING count(*) >= 2),
+    WITH {_SPAN_CTES},
     dp AS (
       SELECT g.doc_id, list_sort(list(g.pos)) AS dps
       FROM grams g JOIN dupg USING (gid) GROUP BY g.doc_id
