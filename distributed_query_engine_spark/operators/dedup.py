@@ -67,10 +67,20 @@ def doc_token_arrays(
     )
 
 
+def _md5_60(col) -> Column:
+    """First 15 hex chars of md5 → 60-bit BIGINT: the ONE engine-portable
+    row-local hash every oracle replays (`CAST(('0x' || substr(md5(x),
+    1, 15)) AS BIGINT)` on the DuckDB side). Token ids (`_tid_expr`) are
+    this mod P; span ids (`_gid_fn`, `top_duplicated_spans`) use it
+    directly — sharing the expression makes the cross-site identities
+    structural rather than comment-enforced."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _tid_expr(tok):
     """md5-prefix-mod-P token id of a token Column — the row-local id
     shared (by construction, same expression) with hashed_token_ids."""
-    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % P
+    return _md5_60(tok) % P
 
 
 def signatures_from_arrays(arrays: DataFrame) -> DataFrame:
@@ -385,8 +395,7 @@ def hashed_token_ids(tokens: DataFrame) -> DataFrame:
     a collision only merges two rows of the LSH *candidate* geometry;
     exact-Jaccard verification intersects the token strings themselves
     (exact_jaccard), so reported scores are unaffected."""
-    tid = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % P
-    return tokens.select("doc_id", tid.alias("tid"))
+    return tokens.select("doc_id", _tid_expr("tok").alias("tid"))
 
 
 def signatures_for(tokens: DataFrame, hashed: bool = True) -> DataFrame:
@@ -1201,9 +1210,7 @@ def _gid_fn(k: int):
     """pos → 60-bit md5-prefix span id (row-local; same engine-portable
     hash and collision caveat as ``hashed_token_ids``)."""
     text = _span_text_fn(k)
-    return lambda i: F.conv(
-        F.substring(F.md5(text(i)), 1, 15), 16, 10
-    ).cast("long")
+    return lambda i: _md5_60(text(i))
 
 
 def duplicated_span_report(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
@@ -1319,11 +1326,9 @@ def top_duplicated_spans(
     ).select(
         "doc_id",
         "span",
-        # same md5-prefix id recomputed from the span string — shared
-        # by construction with _gid_fn's expression over slice()
-        F.conv(F.substring(F.md5("span"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("gid"),
+        # the span id recomputed from the span string — _md5_60 keeps it
+        # structurally identical to _gid_fn's expression over slice()
+        _md5_60(F.col("span")).alias("gid"),
     )
     return (
         with_text.join(F.broadcast(top), "gid")
@@ -1386,6 +1391,10 @@ def minhash_recall_curve(docs: DataFrame) -> DataFrame:
             ).alias("bucket"),
         )
         .filter(F.col("bucket") >= 1)
+        # truth feeds TWO aggregations (n_true, n_hit); checkpoint so the
+        # quadratic all-pairs join computes once (same pattern as
+        # candidate_pairs_grouped / token_ids above)
+        .localCheckpoint()
     )
     cand = candidate_pairs_grouped(signatures_rowlocal(docs)).select(
         "doc_a", "doc_b"

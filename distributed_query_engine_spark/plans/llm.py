@@ -1296,17 +1296,19 @@ def llm_dedup_embcos(spark, sf_dir):
 # the span text, the md5-prefix-60-bit span id, and the duplicated-gid
 # set. generate_series(1, len-k+1) is empty for short docs, matching the
 # engine's explicit empty-array guard in operators/dedup._span_pos_seq.
+_K1 = D.SPAN_K - 1  # DuckDB's inclusive 1-based slice: tl[i:i+_K1] = K tokens
+
 _SPAN_CTES = f"""
     base AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
     grams AS (
       SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-             array_to_string(tl[i:i+{{K1}}], ' ') AS span,
-             CAST(('0x' || substr(md5(array_to_string(tl[i:i+{{K1}}], ' ')), 1, 15))
+             array_to_string(tl[i:i+{_K1}], ' ') AS span,
+             CAST(('0x' || substr(md5(array_to_string(tl[i:i+{_K1}], ' ')), 1, 15))
                AS BIGINT) AS gid
-      FROM base, LATERAL unnest(generate_series(1, len(tl) - {{K1}})) AS g(i)
+      FROM base, LATERAL unnest(generate_series(1, len(tl) - {_K1})) AS g(i)
     ),
     dupg AS (SELECT gid FROM grams GROUP BY gid HAVING count(*) >= 2)
-""".replace("{K1}", str(D.SPAN_K - 1))
+"""
 
 
 @query(
