@@ -280,6 +280,19 @@ class SqlDialect:
         if order_by:
             sql += " ORDER BY " + ", ".join(self.quote(c) for c in order_by)
         if limit is not None or offset:
+            if not order_by:
+                # SQL gives paged reads no order guarantee without ORDER
+                # BY — successive pages may overlap/miss rows (r9 ADVICE).
+                # Warn rather than raise: a single-page LIMIT without
+                # OFFSET is a legitimate unordered sample.
+                import warnings
+
+                warnings.warn(
+                    "LIMIT/OFFSET without order_by: vendors return rows "
+                    "in arbitrary order, so multi-page federated scans "
+                    "are unstable across executions — pass order_by",
+                    stacklevel=2,
+                )
             sql += " " + self.paginate_clause(limit, offset)
         return sql
 
@@ -323,9 +336,15 @@ class HiveDialect(SqlDialect):
 
     def paginate_clause(self, limit: int | None, offset: int = 0) -> str:
         if limit is None:
-            # LIMIT-only dialects can't express a bare offset; emit an
-            # unbounded upper bound so the offset still applies.
-            limit = 2**31 - 1
+            # HiveQL has no OFFSET keyword and no documented unbounded
+            # LIMIT idiom; substituting a finite cap would silently
+            # truncate past it (r9 ADVICE — a 100 TB federated table
+            # can exceed 2^31 rows). Refuse instead of lying.
+            raise ValueError(
+                "HiveQL cannot express OFFSET without LIMIT; pass an "
+                "explicit limit (MySQL endpoints: MysqlDialect uses the "
+                "documented unbounded-LIMIT idiom)"
+            )
         if offset:
             return f"LIMIT {int(offset)}, {int(limit)}"
         return f"LIMIT {int(limit)}"
@@ -334,7 +353,17 @@ class HiveDialect(SqlDialect):
 class MysqlDialect(HiveDialect):
     """MySQL (reference vendor slot, diff:51): backtick identifiers and
     the classic ``LIMIT offset, count`` paging form, both shared with
-    HiveQL."""
+    HiveQL. Unlike Hive, MySQL documents an unbounded upper bound for
+    offset-without-limit — "use some large number for the second
+    parameter" (MySQL ref manual, SELECT syntax): 2^64-1."""
+
+    def paginate_clause(self, limit: int | None, offset: int = 0) -> str:
+        if limit is None:
+            if offset:
+                # the manual's documented all-rows-from-offset idiom
+                return f"LIMIT {int(offset)}, 18446744073709551615"
+            return ""
+        return super().paginate_clause(limit, offset)
 
 
 class SparkSqlDialect(HiveDialect):
@@ -344,11 +373,11 @@ class SparkSqlDialect(HiveDialect):
     the live in-process server in test_federation.py)."""
 
     def paginate_clause(self, limit: int | None, offset: int = 0) -> str:
+        # Spark SQL (3.4+) accepts a standalone OFFSET clause, so no
+        # finite-cap substitution is ever needed (r9 ADVICE).
         parts = []
         if limit is not None:
             parts.append(f"LIMIT {int(limit)}")
-        elif offset:
-            parts.append(f"LIMIT {2**31 - 1}")
         if offset:
             parts.append(f"OFFSET {int(offset)}")
         return " ".join(parts)
@@ -368,10 +397,25 @@ def dialect_for(url: str, flavor: str | None = None) -> SqlDialect:
     (diff:117-127): hive2 gets the backtick printer, everything else
     the ANSI one. ``flavor="spark"`` overrides a hive2 URL to the
     Spark-Thrift paging form (the URL alone can't tell Apache Hive
-    from Spark's Thrift server — see :class:`SparkSqlDialect`)."""
-    if flavor == "spark" and vendor_from_connection_string(url) == "hive2":
+    from Spark's Thrift server — see :class:`SparkSqlDialect`).
+
+    ``flavor`` is validated (r9 ADVICE): an unknown value ('Spark',
+    'sparksql', a typo) or 'spark' on a non-hive2 URL previously fell
+    through silently to a dialect whose paging form the live endpoint
+    rejects only at query time — both now raise here instead."""
+    vendor = vendor_from_connection_string(url)
+    if flavor not in (None, "spark"):
+        raise ValueError(
+            f"unknown dialect flavor {flavor!r}; expected None or 'spark'"
+        )
+    if flavor == "spark":
+        if vendor != "hive2":
+            raise ValueError(
+                "flavor='spark' only applies to jdbc:hive2:// URLs "
+                f"(a Spark Thrift endpoint); got vendor {vendor!r}"
+            )
         return SparkSqlDialect()
-    return _DIALECTS.get(vendor_from_connection_string(url), _DEFAULT_DIALECT)
+    return _DIALECTS.get(vendor, _DEFAULT_DIALECT)
 
 
 # ---------------------------------------------------------------------------

@@ -301,8 +301,22 @@ def lsh_scored(
     return _lsh_scored(emb, query_ids, n_planes, multiprobe_h)
 
 
-N_CELLS = 16
-N_PROBE = 4
+# r9 retune (VERDICT r8 item 2): the r8 point (16 cells, probe 4) sat
+# at recall 0.77-0.82 for ~25% scanned — just under the >=0.8 bar at
+# sf0.01. The r9 sweep (scripts/ivf_sweep.py; grid cells 8..64 x probe
+# at 25/31/37% fractions, 25-query panel, all three SFs) found the
+# finer quantizer strictly dominates: 32 cells / probe 8 measures
+# recall@5 = 0.936 / 0.944 / 0.992 at sf0.001 / 0.01 / 0.1 for ~24.5%
+# candidate fraction — same cost as the r8 point, +0.17 recall. 64
+# cells at the same fraction drops back (0.87-0.99, cell population
+# too thin at n=500), so 32 is the sweet spot for this corpus size;
+# at 100 TB derive n_cells ~ sqrt(corpus) (suggest_n_cells) and keep
+# probe/cells ~ 1/4. IVF is the RECOMMENDED ANN default (published by
+# llm_similarity_recall's `recommended` column): it beats every
+# data-blind family on the measured frontier (PLANS.md r8 isotropy
+# analysis) and the gap only widens on clustered real-world corpora.
+N_CELLS = 32
+N_PROBE = 8
 
 
 def ivf_centroids(

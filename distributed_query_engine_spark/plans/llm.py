@@ -443,11 +443,13 @@ def llm_bpe_encode(spark, sf_dir):
 _BPE_TRAIN_K = 6
 
 
-def _bpe_train_oracle() -> str:
-    # Replays the SAME data-dependent loop: iteration k's encode uses
-    # scalar subqueries over best{k-1} inside replace(), so the oracle
-    # learns its merges from the data exactly like the engine does —
-    # no hardcoded expected pairs.
+def _bpe_train_ctes() -> list[str]:
+    # The data-dependent training loop as a CTE chain: iteration k's
+    # encode uses scalar subqueries over best{k-1} inside replace(), so
+    # the oracle learns its merges from the data exactly like the
+    # engine does — no hardcoded expected pairs. Shared by the train
+    # oracle (selects the best{k} rows) and the pack_sequences_bpe
+    # oracle (applies best1..bestK to per-doc words).
     ctes = [
         "words AS (SELECT w FROM (SELECT unnest(string_split(lower(text),"
         " ' ')) AS w FROM documents) WHERE regexp_matches(w, '^[a-z]+$'))",
@@ -482,46 +484,33 @@ def _bpe_train_oracle() -> str:
                     '|' || (SELECT a || b FROM best{k}) || '|') AS s
                   FROM {prev})"""
             )
-        selects.append(
-            f"SELECT CAST({k} AS BIGINT) AS merge_rank, a AS pair_left,"
-            f" b AS pair_right, a || b AS merged, n FROM best{k}"
-        )
+    return ctes
+
+
+def _bpe_train_oracle() -> str:
+    ctes = _bpe_train_ctes()
+    selects = [
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, a AS pair_left,"
+        f" b AS pair_right, a || b AS merged, n FROM best{k}"
+        for k in range(1, _BPE_TRAIN_K + 1)
+    ]
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         + "\nUNION ALL\n".join(selects) + "\nORDER BY merge_rank"
     )
 
 
-@query("llm_bpe_train", oracle=_bpe_train_oracle)
-def llm_bpe_train(spark, sf_dir):
-    """BPE TRAINING — learn a merge table from the corpus: K rounds of
-    count-all-adjacent-pairs → take the most frequent (ties: lexical)
-    → merge it everywhere → recount. This is the actual BPE algorithm,
-    closing the tokenizer story: llm_bpe_pair_stats is one iteration's
-    counting step, llm_bpe_encode applies a learned table, this LEARNS
-    the table. Output: the merge table itself (rank, pair, merged
-    token, frequency) — the broadcast-sized artifact a tokenizer ships.
-
-    Driver loop legitimacy: each iteration collects exactly ONE row
-    (the argmax pair — a scalar aggregate, same pattern as pagerank's
-    per-iteration convergence check); the corpus never leaves
-    executors. Each iteration re-tokenizes from the raw words through
-    the merges learned so far (functions/text.py::bpe_encode — K
-    chained row-local replaces, zero shuffles), then ONE
-    partial-aggregated pair count over a vocab-sized key space.
-
-    100 TB: K full corpus scans is the canonical trade of iterative
-    training; production batches many merges per scan and/or trains on
-    a sample — both are this same loop with different constants. The
-    oracle replays the identical data-dependent loop in SQL (scalar
-    subqueries select each round's argmax), so the learned table is
-    exact-checked without hardcoding what it learns."""
-    d = Tables(spark, sf_dir).documents
+def _train_bpe_merges(d) -> list[tuple[int, str, str, str, int]]:
+    """The BPE training loop shared by llm_bpe_train (returns the merge
+    table) and llm_pack_sequences_bpe (consumes the learned merges):
+    K rounds of count-pairs → argmax (ties lexical) → merge everywhere.
+    Each iteration collects exactly ONE row; the corpus stays on
+    executors. Returns (rank, a, b, merged, n) rows."""
     words = d.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     ).filter(F.col("w").rlike("^[a-z]+$"))
     merges: list[tuple[str, str]] = []
-    rows_out = []
+    rows_out: list[tuple[int, str, str, str, int]] = []
     for k in range(1, _BPE_TRAIN_K + 1):
         tok_df = words.select(
             T.bpe_encode(F.col("w"), tuple(merges)).alias("ts")
@@ -554,6 +543,35 @@ def llm_bpe_train(spark, sf_dir):
         best = top[0]
         merges.append((best.a, best.b))
         rows_out.append((k, best.a, best.b, best.a + best.b, best.n))
+    return rows_out
+
+
+@query("llm_bpe_train", oracle=_bpe_train_oracle)
+def llm_bpe_train(spark, sf_dir):
+    """BPE TRAINING — learn a merge table from the corpus: K rounds of
+    count-all-adjacent-pairs → take the most frequent (ties: lexical)
+    → merge it everywhere → recount. This is the actual BPE algorithm,
+    closing the tokenizer story: llm_bpe_pair_stats is one iteration's
+    counting step, llm_bpe_encode applies a learned table, this LEARNS
+    the table. Output: the merge table itself (rank, pair, merged
+    token, frequency) — the broadcast-sized artifact a tokenizer ships.
+
+    Driver loop legitimacy: each iteration collects exactly ONE row
+    (the argmax pair — a scalar aggregate, same pattern as pagerank's
+    per-iteration convergence check); the corpus never leaves
+    executors. Each iteration re-tokenizes from the raw words through
+    the merges learned so far (functions/text.py::bpe_encode — K
+    chained row-local replaces, zero shuffles), then ONE
+    partial-aggregated pair count over a vocab-sized key space.
+
+    100 TB: K full corpus scans is the canonical trade of iterative
+    training; production batches many merges per scan and/or trains on
+    a sample — both are this same loop with different constants. The
+    oracle replays the identical data-dependent loop in SQL (scalar
+    subqueries select each round's argmax), so the learned table is
+    exact-checked without hardcoding what it learns."""
+    d = Tables(spark, sf_dir).documents
+    rows_out = _train_bpe_merges(d)
     return spark.createDataFrame(
         rows_out,
         "merge_rank bigint, pair_left string, pair_right string, "
@@ -1765,7 +1783,8 @@ def llm_similarity_ivf_index(spark, sf_dir):
     SELECT 'lsh' AS method, e.q_id,
            CAST(count(l.vec_id) AS BIGINT) AS hits,
            count(l.vec_id) / 5.0 AS recall,
-           any_value(c.n_candidates) AS n_candidates
+           any_value(c.n_candidates) AS n_candidates,
+           FALSE AS recommended
     FROM exact_top e
     LEFT JOIN lsh_top l USING (q_id, vec_id)
     JOIN lsh_cand c ON c.q_id = e.q_id
@@ -1774,7 +1793,8 @@ def llm_similarity_ivf_index(spark, sf_dir):
     SELECT 'ivf' AS method, e.q_id,
            CAST(count(i.vec_id) AS BIGINT) AS hits,
            count(i.vec_id) / 5.0 AS recall,
-           any_value(c.n_candidates) AS n_candidates
+           any_value(c.n_candidates) AS n_candidates,
+           TRUE AS recommended
     FROM exact_top e
     LEFT JOIN ivf_top i USING (q_id, vec_id)
     JOIN ivf_cand c ON c.q_id = e.q_id
@@ -1790,14 +1810,18 @@ def llm_similarity_recall(spark, sf_dir):
     both recall and cost are oracle-exact — the ANN knobs (N_PLANES,
     MULTIPROBE_H, N_CELLS, N_PROBE) are graded by measurement.
 
-    r8 headline (PLANS.md has the full sweep): the LSH defaults
-    (5 planes, H=3) measure recall@5 = 0.82-0.87 across
-    sf0.001/0.01/0.1 at ~71% candidate fraction — on THIS corpus
-    (isotropic noise, no cluster structure) every data-blind family
-    swept (multi-table LSH, JL-projection rerank) sits on recall ~=
-    candidate fraction + 0.15, so that cost is the data-blind floor,
-    not a tuning artifact. The data-DEPENDENT quantizer does beat it:
-    IVF measures 0.77-0.82 recall at ~25% candidates here."""
+    r9 headline (PLANS.md has the sweeps): **IVF is the recommended
+    default** — published by the `recommended` column. After the r9
+    retune (N_CELLS 32, N_PROBE 8; scripts/ivf_sweep.py) IVF measures
+    recall@5 = 0.936 / 0.944 / 0.992 at sf0.001/0.01/0.1 for ~24.5%
+    candidate fraction. The LSH alternative (5 planes, H=3) measures
+    0.82-0.87 at ~71% — on THIS corpus (isotropic noise, no cluster
+    structure) every data-blind family swept (multi-table LSH,
+    JL-projection rerank) sits on recall ~= candidate fraction + 0.15,
+    so LSH's cost is the data-blind floor, not a tuning artifact; only
+    the data-DEPENDENT quantizer escapes the frontier. LSH remains the
+    tunable-radius alternative for streaming/append-only corpora where
+    maintaining centroids is inconvenient."""
     e = Tables(spark, sf_dir).embeddings
     k = 5
     exact = S.topk_cosine(e, _RECALL_QUERY_IDS, k=k).select("q_id", "vec_id")
@@ -1832,6 +1856,7 @@ def llm_similarity_recall(spark, sf_dir):
                 F.col("n_hits").cast("long").alias("hits"),
                 (F.col("n_hits") / F.lit(float(k))).alias("recall"),
                 "n_candidates",
+                F.lit(method == "ivf").alias("recommended"),
             )
         )
         out = part if out is None else out.unionByName(part)
@@ -2004,6 +2029,114 @@ def llm_pack_sequences(spark, sf_dir):
         .groupBy("source", "bin_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("tokens_in_bin"),
+        )
+    )
+
+
+# Context capacity for the BPE-token packer. Larger than the whitespace
+# packer's 64: BPE splits rare words into multiple tokens, so per-doc
+# BPE counts run higher than word counts.
+_PACK_CAPACITY_BPE = 256
+
+
+def _pack_bpe_oracle() -> str:
+    # Train-CTE prefix (the SAME data-dependent loop llm_bpe_train
+    # replays), then apply best1..bestK to every per-doc word via
+    # chained replace() with scalar subqueries. COALESCE guards the
+    # degenerate-corpus case: an empty best{k} would otherwise NULL the
+    # whole string through replace(s, NULL, ...) — chr(1) can never
+    # appear in the framed encoding, so the replace is a no-op instead.
+    s = "'|' || regexp_replace(w, '(.)', '|\\1|', 'g') || '|'"
+    for k in range(1, _BPE_TRAIN_K + 1):
+        s = (
+            f"replace({s}, "
+            f"COALESCE((SELECT '|' || a || '||' || b || '|' FROM best{k}), chr(1)), "
+            f"COALESCE((SELECT '|' || a || b || '|' FROM best{k}), ''))"
+        )
+    ctes = ",\n".join(_bpe_train_ctes())
+    return f"""
+    WITH {ctes},
+    doc_words AS (
+      SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    wtok AS (
+      SELECT doc_id, source,
+             CASE WHEN regexp_matches(w, '^[a-z]+$')
+                  THEN len(string_split(trim({s}, '|'), '||'))
+                  ELSE 1 END AS nt
+      FROM doc_words
+    ),
+    per_doc AS (
+      SELECT doc_id, source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM wtok GROUP BY doc_id, source
+    ),
+    packed AS (
+      SELECT source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM per_doc
+    )
+    SELECT source, CAST(cum_before // {_PACK_CAPACITY_BPE} AS INT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_in_bin
+    FROM packed
+    GROUP BY 1, 2
+    """
+
+
+@query("llm_pack_sequences_bpe", oracle=_pack_bpe_oracle)
+def llm_pack_sequences_bpe(spark, sf_dir):
+    """END-TO-END tokenizer-pipeline composition (VERDICT r8 item 4):
+    TRAIN a BPE merge table from the corpus (the llm_bpe_train loop,
+    shared via _train_bpe_merges), ENCODE every document with the
+    learned table (functions/text.py::bpe_encode — the llm_bpe_encode
+    machinery), then PACK documents into fixed-capacity context bins by
+    their real BPE token counts (the llm_pack_sequences pattern) —
+    proving the three BPE pieces compose into the pipeline they exist
+    for. Words outside ^[a-z]+$ (numbers, punctuation-bearing) count 1
+    token each, the untrainable-symbol fallback.
+
+    Plan shape: the per-doc token count is a row-local F.aggregate over
+    the split array (zero shuffles, no explode→groupBy round trip);
+    training collects one argmax row per iteration (the legitimate
+    iterative-training pattern); packing windows per source shard so a
+    100 TB pack parallelizes across shards. The oracle replays the SAME
+    data-dependent train loop via scalar subqueries, then the same
+    encode+pack arithmetic — the learned table is never hardcoded."""
+    from pyspark.sql.window import Window
+
+    d = Tables(spark, sf_dir).documents
+    merges = tuple((a, b) for _, a, b, _, _ in _train_bpe_merges(d))
+    arr = F.split(F.lower(F.col("text")), " ")
+    n_tokens = F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.when(
+            w.rlike("^[a-z]+$"),
+            F.size(T.bpe_encode(w, merges)).cast("long"),
+        ).otherwise(F.lit(1).cast("long")),
+    )
+    per_doc = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        per_doc.select(
+            "source",
+            "n_tokens",
+            F.floor(cum_before / _PACK_CAPACITY_BPE).cast("int").alias("bin_id"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("tokens_in_bin"),
         )
     )

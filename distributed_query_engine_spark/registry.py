@@ -102,6 +102,17 @@ _CHANGED: dict[str, int] = {
     # column) and the surviving near-dup pair set change (r8 review
     # catch: the knob's third dependent query).
     "llm_dedup_embcos": 8,
+    # r9: IVF knob retune (N_CELLS 16→32, N_PROBE 4→8; recall 0.77-0.82
+    # → 0.936-0.992 at the same ~25% candidate fraction — see
+    # scripts/ivf_sweep.py + PLANS.md). Every N_CELLS/N_PROBE consumer
+    # stamped: the IVF search itself, the materialized-index variant,
+    # the recall/cost measurement (also gains the `recommended`
+    # column — schema change), and semdedup (cell assignment changes
+    # its kept set — the embcos lesson applied proactively).
+    "llm_similarity_ivf": 9,
+    "llm_similarity_ivf_index": 9,
+    "llm_similarity_recall": 9,
+    "llm_semdedup": 9,
 }
 
 # Checked first within the unverified group (ordering hint only — a
@@ -240,6 +251,14 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_dedup_substring_top",
     "llm_dedup_minhash_recall",
     "llm_dedup_substring_mask",
+    # --- r9 additions/changes: BEHIND the 6-name r8 tail above (the
+    # VERDICT r9 item-1 closeout) but inside the same ~50-slot window
+    # (6 + these ≈ 11 unverified total — no displacement risk).
+    "llm_similarity_ivf",
+    "llm_similarity_ivf_index",
+    "llm_similarity_recall",
+    "llm_semdedup",
+    "llm_pack_sequences_bpe",
 )
 
 

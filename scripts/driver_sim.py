@@ -10,6 +10,7 @@ Usage:
   python scripts/driver_sim.py --unverified    # only names without a
                                                # counting green driver row
   python scripts/driver_sim.py name1 name2 ... # explicit subset
+  python scripts/driver_sim.py --unverified name1 ...  # union of both
 """
 import sys
 from pathlib import Path
@@ -35,13 +36,22 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 qs, oracles = registry.all_queries(), registry.all_oracles()
-args = sys.argv[1:]
-if args == ["--unverified"]:
+# r9 ADVICE: parse flags separately so --unverified composes with an
+# explicit name subset (it used to be treated as a query name unless it
+# was the SOLE argument, reporting ERR).
+import argparse
+
+ap = argparse.ArgumentParser(description=__doc__)
+ap.add_argument("--unverified", action="store_true",
+                help="include every name without a counting green driver row")
+ap.add_argument("names", nargs="*", help="explicit query names to run")
+ns = ap.parse_args()
+names = list(ns.names)
+if ns.unverified:
     rows = registry._latest_driver_rows()
-    names = [n for n in qs if not registry._verified_green(n, rows)]
-elif args:
-    names = args
-else:
+    names += [n for n in qs
+              if n not in names and not registry._verified_green(n, rows)]
+if not names and not ns.unverified:
     names = list(qs)
 
 fails, n_ok = [], 0

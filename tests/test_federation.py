@@ -263,16 +263,48 @@ def test_mysql_oracle_vendor_matrix_golden():
 
 def test_paging_forms_across_remaining_vendors():
     # Hive shares MySQL's LIMIT form; Postgres/Derby take the ANSI
-    # OFFSET/FETCH base; a LIMIT-only dialect asked for a bare offset
-    # must still emit a valid (unbounded-upper) clause.
+    # OFFSET/FETCH base. Offset-without-limit (r9 ADVICE): Hive has no
+    # unbounded idiom so it must REFUSE (a finite cap silently
+    # truncates past it); MySQL uses its manual's documented 2^64-1
+    # idiom; Spark-Thrift emits a standalone OFFSET clause.
     hive = FED.dialect_for("jdbc:hive2://h:10000/d")
     assert hive.paginate_clause(7, 3) == "LIMIT 3, 7"
-    assert hive.paginate_clause(None, 3) == f"LIMIT 3, {2**31 - 1}"
+    with pytest.raises(ValueError, match="cannot express OFFSET"):
+        hive.paginate_clause(None, 3)
+    my = FED.dialect_for("jdbc:mysql://h:3306/d")
+    assert my.paginate_clause(None, 3) == "LIMIT 3, 18446744073709551615"
+    assert my.paginate_clause(None, 0) == ""
+    sp = FED.dialect_for("jdbc:hive2://h:10000/d", flavor="spark")
+    assert sp.paginate_clause(None, 3) == "OFFSET 3"
     pg = FED.dialect_for("jdbc:postgresql://h:5432/d")
     assert pg.paginate_clause(7, 3) == "OFFSET 3 ROWS FETCH NEXT 7 ROWS ONLY"
     assert pg.paginate_clause(7) == "FETCH NEXT 7 ROWS ONLY"
     derby = FED.dialect_for("jdbc:derby:/tmp/x")
     assert derby.paginate_clause(1, 0) == "FETCH NEXT 1 ROWS ONLY"
+
+
+def test_dialect_flavor_validated_and_unordered_paging_warns():
+    # r9 ADVICE: a typo'd flavor or flavor='spark' on a non-hive2 URL
+    # used to fall through silently to a dialect the endpoint rejects
+    # only at query time.
+    with pytest.raises(ValueError, match="unknown dialect flavor"):
+        FED.dialect_for("jdbc:hive2://h:10000/d", flavor="Spark")
+    with pytest.raises(ValueError, match="unknown dialect flavor"):
+        FED.dialect_for("jdbc:hive2://h:10000/d", flavor="sparksql")
+    with pytest.raises(ValueError, match="only applies to jdbc:hive2"):
+        FED.dialect_for("jdbc:mysql://h:3306/d", flavor="spark")
+    # r9 ADVICE: paged scans without ORDER BY are nondeterministic
+    # across executions — select_sql warns (but still emits the SQL:
+    # a single unordered LIMIT page is a legitimate sample).
+    d = FED.dialect_for("jdbc:postgresql://h:5432/d")
+    with pytest.warns(UserWarning, match="without order_by"):
+        sql = d.select_sql("t", limit=5, offset=10)
+    assert sql.endswith("OFFSET 10 ROWS FETCH NEXT 5 ROWS ONLY")
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # ordered paging must NOT warn
+        d.select_sql("t", order_by=["id"], limit=5, offset=10)
 
 
 def test_live_thrift_paged_scan_spark_flavor(spark, sf_dir):
