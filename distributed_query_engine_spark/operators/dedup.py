@@ -54,16 +54,37 @@ def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def _spread_narrow_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition a NARROW scan up to session parallelism before
+    CPU-heavy row-local work (md5 fan-outs, signature transforms). A
+    compact corpus can arrive in a handful of parquet splits — at sf0.1
+    every testdata file is ONE unsplittable row group, so without this
+    the per-row compute of a whole pipeline ran on ONE core (r9: the
+    substring top query spent 12.4 of its 13.3 s that way). Shuffling
+    the compact rows (bytes ~ corpus size) is the cheap side of that
+    trade; a 100 TB scan already has thousands of splits and skips the
+    branch entirely."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, key)
+    return df
+
+
 def doc_token_arrays(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, toks): the per-doc DISTINCT token array — the packed
     (never exploded) form of :func:`tokenize`. Docs whose token array
     is empty or null are dropped, matching explode semantics so the
-    row-local pipelines cover exactly the same doc set."""
+    row-local pipelines cover exactly the same doc set. The scan is
+    spread (:func:`_spread_narrow_scan`) because every consumer
+    (minhash/simhash/ngram/containment signatures) does md5-heavy
+    row-local work downstream."""
     toks = F.array_distinct(F.split(F.col(text_col), " "))
-    return docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
-        F.size("toks") > 0
+    return _spread_narrow_scan(
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+            F.size("toks") > 0
+        )
     )
 
 
@@ -1186,10 +1207,20 @@ SPAN_K = 8  # tokens per span — the duplicated-substring granularity
 
 
 def _span_base(docs: DataFrame) -> DataFrame:
-    """(doc_id, tl: token array, n_tok) — the shared span-pipeline scan."""
+    """(doc_id, tl: token array, n_tok) — the shared span-pipeline scan.
+
+    The scan is REPARTITIONED up to the session's parallelism when the
+    source arrives in fewer splits (r9: the whole 50k-doc sf1 corpus is
+    one 0.9 MB parquet split, so the ~n_tok× k-gram concat+md5 fan-out
+    ran on ONE core — 12.4 s of the top query's 13.3 s). Shuffling the
+    COMPACT doc rows (bytes ~ corpus size) before the fan-out is the
+    cheap side of that trade; a 100 TB scan already has thousands of
+    splits and skips this branch entirely."""
     toks = F.split(F.col("text"), " ")
-    return docs.select(
-        F.col("doc_id"), toks.alias("tl"), F.size(toks).alias("n_tok")
+    return _spread_narrow_scan(
+        docs.select(
+            F.col("doc_id"), toks.alias("tl"), F.size(toks).alias("n_tok")
+        )
     )
 
 
@@ -1211,6 +1242,31 @@ def _gid_fn(k: int):
     hash and collision caveat as ``hashed_token_ids``)."""
     text = _span_text_fn(k)
     return lambda i: _md5_60(text(i))
+
+
+def _grams(base: DataFrame, k: int) -> DataFrame:
+    """The narrow (doc_id, pos, gid) gram fan-out, PERSISTED
+    (MEMORY_AND_DISK): every span consumer (report/top/mask) aggregates
+    this relation once and joins back into it once, so without
+    materialization the expensive per-span concat+md5 fan-out computes
+    TWICE per query (r9 A/B at sf1, 50k docs: recompute 3.9 s vs
+    materialized 2.8-3.3 s for the top query; persist additionally
+    lets Spark's cache manager share ONE entry across the whole family
+    in a session — the second span query's fan-out is free). Cost: the
+    cached relation is ~16 bytes/span columnar (~corpus token count),
+    spilling to executor-local disk at scale — linear, vs recomputing
+    md5 over k-token concats for the whole corpus per consumer. The
+    r5 lineage-cut measurements preferred recompute, but those predate
+    the r9 parallelism fix in :func:`_span_base`; the A/B is recorded
+    in BASELINE.md r9."""
+    from pyspark import StorageLevel
+
+    return base.select(
+        "doc_id",
+        F.posexplode(F.transform(_span_pos_seq(k), _gid_fn(k))).alias(
+            "pos", "gid"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def duplicated_span_report(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
@@ -1250,12 +1306,7 @@ def duplicated_span_report(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
       the corpus' natural key.
     """
     base = _span_base(docs)
-    grams = base.select(
-        "doc_id",
-        F.posexplode(F.transform(_span_pos_seq(k), _gid_fn(k))).alias(
-            "pos", "gid"
-        ),
-    )
+    grams = _grams(base, k)
     dup_gids = (
         grams.groupBy("gid")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1300,39 +1351,35 @@ def top_duplicated_spans(
     substring dedup will remove (headers, license blocks, templated
     navigation).
 
-    100 TB shape: the count aggregation rides the NARROW (gid) gram
-    relation — span text never enters the big shuffle; the top-n is
-    TakeOrderedAndProject (cnt desc, gid asc tie-break so the rank
-    boundary is deterministic); only then does the tiny winner set
-    broadcast back onto a text-bearing gram scan to pick up the span
-    string (min() — members of one gid are identical modulo the 60-bit
-    collision caveat) and the distinct-doc count, which aggregates
-    only the winners' occurrences."""
+    100 TB shape: the count aggregation rides the NARROW (doc_id, pos,
+    gid) gram relation — span text never enters the big shuffle; the
+    top-n is TakeOrderedAndProject (cnt desc, gid asc tie-break so the
+    rank boundary is deterministic); the tiny winner set then
+    broadcasts back onto the SAME (persisted, :func:`_grams`) narrow
+    relation to locate the winners' (doc_id, pos) occurrences, and the
+    span string is recovered by slicing the token arrays of ONLY the
+    matching docs (r9, VERDICT r8 item 3 — the full-corpus text-bearing
+    second fan-out this used to build is gone; min(span) members of one
+    gid are identical modulo the 60-bit collision caveat). The
+    distinct-doc count aggregates only the winners' occurrences."""
     base = _span_base(docs)
-    gid = _gid_fn(k)
-    narrow = base.select(
-        "doc_id", F.explode(F.transform(_span_pos_seq(k), gid)).alias("gid")
-    )
+    grams = _grams(base, k)
     top = (
-        narrow.groupBy("gid")
+        grams.groupBy("gid")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= 2)
         .orderBy(F.desc("n_occurrences"), F.asc("gid"))
         .limit(topn)
     )
-    text = _span_text_fn(k)
-    with_text = base.select(
-        "doc_id", F.explode(F.transform(_span_pos_seq(k), text)).alias("span")
-    ).select(
+    occurrences = grams.join(F.broadcast(top), "gid")
+    spans = occurrences.join(base, "doc_id").select(
+        "gid",
+        "n_occurrences",
         "doc_id",
-        "span",
-        # the span id recomputed from the span string — _md5_60 keeps it
-        # structurally identical to _gid_fn's expression over slice()
-        _md5_60(F.col("span")).alias("gid"),
+        F.concat_ws(" ", F.expr(f"slice(tl, pos + 1, {k})")).alias("span"),
     )
     return (
-        with_text.join(F.broadcast(top), "gid")
-        .groupBy("gid", "n_occurrences")
+        spans.groupBy("gid", "n_occurrences")
         .agg(
             F.min("span").alias("span"),
             F.count_distinct("doc_id").alias("n_docs"),
@@ -1432,12 +1479,7 @@ def mask_duplicated_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     t survives iff no dup position p satisfies p <= t < p+k. No
     exploded token relation is ever shuffled."""
     base = _span_base(docs)
-    grams = base.select(
-        "doc_id",
-        F.posexplode(F.transform(_span_pos_seq(k), _gid_fn(k))).alias(
-            "pos", "gid"
-        ),
-    )
+    grams = _grams(base, k)
     dup_gids = (
         grams.groupBy("gid")
         .agg(F.count(F.lit(1)).alias("cnt"))
