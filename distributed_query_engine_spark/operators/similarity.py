@@ -363,17 +363,31 @@ def ivf_centroids(
     )
     for _ in range(lloyd_iters):
         assigned = _assign_to(base, cents)
+        # Exact integer mean, rounded half-away-from-zero:
+        # sign(sx) * ((2*|sx| + c) div (2*c)). The earlier F.avg form
+        # summed doubles — an ORDER-DEPENDENT float accumulation whose
+        # round() could flip on exact-.5 boundaries under a different
+        # partitioning; sum of longs is exact and partition-invariant,
+        # and `div`/`//` truncation on the positive rearrangement is
+        # the same half-away rounding in Spark and any SQL oracle.
         means = (
             assigned.select("cell_id", F.posexplode("ivec").alias("d", "x"))
             .groupBy("cell_id", "d")
-            .agg(F.avg("x").alias("mx"))
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "mx",
+                F.expr(
+                    "CASE WHEN sx >= 0 THEN (2*sx + c) div (2*c) "
+                    "ELSE -((2*(-sx) + c) div (2*c)) END"
+                ),
+            )
             .groupBy("cell_id")
             .agg(
                 F.transform(
                     F.array_sort(
                         F.collect_list(F.struct(F.col("d"), F.col("mx")))
                     ),
-                    lambda s: F.round(s["mx"]).cast("long"),
+                    lambda s: s["mx"],
                 ).alias("c_ivec")
             )
             .select(
@@ -404,6 +418,59 @@ def _assign_to(base: DataFrame, cents: DataFrame) -> DataFrame:
         scored.withColumn("crn", F.row_number().over(w))
         .filter(F.col("crn") == 1)
         .select("vec_id", "ivec", "nsq", "cell_id")
+    )
+
+
+def kmeans_cell_stats(
+    emb: DataFrame,
+    n_cells: int,
+    lloyd_iters: int,
+    strategy: str = "lowest_id",
+) -> DataFrame:
+    """Per-cell audit of a Lloyd-refined k-means clustering of the
+    embedding corpus → (cell_id, n_members, sum_member_dot, c_l1,
+    c_nsq), every column an exact integer so a SQL oracle can replay
+    the whole data-dependent training loop (the same discipline as the
+    BPE trainer): ``sum_member_dot`` is the Σ over members of the exact
+    integer dot(ivec, centroid) — the fixed-point analogue of the
+    within-cluster cohesion k-means maximizes — and ``c_l1``/``c_nsq``
+    checksum the learned centroid itself. Empty cells (their seed kept
+    by :func:`ivf_centroids`) appear with n_members = 0, pinning the
+    empty-cell-carry path.
+
+    100 TB shape: each Lloyd iteration is one corpus scan against
+    BROADCAST centroids (the |corpus| × n_cells argmax partial-
+    aggregates before its shuffle) plus one (cell_id, dim)-keyed
+    aggregate bounded at n_cells × dim rows post-agg; the stats pass is
+    the same assignment scan with a per-cell aggregate. The corpus is
+    never collected — only n_cells-row centroid relations checkpoint."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    cents = ivf_centroids(base, n_cells, strategy=strategy, lloyd_iters=lloyd_iters)
+    assigned = _assign_to(base, cents)
+    member = (
+        assigned.join(F.broadcast(cents), "cell_id")
+        .select(
+            "cell_id",
+            dot_long(F.col("ivec"), F.col("c_ivec")).alias("m_dot"),
+        )
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("m_dot").alias("sum_member_dot"),
+        )
+    )
+    return cents.join(member, "cell_id", "left").select(
+        "cell_id",
+        F.coalesce("n_members", F.lit(0).cast("long")).alias("n_members"),
+        F.coalesce("sum_member_dot", F.lit(0).cast("long")).alias(
+            "sum_member_dot"
+        ),
+        F.aggregate(
+            F.transform("c_ivec", lambda x: F.abs(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("c_l1"),
+        "c_nsq",
     )
 
 

@@ -1863,6 +1863,102 @@ def llm_similarity_recall(spark, sf_dir):
     return out
 
 
+_KMEANS_CELLS = 8
+_KMEANS_ITERS = 2
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB replay of the Lloyd k-means loop — the same
+    data-dependent-oracle discipline as llm_bpe_train: the oracle
+    re-learns the centroids from the data with the identical exact
+    integer arithmetic (seeds = lowest vec_ids; per-iteration argmax
+    assignment with the cosine tie-break; element-wise mean rounded
+    half-away-from-zero via (2*|sx| + c) // (2*c); empty cells carry
+    their previous centroid), so the learned clustering is exact-
+    checked without hardcoding what it learns."""
+    ctes = [
+        f"""cents0 AS (
+      SELECT vec_id AS cell_id, ivec AS c_ivec, CAST(nsq AS BIGINT) AS c_nsq
+      FROM nv WHERE vec_id < {_KMEANS_CELLS})"""
+    ]
+    n_assign = _KMEANS_ITERS + 1  # one per Lloyd step + the final stats pass
+    for i in range(n_assign):
+        cos = _COS.format(a="n.ivec", b="c.c_ivec", na="n.nsq", nb="c.c_nsq")
+        ctes.append(
+            f"""assigned{i} AS (
+      SELECT vec_id, ivec, cell_id FROM (
+        SELECT n.vec_id, n.ivec, c.cell_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {cos} DESC, c.cell_id) AS crn
+        FROM nv n, cents{i} c) WHERE crn = 1)"""
+        )
+        if i == _KMEANS_ITERS:
+            break
+        ctes.append(
+            f"""agg{i} AS (
+      SELECT cell_id, d, sum(x) AS sx, count(*) AS c
+      FROM (SELECT cell_id, unnest(ivec) AS x,
+                   unnest(range(len(ivec))) AS d
+            FROM assigned{i})
+      GROUP BY cell_id, d)"""
+        )
+        ctes.append(
+            f"""means{i} AS (
+      SELECT cell_id,
+             list(CAST(CASE WHEN sx >= 0 THEN (2*sx + c) // (2*c)
+                            ELSE -((2*(-sx) + c) // (2*c)) END AS BIGINT)
+                  ORDER BY d) AS c_ivec
+      FROM agg{i} GROUP BY cell_id)"""
+        )
+        ctes.append(
+            f"""cents{i + 1} AS (
+      SELECT cell_id, c_ivec,
+             CAST(list_dot_product(c_ivec, c_ivec) AS BIGINT) AS c_nsq
+      FROM means{i}
+      UNION ALL
+      SELECT p.cell_id, p.c_ivec, p.c_nsq FROM cents{i} p
+      WHERE p.cell_id NOT IN (SELECT cell_id FROM means{i}))"""
+        )
+    last = _KMEANS_ITERS
+    ctes.append(
+        f"""member AS (
+      SELECT a.cell_id, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(CAST(list_dot_product(a.ivec, c.c_ivec) AS BIGINT))
+                  AS BIGINT) AS sum_member_dot
+      FROM assigned{last} a JOIN cents{last} c USING (cell_id)
+      GROUP BY a.cell_id)"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {_IVEC_CTE},
+    {joined}
+    SELECT c.cell_id,
+           COALESCE(m.n_members, 0) AS n_members,
+           COALESCE(m.sum_member_dot, 0) AS sum_member_dot,
+           CAST(list_aggregate(list_transform(c.c_ivec, x -> abs(x)), 'sum')
+                AS BIGINT) AS c_l1,
+           c.c_nsq
+    FROM cents{last} c LEFT JOIN member m USING (cell_id)
+    """
+
+
+@query("llm_kmeans_embeddings", oracle=_kmeans_oracle)
+def llm_kmeans_embeddings(spark, sf_dir):
+    """Lloyd-refined k-means over the embedding corpus
+    (operators/similarity.py::kmeans_cell_stats): seeds = lowest
+    vec_ids, _KMEANS_ITERS refinement iterations, per-cell audit
+    columns all exact integers. This is the iterative-algorithm pattern
+    (pagerank, BPE train) applied to the clustering step a curation
+    pipeline runs before semantic dedup / cluster-aware splits — and
+    the query that makes ivf_centroids' Lloyd path oracle-verified
+    instead of merely deterministic. The refinement means use exact
+    integer round-half-away arithmetic (sum/count, never a float avg),
+    so the DuckDB oracle replays the entire data-dependent training
+    loop."""
+    e = Tables(spark, sf_dir).embeddings
+    return S.kmeans_cell_stats(e, _KMEANS_CELLS, _KMEANS_ITERS)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

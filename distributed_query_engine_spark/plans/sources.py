@@ -594,6 +594,102 @@ def sink_compacted(spark, sf_dir):
     )
 
 
+_Z_BITS = 12  # per-dimension coordinate bits (4096 cells/dim)
+_Z_SIDE = 1 << _Z_BITS
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 6  # keep the top 6 z-bits → ≤64 buckets
+_Z_ANCHOR = "1995-01-01"  # epoch for the date coordinate
+
+
+def _z_interleave(x: str, y: str, shift: str) -> str:
+    """Morton/Z-order bit-interleave expression over two _Z_BITS-bit
+    coordinates — pure integer arithmetic so Spark and the SQL oracle
+    share the exact formula. ``shift`` is the engine's right-shift
+    idiom with {v}/{k} placeholders (Spark: ``shiftright({v}, {k})``,
+    DuckDB: ``({v} >> {k})``)."""
+    terms = []
+    for k in range(_Z_BITS):
+        terms.append(f"(({shift.format(v=x, k=k)}) & 1) * {1 << (2 * k)}")
+        terms.append(f"(({shift.format(v=y, k=k)}) & 1) * {1 << (2 * k + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_cluster",
+    oracle=lambda: f"""
+    WITH coords AS (
+      -- double-mod = non-negative fold (pmod): the interleave's bit
+      -- extraction must never see a negative coordinate (arithmetic
+      -- >> of negatives is engine-defined)
+      SELECT ((o_custkey % {_Z_SIDE}) + {_Z_SIDE}) % {_Z_SIDE} AS x,
+             (((CAST(o_orderdate AS DATE) - DATE '{_Z_ANCHOR}') % {_Z_SIDE})
+              + {_Z_SIDE}) % {_Z_SIDE} AS y
+      FROM orders
+    ),
+    zk AS (
+      SELECT x, y, ({_z_interleave("x", "y", "({v} >> {k})")}) AS zval
+      FROM coords
+    )
+    SELECT zval // {1 << _Z_BUCKET_SHIFT} AS bucket_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max,
+           max(x) - min(x) AS x_span,
+           max(y) - min(y) AS y_span
+    FROM zk GROUP BY 1
+    """,
+)
+def layout_zorder_cluster(spark, sf_dir):
+    """Z-order (Morton-curve) clustering — the data-layout kernel
+    behind Delta/Iceberg ``OPTIMIZE ZORDER BY``: interleave the bits of
+    two query dimensions (customer key, order date) into one sort key
+    so that rows close in the key are close in BOTH dimensions. At
+    100 TB the pipeline is ``repartitionByRange(zval)`` → write: every
+    output file then covers a bounded rectangle of (custkey, date)
+    space and its parquet min/max footer prunes scans filtered on
+    EITHER dimension — a date-sorted layout prunes only date
+    predicates, leaving custkey spanning the full domain in every file.
+
+    The query computes the layout audit a table service would publish:
+    per z-bucket (the top 6 z-bits — the file-boundary analogue),
+    row count and the min/max/span of each folded coordinate. Bounded
+    spans on BOTH dims are the pruning guarantee; the bit interleave is
+    exact integer arithmetic (shared expression generator
+    :func:`_z_interleave`), so the oracle replays it bit-for-bit.
+    Everything is one narrow projection + one aggregate: a single
+    map-combined shuffle regardless of corpus size, and the zval
+    expression stays inside whole-stage codegen."""
+    t = Tables(spark, sf_dir)
+    # pmod, not %: the interleave's bit extraction must never see a
+    # negative coordinate (arithmetic shiftright of negatives is
+    # engine-defined; the testdata date range has moved across rounds)
+    coords = t.orders.select(
+        F.pmod(F.col("o_custkey"), F.lit(_Z_SIDE)).alias("x"),
+        F.pmod(
+            F.datediff(
+                F.col("o_orderdate"), F.lit(_Z_ANCHOR).cast("date")
+            ).cast("long"),
+            F.lit(_Z_SIDE),
+        ).alias("y"),
+    )
+    zk = coords.withColumn(
+        "zval", F.expr(_z_interleave("x", "y", "shiftright({v}, {k})"))
+    )
+    return (
+        zk.groupBy(
+            F.expr(f"zval div {1 << _Z_BUCKET_SHIFT}").alias("bucket_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+    )
+
+
 @query(
     "scan_csv_permissive",
     # The oracle derives every good-row stat from the nation table the

@@ -259,6 +259,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_similarity_recall",
     "llm_semdedup",
     "llm_pack_sequences_bpe",
+    "llm_kmeans_embeddings",
+    "layout_zorder_cluster",
 )
 
 

@@ -447,6 +447,38 @@ def test_substring_top_spans_counts_narrow_and_broadcasts_winners(spark, sf_dir)
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_zorder_layout_single_shuffle_and_bounded_spans(spark, sf_dir):
+    # The z-order layout audit must be ONE map-combined shuffle over a
+    # pruned 2-column scan, all-JVM; and its output must actually hold
+    # the Morton locality guarantee — bucketing on the top 6 z-bits
+    # fixes 3 high bits of EACH coordinate, so every bucket's span in
+    # both dims is < 2^(12-3) = 512. (A date-sorted layout would show
+    # x_span ~ the full 4095 domain — that contrast is the point.)
+    df = _q("layout_zorder_cluster", spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "o_totalprice" not in plan  # column pruning reached the scan
+    for r in df.collect():
+        assert 0 <= r["x_span"] <= 511, r
+        assert 0 <= r["y_span"] <= 511, r
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    # The Lloyd-refined k-means stats query: the per-vector nearest-
+    # centroid scoring must be a BROADCAST nested-loop of the n_cells
+    # centroid relation against the corpus scan (never a Cartesian
+    # shuffle), the stats aggregation must partial-aggregate, and the
+    # whole loop stays JVM-side (the exact-integer mean arithmetic is
+    # codegen, not Python).
+    plan = _plan(_q("llm_kmeans_embeddings", spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan, plan
+
+
 def test_bpe_encode_merge_loop_is_rowlocal_single_exchange(spark, sf_dir):
     # The K chained merge replaces must stay row-local string functions
     # inside the scan-side projection: exactly ONE Exchange in the whole
