@@ -474,6 +474,54 @@ def kmeans_cell_stats(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    lloyd_iters: int = 0,
+    strategy: str = "lowest_id",
+) -> DataFrame:
+    """Hard-negative mining: for each query vector, the top-k
+    highest-cosine corpus vectors assigned to a DIFFERENT (Lloyd-
+    refined) k-means cell → (q_id, vec_id, cosine, rn). "Similar but
+    from another cluster" is the contrastive-training definition of a
+    hard negative; the same-cell neighbors a plain top-k would return
+    are the POSITIVES semantic dedup collapses.
+
+    100 TB shape: the clustering reuses :func:`ivf_centroids` (each
+    iteration one corpus scan against broadcast centroids); mining is
+    then one more scan with the tiny query panel broadcast and a
+    cell-inequality predicate evaluated scan-side — the corpus never
+    shuffles except the per-query top-k window on (q_id)."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    cents = ivf_centroids(base, n_cells, strategy=strategy, lloyd_iters=lloyd_iters)
+    assigned = _assign_to(base, cents)
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ivec").alias("q_ivec"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("cell_id").alias("q_cell"),
+    )
+    scored = assigned.join(
+        F.broadcast(q), F.col("cell_id") != F.col("q_cell")
+    ).select(
+        "q_id",
+        "vec_id",
+        cosine_from_ints(
+            dot_long(F.col("q_ivec"), F.col("ivec")),
+            F.col("q_nsq"),
+            F.col("nsq"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int | None = N_CELLS,

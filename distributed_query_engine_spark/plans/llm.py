@@ -1867,27 +1867,23 @@ _KMEANS_CELLS = 8
 _KMEANS_ITERS = 2
 
 
-def _kmeans_oracle() -> str:
-    """DuckDB replay of the Lloyd k-means loop — the same
-    data-dependent-oracle discipline as llm_bpe_train: the oracle
-    re-learns the centroids from the data with the identical exact
-    integer arithmetic (seeds = lowest vec_ids; per-iteration argmax
-    assignment with the cosine tie-break; element-wise mean rounded
-    half-away-from-zero via (2*|sx| + c) // (2*c); empty cells carry
-    their previous centroid), so the learned clustering is exact-
-    checked without hardcoding what it learns."""
+def _kmeans_cents_ctes() -> tuple[list[str], int]:
+    """The shared Lloyd-loop CTE chain (seeds → per-iteration argmax
+    assignment → exact-integer mean → empty-cell carry), ending at
+    ``assigned{last}``/``cents{last}`` — the learned clustering both
+    llm_kmeans_embeddings and llm_hard_negatives replay."""
     ctes = [
         f"""cents0 AS (
       SELECT vec_id AS cell_id, ivec AS c_ivec, CAST(nsq AS BIGINT) AS c_nsq
       FROM nv WHERE vec_id < {_KMEANS_CELLS})"""
     ]
-    n_assign = _KMEANS_ITERS + 1  # one per Lloyd step + the final stats pass
+    n_assign = _KMEANS_ITERS + 1  # one per Lloyd step + the final pass
     for i in range(n_assign):
         cos = _COS.format(a="n.ivec", b="c.c_ivec", na="n.nsq", nb="c.c_nsq")
         ctes.append(
             f"""assigned{i} AS (
-      SELECT vec_id, ivec, cell_id FROM (
-        SELECT n.vec_id, n.ivec, c.cell_id,
+      SELECT vec_id, ivec, nsq, cell_id FROM (
+        SELECT n.vec_id, n.ivec, n.nsq, c.cell_id,
                row_number() OVER (PARTITION BY n.vec_id ORDER BY
                  {cos} DESC, c.cell_id) AS crn
         FROM nv n, cents{i} c) WHERE crn = 1)"""
@@ -1919,7 +1915,19 @@ def _kmeans_oracle() -> str:
       SELECT p.cell_id, p.c_ivec, p.c_nsq FROM cents{i} p
       WHERE p.cell_id NOT IN (SELECT cell_id FROM means{i}))"""
         )
-    last = _KMEANS_ITERS
+    return ctes, _KMEANS_ITERS
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB replay of the Lloyd k-means loop — the same
+    data-dependent-oracle discipline as llm_bpe_train: the oracle
+    re-learns the centroids from the data with the identical exact
+    integer arithmetic (seeds = lowest vec_ids; per-iteration argmax
+    assignment with the cosine tie-break; element-wise mean rounded
+    half-away-from-zero via (2*|sx| + c) // (2*c); empty cells carry
+    their previous centroid), so the learned clustering is exact-
+    checked without hardcoding what it learns."""
+    ctes, last = _kmeans_cents_ctes()
     ctes.append(
         f"""member AS (
       SELECT a.cell_id, CAST(count(*) AS BIGINT) AS n_members,
@@ -1940,6 +1948,46 @@ def _kmeans_oracle() -> str:
            c.c_nsq
     FROM cents{last} c LEFT JOIN member m USING (cell_id)
     """
+
+
+def _hard_negatives_oracle() -> str:
+    """Replays the SAME learned clustering (shared CTE chain), then
+    scores each panel query against every vector OUTSIDE its own cell
+    and keeps the top-k — brute-force truth for the mining query."""
+    ctes, last = _kmeans_cents_ctes()
+    cos = _COS.format(a="q.q_ivec", b="a.ivec", na="q.q_nsq", nb="a.nsq")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {_IVEC_CTE},
+    {joined},
+    q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq,
+                 cell_id AS q_cell
+          FROM assigned{last} WHERE vec_id IN (0,1,2,3,4)),
+    scored AS (
+      SELECT q.q_id, a.vec_id, {cos} AS cosine
+      FROM assigned{last} a, q WHERE a.cell_id != q.q_cell
+    )
+    SELECT q_id, vec_id, cosine, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """
+
+
+@query("llm_hard_negatives", oracle=_hard_negatives_oracle)
+def llm_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive/embedding training
+    (operators/similarity.py::hard_negatives): for each panel query,
+    the top-k most-similar corpus vectors OUTSIDE the query's own
+    Lloyd-refined k-means cell — near the decision boundary but from a
+    different semantic cluster, exactly the negatives a contrastive
+    loss wants. Composes the oracle-verified k-means clustering with
+    the broadcast-query similarity scan; the corpus never shuffles
+    beyond the per-query top-k window."""
+    e = Tables(spark, sf_dir).embeddings
+    return S.hard_negatives(
+        e, _QUERY_IDS, k=5, n_cells=_KMEANS_CELLS, lloyd_iters=_KMEANS_ITERS
+    )
 
 
 @query("llm_kmeans_embeddings", oracle=_kmeans_oracle)

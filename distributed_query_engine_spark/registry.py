@@ -261,6 +261,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_pack_sequences_bpe",
     "llm_kmeans_embeddings",
     "layout_zorder_cluster",
+    "llm_hard_negatives",
 )
 
 

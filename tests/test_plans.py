@@ -479,6 +479,34 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     assert "partial_count" in plan, plan
 
 
+def test_hard_negatives_broadcasts_query_panel(spark, sf_dir):
+    # Mining scans the assigned corpus ONCE with the tiny query panel
+    # broadcast (cell-inequality theta join → BroadcastNestedLoopJoin,
+    # never a shuffled Cartesian), then a per-query top-k window.
+    df = _q("llm_hard_negatives", spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # every mined negative must really be outside its query's cell
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.operators import similarity as S
+    from distributed_query_engine_spark.plans.llm import (
+        _KMEANS_CELLS,
+        _KMEANS_ITERS,
+    )
+
+    e = Tables(spark, sf_dir).embeddings
+    cell = {
+        r["vec_id"]: r["cell_id"]
+        for r in S.ivf_assign(
+            e, _KMEANS_CELLS, lloyd_iters=_KMEANS_ITERS
+        ).collect()
+    }
+    for r in df.collect():
+        assert cell[r["vec_id"]] != cell[r["q_id"]], r
+
+
 def test_bpe_encode_merge_loop_is_rowlocal_single_exchange(spark, sf_dir):
     # The K chained merge replaces must stay row-local string functions
     # inside the scan-side projection: exactly ONE Exchange in the whole
