@@ -1054,9 +1054,11 @@ def doc_ngram_arrays(docs: DataFrame, n: int = 2) -> DataFrame:
     safe = F.when(F.size(words) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
-    return docs.select(
-        F.col("doc_id"), F.array_distinct(safe).alias("toks")
-    ).filter(F.size("toks") > 0)
+    return _spread_narrow_scan(
+        docs.select(
+            F.col("doc_id"), F.array_distinct(safe).alias("toks")
+        ).filter(F.size("toks") > 0)
+    )
 
 
 def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:

@@ -113,6 +113,30 @@ _CHANGED: dict[str, int] = {
     "llm_similarity_ivf_index": 9,
     "llm_similarity_recall": 9,
     "llm_semdedup": 9,
+    # r9: _spread_narrow_scan — doc_token_arrays/doc_ngram_arrays/
+    # _span_base repartition compact doc rows up to session parallelism
+    # before their md5-heavy fan-outs (the sf1 one-split parallelism
+    # fix). VALUE-PRESERVING (a repartition changes no output), locally
+    # re-verified oracle-exact at sf0.01 — stamped anyway per the r6
+    # simhash-de-skew precedent: every query whose plan the operator
+    # change touched re-fronts for a driver row.
+    "llm_dedup_minhash": 9,
+    "llm_dedup_incremental": 9,
+    "llm_dedup_clusters": 9,
+    "llm_corpus_curation": 9,
+    "llm_dedup_simhash": 9,
+    "llm_dedup_simhash_multiband": 9,
+    "llm_cluster_aware_split": 9,
+    "llm_dedup_containment": 9,
+    "llm_dedup_cluster_summary": 9,
+    "llm_curation_funnel_report": 9,
+    "llm_dedup_signature_store": 9,
+    "llm_dedup_ngram": 9,
+    "stream_ingest_dedup": 9,
+    "llm_dedup_substring": 9,
+    "llm_dedup_substring_top": 9,
+    "llm_dedup_substring_mask": 9,
+    "llm_dedup_minhash_recall": 9,
 }
 
 # Checked first within the unverified group (ordering hint only — a

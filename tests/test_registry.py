@@ -152,7 +152,9 @@ def test_changed_stamp_invalidates_old_green_rows(monkeypatch):
     demote it; a green row from the stamp round (or later) must."""
     names = list(registry.all_queries())
     target = names[-1]  # any query; we fabricate its rows
-    other = names[0]
+    # `other` must be stamp-free: a fabricated green row only verifies a
+    # query whose _CHANGED stamp (if any) the row's round satisfies.
+    other = next(n for n in names if n not in registry._CHANGED)
     green_row = {
         "rows_match": True, "schema_match": True, "hash_match": True,
         "spark_rows": 1, "oracle_rows": 1, "err": None,
