@@ -137,6 +137,12 @@ _CHANGED: dict[str, int] = {
     "llm_dedup_substring_top": 9,
     "llm_dedup_substring_mask": 9,
     "llm_dedup_minhash_recall": 9,
+    # r9: doc_ngram_arrays rebuilt as arrays_zip-of-slices (the
+    # element_at(split(),i) per-element re-evaluation fix; identical
+    # output, A/B-verified array-identical at sf1 + oracle-exact at
+    # sf0.01) — stamp its other consumer too (llm_dedup_ngram already
+    # stamped above).
+    "llm_decontaminate": 9,
 }
 
 # Checked first within the unverified group (ordering hint only — a
