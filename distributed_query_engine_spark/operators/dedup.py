@@ -92,7 +92,7 @@ def _md5_60(col) -> Column:
     """First 15 hex chars of md5 → 60-bit BIGINT: the ONE engine-portable
     row-local hash every oracle replays (`CAST(('0x' || substr(md5(x),
     1, 15)) AS BIGINT)` on the DuckDB side). Token ids (`_tid_expr`) are
-    this mod P; span ids (`_gid_fn`, `top_duplicated_spans`) use it
+    this mod P; span ids (`_span_gids`, `top_duplicated_spans`) use it
     directly — sharing the expression makes the cross-site identities
     structural rather than comment-enforced."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -1044,21 +1044,16 @@ def doc_ngram_arrays(docs: DataFrame, n: int = 2) -> DataFrame:
     notion).
 
     Grams are built by zipping ``n`` SLICES of the word array
-    (``arrays_zip`` + transform), not by indexing back into the array
-    from a position transform: higher-order-function ARGUMENTS evaluate
-    once per row, while any expression referenced inside the lambda
-    body re-evaluates per element — the previous
+    (functions/text.py::sliding_windows), not by indexing back into the
+    array from a position transform: the previous
     ``element_at(split(text), i + k)`` form re-ran split() for every
-    gram lookup, an O(n_tok²)-character hidden cost that projection
+    gram lookup — an O(n_tok²)-character hidden cost that projection
     collapse re-creates even if the split is aliased first (r9 A/B at
-    sf1, 50k docs: 20.7 s → 2.6 s for the identical output). The
-    sub-``n``-word guard comes free: slice length max(n_tok-(n-1), 0)
-    yields empty slices, so no sequence(1, k<1) descending hazard."""
-    words = F.split(F.col("text"), " ")
-    glen = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    parts = [F.slice(words, k + 1, glen) for k in range(n)]
+    sf1, 50k docs: 20.7 s → 2.6 s for the identical output)."""
+    from distributed_query_engine_spark.functions.text import sliding_windows
+
     grams = F.transform(
-        F.arrays_zip(*parts),
+        sliding_windows(F.split(F.col("text"), " "), n),
         lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
     )
     return _spread_narrow_scan(
@@ -1233,24 +1228,23 @@ def _span_base(docs: DataFrame) -> DataFrame:
     )
 
 
-def _span_pos_seq(k: int) -> Column:
-    """pos 0..n_tok-k; EXPLICITLY empty when the doc is shorter than one
-    span (sequence(0, negative) would generate a DESCENDING ramp)."""
-    return F.when(
-        F.col("n_tok") >= k, F.sequence(F.lit(0), F.col("n_tok") - k)
-    ).otherwise(F.array().cast("array<int>"))
+def _span_gids(k: int) -> Column:
+    """Array of 60-bit md5-prefix span ids, one per k-token span start
+    (index = 0-based span position; same engine-portable hash and
+    collision caveat as ``hashed_token_ids``). Built from
+    ``sliding_windows`` (arrays_zip of k slices of ``tl``) rather than
+    ``slice(tl, i + 1, k)`` position indexing: on a scan that is
+    already parallel the :func:`_spread_narrow_scan` exchange is
+    rightly skipped, projection collapse then inlines ``tl``'s split()
+    into the lambda, and per-element re-evaluation would turn the
+    fan-out O(n_tok²) — the doc_ngram_arrays lesson applied before it
+    bites (sliding_windows evaluates ``tl`` O(k) times per ROW)."""
+    from distributed_query_engine_spark.functions.text import sliding_windows
 
-
-def _span_text_fn(k: int):
-    """pos → the k-token span text starting there (row-local)."""
-    return lambda i: F.concat_ws(" ", F.slice("tl", i + 1, k))
-
-
-def _gid_fn(k: int):
-    """pos → 60-bit md5-prefix span id (row-local; same engine-portable
-    hash and collision caveat as ``hashed_token_ids``)."""
-    text = _span_text_fn(k)
-    return lambda i: _md5_60(text(i))
+    return F.transform(
+        sliding_windows(F.col("tl"), k),
+        lambda s: _md5_60(F.concat_ws(" ", *[s[str(j)] for j in range(k)])),
+    )
 
 
 def _grams(base: DataFrame, k: int) -> DataFrame:
@@ -1272,9 +1266,7 @@ def _grams(base: DataFrame, k: int) -> DataFrame:
 
     return base.select(
         "doc_id",
-        F.posexplode(F.transform(_span_pos_seq(k), _gid_fn(k))).alias(
-            "pos", "gid"
-        ),
+        F.posexplode(_span_gids(k)).alias("pos", "gid"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 

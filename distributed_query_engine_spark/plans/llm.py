@@ -512,20 +512,16 @@ def _train_bpe_merges(d) -> list[tuple[int, str, str, str, int]]:
     merges: list[tuple[str, str]] = []
     rows_out: list[tuple[int, str, str, str, int]] = []
     for k in range(1, _BPE_TRAIN_K + 1):
+        # sliding_windows, not element_at(ts, i): projection collapse
+        # inlines the K-deep bpe_encode chain into the lambda, where a
+        # body reference re-evaluates it per PAIR — the window form
+        # evaluates it O(1) times per word (r9 re-eval audit).
         tok_df = words.select(
             T.bpe_encode(F.col("w"), tuple(merges)).alias("ts")
         ).filter(F.size("ts") >= 2)
         pairs = tok_df.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ts") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("ts"), i).alias("a"),
-                        F.element_at(F.col("ts"), i + 1).alias("b"),
-                    ),
-                )
-            ).alias("p")
-        ).select("p.a", "p.b")
+            F.explode(T.sliding_windows(F.col("ts"), 2)).alias("p")
+        ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
         top = (
             pairs.groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -630,15 +626,30 @@ def llm_repetition_stats(spark, sf_dir):
     shuffle, no UDF."""
     d = Tables(spark, sf_dir).documents
     ws = F.split(F.col("text"), " ")
+    # sliding_windows (ws evaluated O(1)/row) — the element_at(ws, i)
+    # form re-ran split() per bigram (r9 re-eval audit)
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        T.sliding_windows(ws, 2), lambda s: F.concat_ws(" ", s["0"], s["1"])
     )
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(ws),
-            lambda t: F.size(F.filter(ws, lambda x: x == t)),
-        )
+    # max token frequency as the longest run of the SORTED array — one
+    # O(n log n) sort + one aggregate pass, vs the previous
+    # distinct×filter double scan (O(n²) compares with ws re-split per
+    # distinct token). aggregate()'s argument evaluates once per row.
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    run = lambda acc, x: F.when(  # noqa: E731
+        x == acc["prev"], acc["run"] + 1
+    ).otherwise(F.lit(1))
+    top_cnt = F.aggregate(
+        F.array_sort(ws),
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     dup_bigram = F.when(
         F.size(ws) >= 2,
@@ -1313,7 +1324,7 @@ def llm_dedup_embcos(spark, sf_dir):
 # 0-based span positions (DuckDB's 1-based generate_series shifted by 1),
 # the span text, the md5-prefix-60-bit span id, and the duplicated-gid
 # set. generate_series(1, len-k+1) is empty for short docs, matching the
-# engine's explicit empty-array guard in operators/dedup._span_pos_seq.
+# engine's empty-window slices in operators/dedup._span_gids.
 _K1 = D.SPAN_K - 1  # DuckDB's inclusive 1-based slice: tl[i:i+_K1] = K tokens
 
 _SPAN_CTES = f"""
@@ -3250,24 +3261,16 @@ def llm_bigram_conditional_surprisal(spark, sf_dir):
     degradation story as the unigram variant, one order higher."""
     d = Tables(spark, sf_dir).documents
     w = F.split("text", " ")
+    # sliding_windows: projection collapse re-inlines the w alias, so
+    # element_at("w", i) in the lambda re-ran split() per bigram (r9
+    # re-eval audit); the window form evaluates it O(1)/row
     bg = (
-        d.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 2)
+        d.select("doc_id", F.explode(T.sliding_windows(w, 2)).alias("p"))
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - 1),
-                    lambda i: F.struct(
-                        F.concat_ws(
-                            " ", F.element_at("w", i), F.element_at("w", i + 1)
-                        ).alias("bigram"),
-                        F.element_at("w", i).alias("w1"),
-                    ),
-                )
-            ).alias("p"),
+            F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("bigram"),
+            F.col("p.0").alias("w1"),
         )
-        .select("doc_id", "p.bigram", "p.w1")
     )
     cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
     cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))

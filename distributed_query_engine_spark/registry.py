@@ -143,6 +143,14 @@ _CHANGED: dict[str, int] = {
     # sf0.01) — stamp its other consumer too (llm_dedup_ngram already
     # stamped above).
     "llm_decontaminate": 9,
+    # r9 re-eval audit: the same lambda-body re-evaluation fix applied
+    # to the repetition bigrams + sorted-run top-frequency, the bigram
+    # LM pair build, and the BPE trainer's pair count (sliding_windows
+    # in functions/text.py). Values identical, oracle-exact re-sim.
+    "llm_repetition_stats": 9,
+    "llm_bigram_conditional_surprisal": 9,
+    "llm_bpe_train": 9,
+    "llm_pack_sequences_bpe": 9,
 }
 
 # Checked first within the unverified group (ordering hint only — a
