@@ -403,7 +403,16 @@ def ivf_centroids(
 
 def _assign_to(base: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (ties → lowest cell id): broadcast
-    centroids, scan the corpus once, per-vector argmax."""
+    centroids, scan the corpus once, per-vector argmax.
+
+    The argmax is ``max_by`` over the ordering struct (c_cos, -cell_id)
+    — identical row choice to the historical row_number window ((cos
+    DESC, cell ASC): higher struct = higher cos, then lower cell id) but
+    PARTIAL-AGGREGABLE: the map side reduces each partition to one row
+    per vec_id BEFORE the exchange, so the shuffle carries ~|corpus|
+    rows instead of |corpus| × n_cells rows each dragging the full ivec
+    array — an n_cells× shuffle-volume cut that matters exactly when
+    n_cells grows with the corpus (suggest_n_cells ~ sqrt(N))."""
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "ivec",
@@ -413,11 +422,12 @@ def _assign_to(base: DataFrame, cents: DataFrame) -> DataFrame:
             dot_long(F.col("ivec"), F.col("c_ivec")), F.col("nsq"), F.col("c_nsq")
         ).alias("c_cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cell_id"))
-    return (
-        scored.withColumn("crn", F.row_number().over(w))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "ivec", "nsq", "cell_id")
+    best = F.max_by(
+        F.struct("ivec", "nsq", "cell_id"),
+        F.struct(F.col("c_cos"), (-F.col("cell_id")).alias("neg_cell")),
+    ).alias("b")
+    return scored.groupBy("vec_id").agg(best).select(
+        "vec_id", "b.ivec", "b.nsq", "b.cell_id"
     )
 
 
