@@ -772,3 +772,98 @@ def test_bpe_train_matches_python_reference_trainer(spark, docs):
 
     df = spark.createDataFrame([(i, t) for i, t in docs], ["doc_id", "text"])
     assert _train_bpe_merges(df) == expect
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 11),
+            st.tuples(
+                st.integers(-3, 3), st.integers(-3, 3), st.integers(-3, 3)
+            ).filter(lambda v: any(v)),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmeans_cell_stats_matches_python_model(spark, vecs):
+    """kmeans_cell_stats vs a pure-Python Lloyd model: lowest-id seeds,
+    cosine argmax with the (cos desc, cell asc) tie-break as a float
+    tuple compare (identical IEEE semantics), exact round-half-away
+    integer means, empty-cell carry, and the final per-cell audit
+    columns. Integer-component vectors make ivec = v * 2^20 exact; tiny
+    dims force dense cosine TIES (parallel vectors), so the tie-break —
+    not just the distance — decides the clustering. Some draws have no
+    vec_id < n_cells at all, pinning the empty-seed path."""
+    import math
+
+    from distributed_query_engine_spark.functions.vectors import SCALE
+    from distributed_query_engine_spark.operators.similarity import (
+        kmeans_cell_stats,
+    )
+
+    N_CELLS, ITERS = 4, 2
+    ivec = {i: [x * SCALE for x in v] for i, v in vecs}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def cos(a, b):
+        na, nb = dot(a, a), dot(b, b)
+        return dot(a, b) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+
+    cents = {i: list(ivec[i]) for i in ivec if i < N_CELLS}
+
+    def assign(cents):
+        out = {}
+        for i, v in ivec.items():
+            if not cents:
+                continue
+            out[i] = max(cents, key=lambda c: (cos(v, cents[c]), -c))
+        return out
+
+    for _ in range(ITERS):
+        assigned = assign(cents)
+        members: dict[int, list[int]] = {}
+        for i, c in assigned.items():
+            members.setdefault(c, []).append(i)
+        new = {}
+        for c, cent in cents.items():
+            if c not in members:
+                new[c] = cent  # empty-cell carry
+                continue
+            m = []
+            for dim in range(3):
+                sx = sum(ivec[i][dim] for i in members[c])
+                cnt = len(members[c])
+                q = (2 * abs(sx) + cnt) // (2 * cnt)
+                m.append(q if sx >= 0 else -q)
+            new[c] = m
+        cents = new
+    assigned = assign(cents)
+    expect = {}
+    for c, cent in cents.items():
+        mem = [i for i, cc in assigned.items() if cc == c]
+        expect[c] = (
+            len(mem),
+            sum(dot(ivec[i], cent) for i in mem),
+            sum(abs(x) for x in cent),
+            dot(cent, cent),
+        )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["cell_id"]: (
+            r["n_members"],
+            r["sum_member_dot"],
+            r["c_l1"],
+            r["c_nsq"],
+        )
+        for r in kmeans_cell_stats(df, N_CELLS, ITERS).collect()
+    }
+    assert got == expect
