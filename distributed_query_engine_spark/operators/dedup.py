@@ -63,7 +63,16 @@ def _spread_narrow_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
     substring top query spent 12.4 of its 13.3 s that way). Shuffling
     the compact rows (bytes ~ corpus size) is the cheap side of that
     trade; a 100 TB scan already has thousands of splits and skips the
-    branch entirely."""
+    branch entirely.
+
+    Call this on the RAW (doc_id, text) projection, never on the result
+    of an expensive projection: the repartition must sit BELOW the
+    fan-out so the per-row compute runs post-exchange (r9: wrapping the
+    gram build instead of the scan left the build single-core — the
+    exchange parallelizes only what is ABOVE it). Keeping the probed
+    plan scan-only also keeps the `.rdd` partition-count probe free —
+    on a shuffle-bearing plan that probe forces AQE to materialize the
+    upstream stages."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par, key)
@@ -76,16 +85,15 @@ def doc_token_arrays(
     """(doc_id, toks): the per-doc DISTINCT token array — the packed
     (never exploded) form of :func:`tokenize`. Docs whose token array
     is empty or null are dropped, matching explode semantics so the
-    row-local pipelines cover exactly the same doc set. The scan is
-    spread (:func:`_spread_narrow_scan`) because every consumer
-    (minhash/simhash/ngram/containment signatures) does md5-heavy
-    row-local work downstream."""
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
-    return _spread_narrow_scan(
-        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
-            F.size("toks") > 0
-        )
+    row-local pipelines cover exactly the same doc set. The raw scan is
+    spread (:func:`_spread_narrow_scan`) BEFORE the tokenize/distinct
+    projection, so it and every consumer's md5-heavy row-local work run
+    post-exchange."""
+    base = _spread_narrow_scan(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     )
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    return base.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
 
 
 def _md5_60(col) -> Column:
@@ -1052,15 +1060,14 @@ def doc_ngram_arrays(docs: DataFrame, n: int = 2) -> DataFrame:
     sf1, 50k docs: 20.7 s → 2.6 s for the identical output)."""
     from distributed_query_engine_spark.functions.text import sliding_windows
 
+    base = _spread_narrow_scan(docs.select("doc_id", "text"))
     grams = F.transform(
         sliding_windows(F.split(F.col("text"), " "), n),
         lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
     )
-    return _spread_narrow_scan(
-        docs.select(
-            F.col("doc_id"), F.array_distinct(grams).alias("toks")
-        ).filter(F.size("toks") > 0)
-    )
+    return base.select(
+        F.col("doc_id"), F.array_distinct(grams).alias("toks")
+    ).filter(F.size("toks") > 0)
 
 
 def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
@@ -1085,23 +1092,17 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     are verified with exact bigram Jaccard; only pairs at/above
     ``threshold`` are reported (same output contract as
     :func:`minhash_dedup_pairs`)."""
-    # repartition(N, key): the corpus often arrives as one parquet file
-    # at test scale, and a single scan partition serializes the
-    # expensive part (bigram explode + md5 ids, ~3 s single-threaded at
-    # sf0.1, paid in BOTH the signature and verify lineages) through
-    # one task. The explicit N pins the fan-out — a keyed repartition
-    # without N gets AQE-coalesced right back to one partition at small
-    # row counts. At 100 TB the scan is already thousands of partitions
-    # and this is a cheap rebalance.
-    n_par = docs.sparkSession.sparkContext.defaultParallelism
     # Row-local signatures + verify sets over the bigram arrays (same
     # shape as minhash_dedup_pairs): the bigram build + md5 ids are
     # recomputed in both lineages as pure projections — no exploded
-    # relation, no token shuffles. hashed ids are at their best here:
-    # the bigram vocabulary is an order of magnitude wider than the
-    # word vocabulary, so the dictionary path's global sort would be at
-    # its worst.
-    arrays = doc_ngram_arrays(docs.repartition(n_par, "doc_id"), 2)
+    # relation, no token shuffles (doc_ngram_arrays spreads its own raw
+    # scan up to session parallelism, so the historical outer
+    # repartition here is gone — it doubled the exchange AND left the
+    # inner `.rdd` probe staring at a shuffle-bearing plan). hashed ids
+    # are at their best here: the bigram vocabulary is an order of
+    # magnitude wider than the word vocabulary, so the dictionary
+    # path's global sort would be at its worst.
+    arrays = doc_ngram_arrays(docs, 2)
     sigs = signatures_from_arrays(arrays)
     pairs = candidate_pairs_grouped(sigs)
     return exact_jaccard(
@@ -1220,11 +1221,10 @@ def _span_base(docs: DataFrame) -> DataFrame:
     COMPACT doc rows (bytes ~ corpus size) before the fan-out is the
     cheap side of that trade; a 100 TB scan already has thousands of
     splits and skips this branch entirely."""
+    base = _spread_narrow_scan(docs.select("doc_id", "text"))
     toks = F.split(F.col("text"), " ")
-    return _spread_narrow_scan(
-        docs.select(
-            F.col("doc_id"), toks.alias("tl"), F.size(toks).alias("n_tok")
-        )
+    return base.select(
+        F.col("doc_id"), toks.alias("tl"), F.size(toks).alias("n_tok")
     )
 
 
