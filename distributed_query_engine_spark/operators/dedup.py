@@ -80,7 +80,10 @@ def _spread_narrow_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
 
 
 def doc_token_arrays(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spread: bool = True,
 ) -> DataFrame:
     """(doc_id, toks): the per-doc DISTINCT token array — the packed
     (never exploded) form of :func:`tokenize`. Docs whose token array
@@ -88,10 +91,16 @@ def doc_token_arrays(
     row-local pipelines cover exactly the same doc set. The raw scan is
     spread (:func:`_spread_narrow_scan`) BEFORE the tokenize/distinct
     projection, so it and every consumer's md5-heavy row-local work run
-    post-exchange."""
-    base = _spread_narrow_scan(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    post-exchange. ``spread=False`` opts out for relations that are
+    already small AND re-materialized per call — a streaming
+    micro-batch repartitioned to 32 partitions writes 32 tiny store
+    files per batch and pays a per-batch exchange for md5 work that
+    fits one task."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    if spread:
+        base = _spread_narrow_scan(base)
     toks = F.array_distinct(F.split(F.col("text"), " "))
     return base.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
 
@@ -147,9 +156,9 @@ def signatures_from_arrays(arrays: DataFrame) -> DataFrame:
     return base.select("doc_id", *mins)
 
 
-def signatures_rowlocal(docs: DataFrame) -> DataFrame:
+def signatures_rowlocal(docs: DataFrame, spread: bool = True) -> DataFrame:
     """Word-token row-local signatures (see signatures_from_arrays)."""
-    return signatures_from_arrays(doc_token_arrays(docs))
+    return signatures_from_arrays(doc_token_arrays(docs, spread=spread))
 
 
 def hash_sets_from_arrays(arrays: DataFrame) -> DataFrame:
@@ -162,9 +171,9 @@ def hash_sets_from_arrays(arrays: DataFrame) -> DataFrame:
     return arrays.select("doc_id", sets.alias("toks"))
 
 
-def doc_hash_sets_rowlocal(docs: DataFrame) -> DataFrame:
+def doc_hash_sets_rowlocal(docs: DataFrame, spread: bool = True) -> DataFrame:
     """Word-token row-local verify sets (see hash_sets_from_arrays)."""
-    return hash_sets_from_arrays(doc_token_arrays(docs))
+    return hash_sets_from_arrays(doc_token_arrays(docs, spread=spread))
 
 
 def token_ids(tokens: DataFrame) -> DataFrame:
@@ -697,8 +706,11 @@ def incremental_dedup_from_store(
     # the narrow signature relation — at production scale the GROUPED
     # form would itself be a maintained store artifact).
     sigs_c = spark.read.parquet(store_path)
+    # incoming is batch-sized (a streaming micro-batch in the ingest
+    # loop): its md5 work fits one task, so the narrow-scan spread is
+    # pure per-batch exchange overhead — opted out.
     sigs_n = (
-        signatures_rowlocal(incoming)
+        signatures_rowlocal(incoming, spread=False)
         if hashed
         else signatures_for(tokenize(incoming), hashed=False)
     )
@@ -722,7 +734,7 @@ def incremental_dedup_from_store(
     if hashed:
         verify_kw = {
             "doc_sets": doc_hash_sets_rowlocal(corpus_only).unionByName(
-                doc_hash_sets_rowlocal(incoming)
+                doc_hash_sets_rowlocal(incoming, spread=False)
             )
         }
     else:

@@ -358,7 +358,16 @@ def stream_ingest_dedup(
 
     d_all = Tables(spark, sf_dir).documents
     corpus = d_all.filter(F.col("doc_id") % 5 != 0)
-    store = str(_TMP / "sig_store_stream" / _staging_key(sf_dir))
+    # pid-keyed like sink/ckpt below — unlike the _tmp artifacts that
+    # are rebuilt idempotently per call, this store MUTATES during the
+    # run (per-batch appends), so a concurrent process sharing the path
+    # rmtrees/appends under this run's feet and the sink gains phantom
+    # pairs (observed r9: two concurrent driver sims → 24397 vs 22319).
+    import os as _os
+
+    store = str(
+        _TMP / "sig_store_stream" / f"{_staging_key(sf_dir)}-{_os.getpid()}"
+    )
     shutil.rmtree(store, ignore_errors=True)
     D.build_signature_store(spark, corpus, store, hashed=True)
 
@@ -399,7 +408,12 @@ def stream_ingest_dedup(
         normalized.write.mode("append").parquet(str(sink))
         # the production loop's append: this batch becomes part of the
         # store the NEXT batch dedups against
-        D.signatures_rowlocal(batch_df).write.mode("append").parquet(store)
+        # spread=False: a micro-batch repartitioned to session
+        # parallelism would append 32 tiny files per batch to the store
+        # and pay a per-batch exchange for one task's worth of md5.
+        D.signatures_rowlocal(batch_df, spread=False).write.mode(
+            "append"
+        ).parquet(store)
 
     q = (
         batches.writeStream.foreachBatch(process)
