@@ -371,6 +371,15 @@ def _driver_order(names: list[str]) -> list[str]:
         )
     )
     back = [n for n in names if verified_green(n)]
+    # Within the verified-green tail: OLDEST driver evidence first. With
+    # the registry fully verified (r9: 246/246 green), the driver's
+    # ~50-slot window is otherwise idle, so its highest-value use is
+    # refreshing the stalest green rows (VERDICT r9 item 1) — the r1-r4
+    # cohort re-fronts automatically this round, and every future round
+    # rotates the then-oldest evidence back into the window with no
+    # manual re-prioritisation. Stable sort keeps registration order
+    # within a round.
+    back.sort(key=lambda n: rows.get(n, (0, None))[0])
     return unverified + back
 
 

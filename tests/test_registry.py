@@ -147,6 +147,24 @@ def test_driver_order_fronts_unverified_queries():
                 assert names.index(n) < min(demoted or [len(names)]), n
 
 
+def test_verified_tail_orders_oldest_evidence_first():
+    """Within the verified-green tail, queries whose latest counting
+    green row is OLDEST must come first: when the registry is fully
+    verified, the driver's ~50-slot window re-checks the stalest
+    evidence instead of idling (VERDICT r9 item 1)."""
+    names = list(registry.all_queries())
+    rows = registry._latest_driver_rows()
+    tail_rounds = [
+        rows.get(n, (0, None))[0]
+        for n in names
+        if registry._verified_green(n, rows)
+    ]
+    assert tail_rounds == sorted(tail_rounds), (
+        "verified-green queries must be ordered by ascending round of "
+        "their latest green driver row"
+    )
+
+
 def test_changed_stamp_invalidates_old_green_rows(monkeypatch):
     """A green row recorded BEFORE a query's _CHANGED stamp must not
     demote it; a green row from the stamp round (or later) must."""
