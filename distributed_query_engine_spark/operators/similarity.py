@@ -698,6 +698,25 @@ def build_ivf_index(
     )
 
 
+def append_to_ivf_index(spark, emb_new: DataFrame, index_path: str) -> None:
+    """Assign a NEW batch of vectors to an EXISTING index's learned
+    cells and append them to the assignments relation — the batch-
+    ingest shape a 100 TB vector store actually runs (VERDICT r9
+    item 4; the ANN analog of the incremental-dedup trilogy). The
+    quantizer is NOT retrained: cell geometry is a versioned artifact
+    and retraining would invalidate every stored assignment, so ingest
+    is ONE broadcast of the stored centroids against the new batch's
+    scan (the same partial-aggregable argmax as :func:`_assign_to`)
+    plus an append of part-files into the cell-partitioned layout —
+    searches see the new vectors immediately via the same
+    partition-pruned reads, no rebuild, no rewrite of existing files."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    base = with_int_vec(emb_new).select("vec_id", "ivec", "nsq")
+    _assign_to(base, cents).write.mode("append").partitionBy(
+        "cell_id"
+    ).parquet(f"{index_path}/assignments")
+
+
 def topk_cosine_ivf_index(
     spark,
     index_path: str,

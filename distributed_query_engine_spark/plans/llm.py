@@ -505,40 +505,92 @@ def _train_bpe_merges(d) -> list[tuple[int, str, str, str, int]]:
     table) and llm_pack_sequences_bpe (consumes the learned merges):
     K rounds of count-pairs → argmax (ties lexical) → merge everywhere.
     Each iteration collects exactly ONE row; the corpus stays on
-    executors. Returns (rank, a, b, merged, n) rows."""
-    words = d.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
-    ).filter(F.col("w").rlike("^[a-z]+$"))
-    merges: list[tuple[str, str]] = []
+    executors. Returns (rank, a, b, merged, n) rows.
+
+    DELTA RE-ENCODE (VERDICT r9 item 2): the loop used to re-tokenize
+    every word from scratch through the k−1 merges learned so far — K
+    full corpus scans each dragging a k-deep replace() chain (O(K²)
+    replace applications, 68 s at sf1). Iteration k only CHANGES words
+    containing the just-learned pair, so instead we keep the corpus in
+    bpe_encode's delimiter-string form (``|a||b||c|``) as a PERSISTED
+    relation and apply each new merge as ONE literal ``replace()`` over
+    it — a no-op on non-containing rows, which is strictly cheaper than
+    a filter + union (that shape scans the cached relation twice and
+    shuffles the union). ``replace(replace(enc0, m1), m2, …)`` is
+    literally the same expression chain bpe_encode builds, just
+    materialized between steps, so the learned table is identical by
+    construction (property-pinned vs the pure-Python trainer in
+    tests/test_properties.py; oracle unchanged). Per-iteration cost
+    drops from corpus-scan × k replaces to cached-scan × 1 replace; the
+    previous iteration's cache is released as soon as its successor is
+    materialized, so at most two vocab-bounded string relations are
+    ever pinned. The raw scan is spread first (_spread_narrow_scan) so
+    the encode/count work of every iteration runs at session
+    parallelism — a compact corpus arrives in ONE split (r9 lesson)."""
+    from pyspark import StorageLevel
+
+    from distributed_query_engine_spark.operators.dedup import (
+        _spread_narrow_scan,
+    )
+
+    words = (
+        _spread_narrow_scan(d.select("doc_id", "text"))
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+    )
+    enc = words.select(
+        F.concat(
+            F.lit("|"), F.regexp_replace("w", "(.)", "|$1|"), F.lit("|")
+        ).alias("s")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    prev = None
     rows_out: list[tuple[int, str, str, str, int]] = []
-    for k in range(1, _BPE_TRAIN_K + 1):
-        # sliding_windows, not element_at(ts, i): projection collapse
-        # inlines the K-deep bpe_encode chain into the lambda, where a
-        # body reference re-evaluates it per PAIR — the window form
-        # evaluates it O(1) times per word (r9 re-eval audit).
-        tok_df = words.select(
-            T.bpe_encode(F.col("w"), tuple(merges)).alias("ts")
-        ).filter(F.size("ts") >= 2)
-        pairs = tok_df.select(
-            F.explode(T.sliding_windows(F.col("ts"), 2)).alias("p")
-        ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
-        top = (
-            pairs.groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            # degenerate corpus ran out of adjacent pairs before K
-            # merges: stop with the merges learned so far. The oracle
-            # degrades identically — its empty best{k} makes every
-            # later enc/best CTE empty, so both sides emit rows only
-            # for the learnable ranks.
-            break
-        best = top[0]
-        merges.append((best.a, best.b))
-        rows_out.append((k, best.a, best.b, best.a + best.b, best.n))
+    try:
+        for k in range(1, _BPE_TRAIN_K + 1):
+            # sliding_windows, not element_at(ts, i): a lambda-body
+            # reference re-evaluates per PAIR — the window form
+            # evaluates the split O(1) times per word (r9 audit).
+            toks = F.split(
+                F.regexp_replace("s", r"^\|\||\|\|$", ""), r"\|\|"
+            )
+            tok_df = enc.select(toks.alias("ts")).filter(F.size("ts") >= 2)
+            pairs = tok_df.select(
+                F.explode(T.sliding_windows(F.col("ts"), 2)).alias("p")
+            ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+            top = (
+                pairs.groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            # this collect materialized `enc`, so its parent's cache
+            # (consumed only to build `enc`) can be dropped now
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not top:
+                # degenerate corpus ran out of adjacent pairs before K
+                # merges: stop with the merges learned so far. The
+                # oracle degrades identically — its empty best{k} makes
+                # every later enc/best CTE empty, so both sides emit
+                # rows only for the learnable ranks.
+                break
+            best = top[0]
+            rows_out.append((k, best.a, best.b, best.a + best.b, best.n))
+            if k < _BPE_TRAIN_K:
+                prev = enc
+                enc = enc.select(
+                    F.replace(
+                        "s",
+                        F.lit(f"|{best.a}||{best.b}|"),
+                        F.lit(f"|{best.a}{best.b}|"),
+                    ).alias("s")
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+    finally:
+        enc.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return rows_out
 
 
@@ -1707,6 +1759,93 @@ def llm_similarity_ivf_index(spark, sf_dir):
     index = _tmp(sf_dir, "ivf_index")
     S.build_ivf_index(e, index)
     return S.topk_cosine_ivf_index(spark, index, _QUERY_IDS, k=5)
+
+
+# llm_similarity_ivf_incremental's ingest split: vectors with
+# vec_id % _IVF_NEW_MOD >= _IVF_NEW_LO are the "new batch" (10% of the
+# corpus); the rest is the existing indexed corpus. The lowest-id
+# centroid seeds (vec_id < N_CELLS) all fall in the existing side, so
+# the incremental index's quantizer is identical to the full rebuild's
+# — which makes "incremental ingest reproduces full-rebuild search
+# results exactly" the checkable contract.
+_IVF_NEW_MOD = 100
+_IVF_NEW_LO = 90
+
+
+@query(
+    "llm_similarity_ivf_incremental",
+    # The incremental index assigns old + new batches to the SAME
+    # learned centroids the full rebuild would use (seeds are all in
+    # the existing side), so the oracle is llm_similarity_ivf's replay
+    # plus the is_new ingest-batch flag on each hit.
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    cents AS (SELECT vec_id AS cell_id, ivec AS c_ivec, nsq AS c_nsq
+              FROM nv WHERE vec_id < {S.N_CELLS}),
+    assigned AS (
+      SELECT vec_id, ivec, nsq, cell_id FROM (
+        SELECT n.vec_id, n.ivec, n.nsq, c.cell_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {_COS.format(a='n.ivec', b='c.c_ivec', na='n.nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS crn
+        FROM nv n, cents c) WHERE crn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
+          FROM nv WHERE vec_id IN (0,1,2,3,4)),
+    probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT q.q_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 {_COS.format(a='q.q_ivec', b='c.c_ivec', na='q.q_nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS prn
+        FROM q, cents c) WHERE prn <= {S.N_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             {_COS.format(a='q.q_ivec', b='a.ivec', na='q.q_nsq', nb='a.nsq')} AS cosine
+      FROM probes p
+      JOIN assigned a ON a.cell_id = p.cell_id
+      JOIN q ON q.q_id = p.q_id
+      WHERE a.vec_id != p.q_id
+    )
+    SELECT q_id, vec_id, cosine, rn,
+           (vec_id % {_IVF_NEW_MOD}) >= {_IVF_NEW_LO} AS is_new
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def llm_similarity_ivf_incremental(spark, sf_dir):
+    """IVF index LIFECYCLE — ingest a new vector batch WITHOUT
+    rebuilding (VERDICT r9 item 4): build the index from the existing
+    90% of the corpus (operators/similarity.py::build_ivf_index), then
+    assign the new 10% batch to the EXISTING learned cells and append
+    its part-files into the cell-partitioned assignments relation
+    (::append_to_ivf_index — one broadcast-centroid scan of just the
+    batch), then search the updated index. Because the quantizer is
+    unchanged, search results are exactly what a full rebuild would
+    return — the is_new column marks hits served from the freshly
+    ingested batch, proving new vectors are immediately searchable.
+
+    100 TB: this is the shape a production vector store runs daily —
+    index build is amortized over many ingest batches; each batch
+    costs one scan of the BATCH (not the corpus) against broadcast
+    centroids plus an append into the partition layout the probed
+    reads already prune on. Retraining the quantizer (which would
+    invalidate every stored assignment) is a separate, rarer event."""
+    from distributed_query_engine_spark.plans.sources import _tmp
+
+    e = Tables(spark, sf_dir).embeddings
+    is_new = F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
+    index = _tmp(sf_dir, "ivf_index_incr")
+    S.build_ivf_index(e.filter(~is_new), index)
+    S.append_to_ivf_index(spark, e.filter(is_new), index)
+    res = S.topk_cosine_ivf_index(spark, index, _QUERY_IDS, k=5)
+    return res.withColumn(
+        "is_new",
+        F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO,
+    )
 
 
 @query(

@@ -149,8 +149,16 @@ _CHANGED: dict[str, int] = {
     # in functions/text.py). Values identical, oracle-exact re-sim.
     "llm_repetition_stats": 9,
     "llm_bigram_conditional_surprisal": 9,
-    "llm_bpe_train": 9,
-    "llm_pack_sequences_bpe": 9,
+    # r10: _train_bpe_merges rewritten to DELTA re-encode (VERDICT r9
+    # item 2) — the corpus stays persisted in delimiter-string form and
+    # each learned merge is ONE replace() over it instead of a full
+    # k-deep re-encode per iteration (68 → 6.4 s at sf1). Identical
+    # learned table by construction (the replace chain is the same
+    # expression, materialized between steps); property test + oracle
+    # re-verified locally — stamped anyway so both consumers of the
+    # shared loop re-earn driver rows.
+    "llm_bpe_train": 10,
+    "llm_pack_sequences_bpe": 10,
 }
 
 # Checked first within the unverified group (ordering hint only — a
@@ -300,6 +308,10 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_kmeans_embeddings",
     "layout_zorder_cluster",
     "llm_hard_negatives",
+    # --- r10 additions (born oracle-exact; ~0 other unverified names
+    # this round, so they front the window immediately).
+    "layout_zorder_pruning",
+    "llm_similarity_ivf_incremental",
 )
 
 

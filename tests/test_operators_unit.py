@@ -307,6 +307,45 @@ def test_ivf_hash_spread_and_lloyd_refinement(spark, sf_dir):
         )
 
 
+def test_ivf_incremental_append_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """Batch ingest without rebuild (append_to_ivf_index): new vectors
+    assigned to the EXISTING learned cells land as appended part-files
+    inside the cell-partitioned layout, and search over the updated
+    index returns exactly what a full rebuild over old+new would —
+    the quantizer is unchanged, so the contract is equality."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.catalog import Tables
+
+    e = Tables(spark, sf_dir).embeddings
+    # the registered query's split: 10% new batch, and the lowest-id
+    # centroid seeds (vec_id < n_cells) all fall in the EXISTING side,
+    # so the incremental quantizer equals the full-rebuild quantizer
+    is_new = F.pmod(F.col("vec_id"), F.lit(100)) >= 90
+    index = str(tmp_path / "ivf_index")
+    S.build_ivf_index(e.filter(~is_new), index, n_cells=8)
+    files_before = set(Path(index, "assignments").rglob("*.parquet"))
+    S.append_to_ivf_index(spark, e.filter(is_new), index)
+    files_after = set(Path(index, "assignments").rglob("*.parquet"))
+    # append adds part-files, never rewrites existing ones
+    assert files_before < files_after
+    # appended files land under ALREADY-EXISTING cell partition dirs
+    old_cells = {f.parent.name for f in files_before}
+    assert {f.parent.name for f in files_after - files_before} <= old_cells
+    got = sorted(
+        map(
+            tuple,
+            S.topk_cosine_ivf_index(spark, index, [0, 1, 2], k=5).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, S.topk_cosine_ivf(e, [0, 1, 2], k=5, n_cells=8).collect())
+    )
+    assert got and got == want
+
+
 def test_ivf_derived_n_cells_uses_corpus_size(spark, sf_dir):
     from distributed_query_engine_spark.catalog import Tables
 

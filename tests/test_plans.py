@@ -114,6 +114,37 @@ def test_ivf_index_search_partition_prunes(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_incremental_assignment_broadcasts_and_search_prunes(
+    spark, sf_dir
+):
+    # Batch ingest (VERDICT r9 item 4): the new-batch assignment must
+    # be a broadcast of the stored centroids against the batch scan
+    # (never a shuffled Cartesian), and the search over the appended
+    # index keeps the dynamic-partition-pruned probe reads.
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.operators import similarity as S
+    from distributed_query_engine_spark.plans.llm import (
+        _IVF_NEW_LO,
+        _IVF_NEW_MOD,
+    )
+    from distributed_query_engine_spark.plans.sources import _tmp
+
+    e = Tables(spark, sf_dir).embeddings
+    index = _tmp(sf_dir, "ivf_index_incr")
+    is_new = F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
+    S.build_ivf_index(e.filter(~is_new), index)
+    cents = spark.read.parquet(f"{index}/centroids")
+    base = S.with_int_vec(e.filter(is_new)).select("vec_id", "ivec", "nsq")
+    assign_plan = _plan(S._assign_to(base, cents))
+    assert "BroadcastNestedLoopJoin" in assign_plan, assign_plan
+    assert "CartesianProduct" not in assign_plan
+    search_plan = _plan(_q("llm_similarity_ivf_incremental", spark, sf_dir))
+    assert "dynamicpruning" in search_plan.lower()
+    assert "CartesianProduct" not in search_plan
+
+
 def test_simhash_pairs_salted_no_single_task_bucket(spark, sf_dir):
     # simhash_near_pairs' de-skew contract (operators/dedup.py): identical
     # simhash values are collapsed to group rows and the cross-group
@@ -463,6 +494,108 @@ def test_zorder_layout_single_shuffle_and_bounded_spans(spark, sf_dir):
     for r in df.collect():
         assert 0 <= r["x_span"] <= 511, r
         assert 0 <= r["y_span"] <= 511, r
+
+
+def test_zorder_physical_write_prunes_files(spark, tmp_path):
+    """END-TO-END z-order pruning proof (VERDICT r9 item 3): write the
+    sf0.01 orders coordinates once z-ordered (repartitionByRange(zval)
+    — the real OPTIMIZE ZORDER write) and once date-sorted, then count
+    the parquet ROW GROUPS whose footer min/max box intersects the
+    same 2-D predicate layout_zorder_pruning scores. The linear layout
+    must scan EVERY row group for a custkey-only predicate (each file
+    spans the full custkey domain); the z-ordered layout must scan
+    strictly fewer — and both layouts must return identical matching
+    rows (layout changes cost, never results)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.plans.sources import (
+        _Z_ANCHOR,
+        _Z_SIDE,
+        _ZP_FILES,
+        _ZP_X_HI,
+        _ZP_Y_HI,
+        _z_interleave,
+    )
+    from pyspark.sql import functions as F
+
+    orders = Tables(spark, "/root/testdata/sf0.01").orders
+    zk = orders.select(
+        F.pmod(F.col("o_custkey"), F.lit(_Z_SIDE)).alias("x"),
+        F.pmod(
+            F.datediff(
+                F.col("o_orderdate"), F.lit(_Z_ANCHOR).cast("date")
+            ).cast("long"),
+            F.lit(_Z_SIDE),
+        ).alias("y"),
+    ).withColumn(
+        "zval", F.expr(_z_interleave("x", "y", "shiftright({v}, {k})"))
+    )
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    zk.repartitionByRange(_ZP_FILES, "zval").sortWithinPartitions(
+        "zval"
+    ).write.parquet(zpath)
+    zk.repartitionByRange(_ZP_FILES, "y", "x").sortWithinPartitions(
+        "y", "x"
+    ).write.parquet(lpath)
+
+    def footer_scan_counts(path):
+        """(n_groups, scanned_x_only, scanned_both) from footer stats —
+        exactly the min/max pruning a parquet reader performs."""
+        total = sx = sb = 0
+        for f in Path(path).glob("*.parquet"):
+            meta = pq.ParquetFile(str(f)).metadata
+            names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+            xi, yi = names.index("x"), names.index("y")
+            for g in range(meta.num_row_groups):
+                rg = meta.row_group(g)
+                xmin = rg.column(xi).statistics.min
+                ymin = rg.column(yi).statistics.min
+                total += 1
+                hit_x = xmin <= _ZP_X_HI
+                sx += int(hit_x)
+                sb += int(hit_x and ymin <= _ZP_Y_HI)
+        return total, sx, sb
+
+    z_total, z_x, z_b = footer_scan_counts(zpath)
+    l_total, l_x, l_b = footer_scan_counts(lpath)
+    # the date-sorted layout cannot prune a custkey predicate
+    assert l_x == l_total, (l_x, l_total)
+    # the z-ordered layout prunes it — strictly fewer row groups
+    assert z_x < l_x, (z_x, l_x)
+    # and the 2-D box is at least as prunable z-ordered as linear
+    assert z_b <= l_b, (z_b, l_b)
+    # same rows either way: layout changes cost, never results
+    box = (F.col("x") <= _ZP_X_HI) & (F.col("y") <= _ZP_Y_HI)
+    assert (
+        spark.read.parquet(zpath).filter(box).count()
+        == spark.read.parquet(lpath).filter(box).count()
+    )
+
+
+def test_zorder_pruning_scorecard_shows_the_win(spark):
+    # The registered scorecard itself must exhibit the contrast it
+    # exists to publish: linear scans ALL files on the x-only
+    # predicate, zorder strictly fewer; matched rows identical.
+    # Pinned at sf0.01 (the driver-gate scale): at sf0.001 the custkey
+    # domain sits entirely inside the predicate box, so no layout can
+    # prune the x-only predicate and the contrast is vacuous.
+    rows = {
+        (r["layout"], r["predicate"]): r
+        for r in _q(
+            "layout_zorder_pruning", spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    lin_x, z_x = rows[("linear", "x_only")], rows[("zorder", "x_only")]
+    assert lin_x["n_files_scanned"] == lin_x["n_files"]
+    assert z_x["n_files_scanned"] < lin_x["n_files_scanned"]
+    for p in ("x_only", "y_only", "both"):
+        assert (
+            rows[("linear", p)]["n_rows_matched"]
+            == rows[("zorder", p)]["n_rows_matched"]
+        )
 
 
 def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
