@@ -280,15 +280,18 @@ class SqlDialect:
         if order_by:
             sql += " ORDER BY " + ", ".join(self.quote(c) for c in order_by)
         if limit is not None or offset:
-            if not order_by:
+            if offset and not order_by:
                 # SQL gives paged reads no order guarantee without ORDER
-                # BY — successive pages may overlap/miss rows (r9 ADVICE).
-                # Warn rather than raise: a single-page LIMIT without
-                # OFFSET is a legitimate unordered sample.
+                # BY — successive pages may overlap/miss rows (r9
+                # ADVICE). Only the multi-page case (offset > 0) is
+                # unstable; a single-page LIMIT without OFFSET is a
+                # legitimate unordered sample and stays silent (r10
+                # ADVICE — warnings-as-errors callers were failing on
+                # plain limit pushdowns).
                 import warnings
 
                 warnings.warn(
-                    "LIMIT/OFFSET without order_by: vendors return rows "
+                    "OFFSET paging without order_by: vendors return rows "
                     "in arbitrary order, so multi-page federated scans "
                     "are unstable across executions — pass order_by",
                     stacklevel=2,

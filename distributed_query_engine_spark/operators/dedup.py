@@ -1276,10 +1276,38 @@ def _grams(base: DataFrame, k: int) -> DataFrame:
     in BASELINE.md r9."""
     from pyspark import StorageLevel
 
-    return base.select(
+    df = base.select(
         "doc_id",
         F.posexplode(_span_gids(k)).alias("pos", "gid"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_GRAMS.append(df)
+    return df
+
+
+# Every relation _grams persisted, so long-lived sessions have a
+# release path (r10 ADVICE: a new cache entry per (corpus plan, k)
+# otherwise holds executor memory/disk for the whole session and
+# accumulates across corpora/k values).
+_PERSISTED_GRAMS: list[DataFrame] = []
+
+
+def release_gram_cache() -> int:
+    """Unpersist every gram relation :func:`_grams` has persisted in
+    this process (blocking=False — Spark frees the blocks
+    asynchronously). Call after a family of span-dedup queries when the
+    session will live on to other corpora; per-query consumers may
+    instead leave the entries to Spark's LRU cache manager, which is
+    the right default for a short-lived driver. Returns the number of
+    relations released (for tests)."""
+    n = 0
+    while _PERSISTED_GRAMS:
+        df = _PERSISTED_GRAMS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing left to free
+    return n
 
 
 def duplicated_span_report(docs: DataFrame, k: int = SPAN_K) -> DataFrame:

@@ -693,15 +693,19 @@ def llm_repetition_stats(spark, sf_dir):
     run = lambda acc, x: F.when(  # noqa: E731
         x == acc["prev"], acc["run"] + 1
     ).otherwise(F.lit(1))
+    # `best` folds in the PREVIOUS step's run, so the run CASE is
+    # spliced exactly once per element (r10 ADVICE — the old form
+    # evaluated it twice, once for `run` and once inside greatest);
+    # the final run is folded in by the finish lambda.
     top_cnt = F.aggregate(
         F.array_sort(ws),
         zero,
         lambda acc, x: F.struct(
             x.alias("prev"),
             run(acc, x).alias("run"),
-            F.greatest(acc["best"], run(acc, x)).alias("best"),
+            F.greatest(acc["best"], acc["run"]).alias("best"),
         ),
-        lambda acc: acc["best"],
+        lambda acc: F.greatest(acc["best"], acc["run"]),
     )
     dup_bigram = F.when(
         F.size(ws) >= 2,

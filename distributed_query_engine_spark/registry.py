@@ -147,8 +147,13 @@ _CHANGED: dict[str, int] = {
     # to the repetition bigrams + sorted-run top-frequency, the bigram
     # LM pair build, and the BPE trainer's pair count (sliding_windows
     # in functions/text.py). Values identical, oracle-exact re-sim.
-    "llm_repetition_stats": 9,
     "llm_bigram_conditional_surprisal": 9,
+    # r10: the sorted-run top-frequency aggregate now folds the
+    # PREVIOUS run into `best` (+ a finish-lambda greatest) so the run
+    # CASE is spliced once per element instead of twice (ADVICE r9).
+    # Value-preserving (same maximum run), locally re-verified
+    # oracle-exact — stamped per the value-preserving-change precedent.
+    "llm_repetition_stats": 10,
     # r10: _train_bpe_merges rewritten to DELTA re-encode (VERDICT r9
     # item 2) — the corpus stays persisted in delimiter-string form and
     # each learned merge is ONE replace() over it instead of a full

@@ -138,6 +138,57 @@ def _staging_key(sf_dir: str) -> str:
     return staging_key(sf_dir)
 
 
+# Parents that hold '<name>-<pid>' / '<name>-<key>-<pid>' run dirs. Each
+# run rmtrees only its OWN pid's dirs (a concurrent process must never
+# clear a live run's store — the r9 phantom-pair bug), so dirs of
+# crashed/finished processes would otherwise accumulate forever (r10
+# ADVICE). Swept once per process by _sweep_dead_pid_dirs().
+_PID_KEYED_PARENTS = ("sig_store_stream", "fb_sink", "checkpoints", "cdc_dim")
+_SWEPT = False
+
+
+def _sweep_dead_pid_dirs() -> int:
+    """Remove pid-suffixed run dirs whose owning process is gone.
+    Race-benign: a LIVE process's dir is never touched (os.kill(pid, 0)
+    raises nothing), a pid recycled by another user skips the sweep
+    (PermissionError), and at worst a dir created between listdir and
+    the kill-probe belongs to a live pid and passes the probe. Runs
+    once per process, lazily, before the first pid-keyed dir is
+    created. Returns the number of dirs removed (for tests)."""
+    global _SWEPT
+    _SWEPT = True
+    removed = 0
+    for parent in _PID_KEYED_PARENTS:
+        p = _TMP / parent
+        if not p.exists():
+            continue
+        for d in p.iterdir():
+            pid_s = d.name.rsplit("-", 1)[-1]
+            if not pid_s.isdigit() or int(pid_s) == os.getpid():
+                continue
+            try:
+                os.kill(int(pid_s), 0)
+            except ProcessLookupError:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+            except PermissionError:
+                pass  # alive under another uid — not ours to clear
+    return removed
+
+
+def _pid_run_dir(parent: str, key: str) -> "Path":
+    """A '<key>-<pid>' run dir under ``_TMP/parent``, cleared of any
+    previous run of THIS pid and with dead siblings swept (once per
+    process). Every pid-keyed path must come through here so the sweep
+    list and the keying scheme can't drift apart."""
+    global _SWEPT
+    if not _SWEPT:
+        _sweep_dead_pid_dirs()
+    d = _TMP / parent / f"{key}-{os.getpid()}"
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
 def _stage_dir(sf_dir: str) -> str:
     """The file stream source requires a *directory*; stage one holding
     a symlink to the events parquet (no data copy). The ``_STAGED``
@@ -218,9 +269,8 @@ def run_to_memory(
     checkpoint back (stream_state_store_read) take the exact path from
     LAST_RUN_CKPT instead of reconstructing it."""
     spark = result.sparkSession
-    ckpt = _TMP / "checkpoints" / f"{name}-{os.getpid()}"
+    ckpt = _pid_run_dir("checkpoints", name)
     LAST_RUN_CKPT[name] = str(ckpt)
-    shutil.rmtree(ckpt, ignore_errors=True)
     with _state_partitions(spark):
         q = (
             result.writeStream.format("memory")
@@ -363,12 +413,7 @@ def stream_ingest_dedup(
     # run (per-batch appends), so a concurrent process sharing the path
     # rmtrees/appends under this run's feet and the sink gains phantom
     # pairs (observed r9: two concurrent driver sims → 24397 vs 22319).
-    import os as _os
-
-    store = str(
-        _TMP / "sig_store_stream" / f"{_staging_key(sf_dir)}-{_os.getpid()}"
-    )
-    shutil.rmtree(store, ignore_errors=True)
+    store = str(_pid_run_dir("sig_store_stream", _staging_key(sf_dir)))
     D.build_signature_store(spark, corpus, store, hashed=True)
 
     slices = _stage_docs_sliced(spark, sf_dir, n_slices)
@@ -381,14 +426,10 @@ def stream_ingest_dedup(
     # sink/checkpoint keyed per sf_dir like the store — two concurrent
     # runs against different sf_dirs must not interleave one sink — and
     # per pid, so a second process never rmtrees this one's live run
-    import os
-
     name = "ingest_dedup"
-    run_key = f"{name}-{_staging_key(sf_dir)}-{os.getpid()}"
-    sink = _TMP / "fb_sink" / run_key
-    ckpt = _TMP / "checkpoints" / run_key
-    shutil.rmtree(sink, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    run_key = f"{name}-{_staging_key(sf_dir)}"
+    sink = _pid_run_dir("fb_sink", run_key)
+    ckpt = _pid_run_dir("checkpoints", run_key)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         report = D.incremental_dedup_from_store(
@@ -527,10 +568,8 @@ def run_foreach_batch_parquet(
     spark = result.sparkSession
     # pid-keyed like run_to_memory: a concurrent second process must not
     # rmtree this one's live checkpoint/sink
-    ckpt = _TMP / "checkpoints" / f"{name}-{os.getpid()}"
-    sink = _TMP / "fb_sink" / f"{name}-{os.getpid()}"
-    shutil.rmtree(ckpt, ignore_errors=True)
-    shutil.rmtree(sink, ignore_errors=True)
+    ckpt = _pid_run_dir("checkpoints", name)
+    sink = _pid_run_dir("fb_sink", name)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Overwrite: complete-mode batches supersede each other; the
@@ -914,15 +953,12 @@ def stream_cdc_apply(
     snapshot equals the one-shot batch merge regardless of micro-batch
     order. The oracle is therefore the shared MERGE_ORACLE_SQL, exact,
     for a genuinely incremental multi-batch computation."""
-    import os
-
     from distributed_query_engine_spark.catalog import Tables
     from distributed_query_engine_spark.operators.cdc import apply_cdc
 
     name = "cdc_apply"
-    run_key = f"{name}-{_staging_key(sf_dir)}-{os.getpid()}"
-    root = _TMP / "cdc_dim" / run_key
-    shutil.rmtree(root, ignore_errors=True)
+    run_key = f"{name}-{_staging_key(sf_dir)}"
+    root = _pid_run_dir("cdc_dim", run_key)
     (root).mkdir(parents=True, exist_ok=True)
     Tables(spark, sf_dir).customer.write.mode("overwrite").parquet(
         str(root / "v0")
@@ -937,8 +973,7 @@ def stream_cdc_apply(
         .option("maxFilesPerTrigger", "1")
         .load(str(slices / "flat"))
     )
-    ckpt = _TMP / "checkpoints" / run_key
-    shutil.rmtree(ckpt, ignore_errors=True)
+    ckpt = _pid_run_dir("checkpoints", run_key)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         snap = spark.read.parquet(str(root / pointer.read_text()))

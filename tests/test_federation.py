@@ -294,8 +294,7 @@ def test_dialect_flavor_validated_and_unordered_paging_warns():
     with pytest.raises(ValueError, match="only applies to jdbc:hive2"):
         FED.dialect_for("jdbc:mysql://h:3306/d", flavor="spark")
     # r9 ADVICE: paged scans without ORDER BY are nondeterministic
-    # across executions — select_sql warns (but still emits the SQL:
-    # a single unordered LIMIT page is a legitimate sample).
+    # across executions — select_sql warns (but still emits the SQL).
     d = FED.dialect_for("jdbc:postgresql://h:5432/d")
     with pytest.warns(UserWarning, match="without order_by"):
         sql = d.select_sql("t", limit=5, offset=10)
@@ -305,6 +304,11 @@ def test_dialect_flavor_validated_and_unordered_paging_warns():
     with _w.catch_warnings():
         _w.simplefilter("error")  # ordered paging must NOT warn
         d.select_sql("t", order_by=["id"], limit=5, offset=10)
+        # r10 ADVICE: a single-page LIMIT without OFFSET is a
+        # legitimate unordered sample — it must NOT warn either (the
+        # instability is strictly the offset > 0 multi-page case)
+        one_page = d.select_sql("t", limit=5)
+    assert one_page.endswith("FETCH NEXT 5 ROWS ONLY")
 
 
 def test_live_thrift_paged_scan_spark_flavor(spark, sf_dir):

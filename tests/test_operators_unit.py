@@ -492,6 +492,60 @@ def test_read_parquet_table_handles_zero_row_group_files(spark, tmp_path):
     assert df.count() == 0
 
 
+def test_release_gram_cache_unpersists(spark, sf_dir):
+    """r10 ADVICE: the persisted span-gram relations accumulate one
+    cache entry per (corpus plan, k) with no release path —
+    release_gram_cache() must unpersist every entry and empty the
+    registry so long-lived sessions can reclaim executor memory."""
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.operators import dedup as D
+
+    D.release_gram_cache()  # drain entries left by earlier tests
+    docs = Tables(spark, sf_dir).documents
+    D.duplicated_span_report(docs).count()  # materializes the grams
+    assert len(D._PERSISTED_GRAMS) >= 1
+    df = D._PERSISTED_GRAMS[-1]
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    assert D.release_gram_cache() >= 1
+    assert not D._PERSISTED_GRAMS
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+
+
+def test_dead_pid_run_dirs_are_swept():
+    """r10 ADVICE: pid-keyed run dirs (signature stores, foreachBatch
+    sinks, checkpoints) are only ever cleared by their own pid, so
+    crashed/finished processes leave one abandoned dir each forever.
+    _pid_run_dir sweeps dead siblings once per process — a dir named
+    with a no-longer-running pid is removed; the current pid's and a
+    live pid's dirs are kept."""
+    import os
+    import subprocess
+
+    from distributed_query_engine_spark.streaming import ops
+
+    # a real, definitely-dead pid (its process has been waited on)
+    p = subprocess.Popen(["true"])
+    p.wait()
+    dead_pid = p.pid
+    parent = ops._TMP / "checkpoints"
+    parent.mkdir(parents=True, exist_ok=True)
+    dead = parent / f"_sweep_test-{dead_pid}"
+    mine = parent / f"_sweep_test-{os.getpid()}"
+    live = parent / f"_sweep_test-{os.getppid()}"  # parent process lives
+    for d in (dead, mine, live):
+        d.mkdir(exist_ok=True)
+    try:
+        removed = ops._sweep_dead_pid_dirs()
+        assert removed >= 1
+        assert not dead.exists()
+        assert mine.exists() and live.exists()
+    finally:
+        for d in (dead, mine, live):
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stream_ingest_dedup_is_multibatch_and_matches_batch_variant(spark, sf_dir):
     # The streaming ingest loop must (a) genuinely process one
     # micro-batch per slice and (b) produce a sink row-identical to the
