@@ -868,6 +868,183 @@ def cosine_near_dup_pairs(
     )
 
 
+# --- Product quantization (Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search" — the FAISS IVF-PQ compression half).
+# M_SUB subspaces of dim/M_SUB dims, K_CODES centroids per subspace:
+# each vector compresses to M_SUB small ints (64 dims × 8 B → 4 B/vec
+# here; a real deployment uses 8-bit codes for 32× compression), and
+# search scans CODES against a per-query distance table instead of raw
+# vectors — the memory-bounded design that lets a 100 TB corpus's index
+# fit in RAM. All arithmetic is exact integer (fixed-point subvectors,
+# squared-L2 decomposes across subspaces), so a SQL oracle replays
+# codebook training, encoding, and the ADC scan bit-for-bit.
+PQ_M_SUB = 4
+PQ_K_CODES = 16
+PQ_LLOYD_ITERS = 1
+
+
+def _pq_subvecs(df: DataFrame, dim: int, m_sub: int = PQ_M_SUB) -> DataFrame:
+    """(vec_id, m, sv): the per-subspace slices of ivec. dim must be
+    divisible by m_sub (the caller probes it once — a scalar, like
+    suggest_n_cells' count())."""
+    sd = dim // m_sub
+    return df.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("ivec", m * sd + 1, sd).alias("sv"),
+                    )
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sv")
+
+
+def _pq_dist(sv_a, sv_b) -> "Column":
+    """Exact-integer squared L2 between two fixed-point subvectors:
+    ||a||² − 2·a·b + ||b||² (each term a long)."""
+    return (
+        norm_sq_long(sv_a) - 2 * dot_long(sv_a, sv_b) + norm_sq_long(sv_b)
+    )
+
+
+def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-code assignment per (vec_id, m): broadcast the codebook,
+    argmin squared-L2 with ties → lowest code_id, as a PARTIAL-
+    AGGREGABLE max_by over (−dist, −code_id) — the same map-side
+    reduce as the IVF assignment, so the shuffle carries ~|corpus|·M
+    rows, not |corpus|·M·K."""
+    scored = subs.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "sv",
+        "code_id",
+        _pq_dist(F.col("sv"), F.col("c_sv")).alias("dist"),
+    )
+    best = F.max_by(
+        F.struct("sv", "code_id"),
+        F.struct(
+            (-F.col("dist")).alias("neg_dist"),
+            (-F.col("code_id")).alias("neg_code"),
+        ),
+    ).alias("b")
+    return scored.groupBy("vec_id", "m").agg(best).select(
+        "vec_id", "m", "b.sv", "b.code_id"
+    )
+
+
+def pq_codebooks(
+    subs: DataFrame,
+    k_codes: int = PQ_K_CODES,
+    lloyd_iters: int = PQ_LLOYD_ITERS,
+) -> DataFrame:
+    """Per-subspace codebooks (m, code_id, c_sv): seeds = the k_codes
+    lowest-vec_id vectors' subvectors (deterministic, oracle-
+    replayable — the ivf_centroids 'lowest_id' discipline), refined by
+    exact-integer Lloyd steps over squared L2. All M_SUB codebooks
+    train in ONE relation keyed by m — the subspace is a grouping
+    column, so adding subspaces adds rows to broadcast-sized relations,
+    never stages. Empty codes keep their previous centroid (the
+    empty-cell carry from ivf_centroids)."""
+    cb = subs.filter(F.col("vec_id") < k_codes).select(
+        "m", F.col("vec_id").alias("code_id"), F.col("sv").alias("c_sv")
+    )
+    for _ in range(lloyd_iters):
+        assigned = _pq_assign(subs, cb)
+        means = (
+            assigned.select("m", "code_id", F.posexplode("sv").alias("d", "x"))
+            .groupBy("m", "code_id", "d")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "mx",
+                F.expr(
+                    "CASE WHEN sx >= 0 THEN (2*sx + c) div (2*c) "
+                    "ELSE -((2*(-sx) + c) div (2*c)) END"
+                ),
+            )
+            .groupBy("m", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("d"), F.col("mx")))
+                    ),
+                    lambda s: s["mx"],
+                ).alias("c_sv")
+            )
+        )
+        kept = cb.join(
+            means.select("m", "code_id"), ["m", "code_id"], "left_anti"
+        )
+        cb = means.unionByName(kept).localCheckpoint()
+    return cb
+
+
+def pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code_id): the compressed corpus — M_SUB small ints
+    per vector, the only per-vector state the ADC scan reads."""
+    return _pq_assign(subs, cb).select("vec_id", "m", "code_id")
+
+
+def topk_l2_pq(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m_sub: int = PQ_M_SUB,
+    k_codes: int = PQ_K_CODES,
+    lloyd_iters: int = PQ_LLOYD_ITERS,
+) -> DataFrame:
+    """PQ/ADC approximate nearest neighbors by squared L2: train
+    per-subspace codebooks, ENCODE the corpus to M_SUB codes per
+    vector, build each query's (m, code) distance table (M_SUB ×
+    K_CODES tiny rows, broadcast), and rank candidates by the
+    asymmetric-distance sum Σ_m dtable[m, code_m(v)] — approximate
+    (quantization error) but fully deterministic, hence oracle-exact.
+
+    100 TB shape: the scan side is the CODES relation (M_SUB ints per
+    vector — memory-resident at corpus scale, the point of PQ); the
+    distance table is query-local and broadcast; the per-(q, vec) sum
+    partial-aggregates map-side. Raw vectors are touched only at
+    train/encode time (and would be re-ranked from disk for the final
+    top-k in a full IVF-PQ deployment)."""
+    base = with_int_vec(emb).filter(F.size("ivec") > 0).select(
+        "vec_id", "ivec"
+    )
+    dim = base.select(F.size("ivec").alias("d")).first()["d"]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    subs = _pq_subvecs(base, dim, m_sub)
+    cb = pq_codebooks(subs, k_codes, lloyd_iters)
+    codes = pq_encode(subs, cb)
+    q_dt = (
+        subs.filter(F.col("vec_id").isin(query_ids))
+        .withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("sv", "q_sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "q_id",
+            "m",
+            "code_id",
+            _pq_dist(F.col("q_sv"), F.col("c_sv")).alias("dist"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(q_dt), ["m", "code_id"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "adc_dist", "rn")
+    )
+
+
 RP_DIMS = 16  # random-projection output dimensionality
 
 

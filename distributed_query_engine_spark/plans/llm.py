@@ -1765,6 +1765,105 @@ def llm_similarity_ivf_index(spark, sf_dir):
     return S.topk_cosine_ivf_index(spark, index, _QUERY_IDS, k=5)
 
 
+# PQ/ADC oracle helpers: exact-integer squared L2 between fixed-point
+# subvectors (every term a long below 2^53, so DuckDB's double-internal
+# list_dot_product is exact — the established nsq practice).
+_PQD = (
+    "CAST(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}) AS BIGINT)"
+)
+
+
+def _pq_oracle() -> str:
+    """DuckDB replay of the full PQ pipeline — codebook training
+    (lowest-id seeds + one exact-integer Lloyd step per subspace),
+    corpus encoding, per-query distance tables, and the ADC sum — the
+    llm_kmeans data-dependent-oracle discipline extended with the
+    subspace as a grouping column."""
+    m, k = S.PQ_M_SUB, S.PQ_K_CODES
+    d_a0 = _PQD.format(a="s.sv", b="c.c_sv")
+    d_dt = _PQD.format(a="q.q_sv", b="c.c_sv")
+    return f"""
+    WITH {_IVEC_CTE},
+    sv AS (
+      SELECT vec_id, g.m AS m,
+             ivec[(g.m*(len(ivec)//{m})+1):((g.m+1)*(len(ivec)//{m}))] AS sv
+      FROM nv, generate_series(0, {m - 1}) g(m)
+      WHERE len(ivec) > 0
+    ),
+    cb0 AS (SELECT m, vec_id AS code_id, sv AS c_sv
+            FROM sv WHERE vec_id < {k}),
+    a0 AS (
+      SELECT vec_id, m, sv, code_id FROM (
+        SELECT s.vec_id, s.m, s.sv, c.code_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 {d_a0} ASC, c.code_id) AS rn
+        FROM sv s JOIN cb0 c ON c.m = s.m) WHERE rn = 1
+    ),
+    agg0 AS (
+      SELECT m, code_id, d, sum(x) AS sx, count(*) AS c
+      FROM (SELECT m, code_id, unnest(sv) AS x,
+                   unnest(range(len(sv))) AS d
+            FROM a0)
+      GROUP BY m, code_id, d
+    ),
+    means0 AS (
+      SELECT m, code_id,
+             list(CAST(CASE WHEN sx >= 0 THEN (2*sx + c) // (2*c)
+                            ELSE -((2*(-sx) + c) // (2*c)) END AS BIGINT)
+                  ORDER BY d) AS c_sv
+      FROM agg0 GROUP BY m, code_id
+    ),
+    cb1 AS (
+      SELECT * FROM means0
+      UNION ALL
+      SELECT p.m, p.code_id, p.c_sv FROM cb0 p
+      WHERE NOT EXISTS (SELECT 1 FROM means0 x
+                        WHERE x.m = p.m AND x.code_id = p.code_id)
+    ),
+    codes AS (
+      SELECT vec_id, m, code_id FROM (
+        SELECT s.vec_id, s.m, c.code_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 {_PQD.format(a="s.sv", b="c.c_sv")} ASC, c.code_id) AS rn
+        FROM sv s JOIN cb1 c ON c.m = s.m) WHERE rn = 1
+    ),
+    qsv AS (SELECT vec_id AS q_id, m, sv AS q_sv
+            FROM sv WHERE vec_id IN (0,1,2,3,4)),
+    dt AS (
+      SELECT q.q_id, c.m, c.code_id, {d_dt} AS dist
+      FROM qsv q JOIN cb1 c ON c.m = q.m
+    ),
+    scored AS (
+      SELECT d.q_id, kk.vec_id, CAST(sum(d.dist) AS BIGINT) AS adc_dist
+      FROM codes kk JOIN dt d ON d.m = kk.m AND d.code_id = kk.code_id
+      WHERE kk.vec_id != d.q_id
+      GROUP BY d.q_id, kk.vec_id
+    )
+    SELECT q_id, vec_id, adc_dist, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY adc_dist, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """
+
+
+@query("llm_similarity_pq", oracle=_pq_oracle)
+def llm_similarity_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011 — the FAISS IVF-PQ
+    compression half; operators/similarity.py::topk_l2_pq): train
+    per-subspace codebooks (lowest-id seeds + one exact-integer Lloyd
+    step), compress every vector to M_SUB code ids, and rank by the
+    asymmetric-distance (ADC) sum against each query's broadcast
+    distance table. The scan side is the CODES relation — a few ints
+    per vector instead of the raw embedding — which is what lets a
+    100 TB corpus's search state fit in memory; IVF (llm_similarity_ivf)
+    bounds WHICH vectors are scanned, PQ bounds the BYTES per scanned
+    vector, and a production store composes both. Deterministic end to
+    end, so the oracle replays training + encoding + search exactly."""
+    e = Tables(spark, sf_dir).embeddings
+    return S.topk_l2_pq(e, _QUERY_IDS, k=5)
+
+
 # llm_similarity_ivf_incremental's ingest split: vectors with
 # vec_id % _IVF_NEW_MOD >= _IVF_NEW_LO are the "new batch" (10% of the
 # corpus); the rest is the existing indexed corpus. The lowest-id

@@ -317,6 +317,7 @@ _DEFER_NEW: tuple[str, ...] = (
     # this round, so they front the window immediately).
     "layout_zorder_pruning",
     "llm_similarity_ivf_incremental",
+    "llm_similarity_pq",
 )
 
 

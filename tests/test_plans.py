@@ -145,6 +145,58 @@ def test_ivf_incremental_assignment_broadcasts_and_search_prunes(
     assert "CartesianProduct" not in search_plan
 
 
+def test_pq_adc_scan_broadcasts_tables_and_partial_aggregates(spark, sf_dir):
+    # PQ/ADC (llm_similarity_pq): the codebook and the per-query
+    # distance table must BROADCAST onto the codes scan (never a
+    # shuffled join of the corpus against either tiny relation), the
+    # ADC sum must partial-aggregate map-side, and the whole pipeline
+    # stays JVM-side. Quality floor: ADC top-5 must overlap the exact
+    # L2 top-5 (quantization approximates, it must not scramble).
+    df = _q("llm_similarity_pq", spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = {(r["q_id"], r["vec_id"]) for r in df.collect()}
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.functions.vectors import (
+        dot_long,
+        int_vec,
+        norm_sq_long,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = (
+        Tables(spark, sf_dir)
+        .embeddings.select("vec_id", int_vec("embedding").alias("ivec"))
+        .withColumn("nsq", norm_sq_long(F.col("ivec")))
+    )
+    q = base.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ivec").alias("q_ivec"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    l2 = (
+        F.col("q_nsq")
+        - 2 * dot_long(F.col("q_ivec"), F.col("ivec"))
+        + F.col("nsq")
+    )
+    w = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", l2.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    overlap = len(got & exact)
+    assert overlap >= 5, (overlap, sorted(got), sorted(exact))
+
+
 def test_simhash_pairs_salted_no_single_task_bucket(spark, sf_dir):
     # simhash_near_pairs' de-skew contract (operators/dedup.py): identical
     # simhash values are collapsed to group rows and the cross-group
