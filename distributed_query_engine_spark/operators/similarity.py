@@ -1045,6 +1045,107 @@ def topk_l2_pq(
     )
 
 
+def _assign_to_l2(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell_id): nearest-centroid assignment by EXACT-INTEGER
+    squared L2 (ties → lowest cell id) — the IVF-PQ variant of
+    :func:`_assign_to` (whose cosine needs a float divide; L2 keeps the
+    whole IVF-PQ pipeline integer-pure). Same partial-aggregable
+    max_by shape: broadcast centroids, map-side argmin, the exchange
+    carries ~|corpus| rows."""
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        _pq_dist(F.col("ivec"), F.col("c_ivec")).alias("dist"),
+    )
+    best = F.max_by(
+        F.col("cell_id"),
+        F.struct(
+            (-F.col("dist")).alias("neg_dist"),
+            (-F.col("cell_id")).alias("neg_cell"),
+        ),
+    ).alias("cell_id")
+    return scored.groupBy("vec_id").agg(best)
+
+
+def topk_l2_ivfpq(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    m_sub: int = PQ_M_SUB,
+    k_codes: int = PQ_K_CODES,
+    lloyd_iters: int = PQ_LLOYD_ITERS,
+) -> DataFrame:
+    """IVF-PQ — the composed production vector-store design (FAISS's
+    default at scale): IVF bounds WHICH vectors are scanned (each query
+    probes its n_probe nearest cells by exact-integer squared L2), PQ
+    bounds the BYTES per scanned vector (the probed cells' vectors are
+    ranked by the ADC sum over their codes, never their raw
+    embeddings). Both stages share the lowest-id/Lloyd determinism, so
+    the full two-level index + search replays exactly in SQL.
+
+    100 TB shape: centroids and codebooks broadcast; the scan side of
+    search is codes ⋈ cell-assignment — a few ints per vector; the
+    only corpus-sized shuffles are the two partial-aggregated argmin
+    assignments at BUILD time. Search cost = n_probe/n_cells of the
+    codes relation per query."""
+    base = with_int_vec(emb).filter(F.size("ivec") > 0).select(
+        "vec_id", "ivec"
+    )
+    dim = base.select(F.size("ivec").alias("d")).first()["d"]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("ivec").alias("c_ivec")
+    )
+    assigned = _assign_to_l2(base, cents)
+    subs = _pq_subvecs(base, dim, m_sub)
+    cb = pq_codebooks(subs, k_codes, lloyd_iters)
+    codes = pq_encode(subs, cb)
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("ivec").alias("q_ivec")
+    )
+    pw = Window.partitionBy("q_id").orderBy("p_dist", "cell_id")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "cell_id",
+            _pq_dist(F.col("q_ivec"), F.col("c_ivec")).alias("p_dist"),
+        )
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= n_probe)
+        .select("q_id", "cell_id")
+    )
+    q_dt = (
+        subs.filter(F.col("vec_id").isin(query_ids))
+        .withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("sv", "q_sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "q_id",
+            "m",
+            "code_id",
+            _pq_dist(F.col("q_sv"), F.col("c_sv")).alias("dist"),
+        )
+    )
+    scored = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(q_dt), ["q_id", "m", "code_id"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "adc_dist", "rn")
+    )
+
+
 RP_DIMS = 16  # random-projection output dimensionality
 
 

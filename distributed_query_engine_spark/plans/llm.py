@@ -1774,66 +1774,71 @@ _PQD = (
 )
 
 
+def _pq_ctes() -> list[str]:
+    """The shared PQ CTE chain — subvectors, codebook seeds, one
+    exact-integer Lloyd step (with empty-code carry), corpus encoding,
+    and the query panel's distance tables — ending at ``codes`` and
+    ``dt``. Shared by the plain-PQ and the IVF-PQ oracles exactly as
+    _kmeans_cents_ctes is shared by its two consumers."""
+    m, k = S.PQ_M_SUB, S.PQ_K_CODES
+    d_cb = _PQD.format(a="s.sv", b="c.c_sv")
+    d_dt = _PQD.format(a="q.q_sv", b="c.c_sv")
+    return [
+        f"""sv AS (
+      SELECT vec_id, g.m AS m,
+             ivec[(g.m*(len(ivec)//{m})+1):((g.m+1)*(len(ivec)//{m}))] AS sv
+      FROM nv, generate_series(0, {m - 1}) g(m)
+      WHERE len(ivec) > 0)""",
+        f"""cb0 AS (SELECT m, vec_id AS code_id, sv AS c_sv
+            FROM sv WHERE vec_id < {k})""",
+        f"""a0 AS (
+      SELECT vec_id, m, sv, code_id FROM (
+        SELECT s.vec_id, s.m, s.sv, c.code_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 {d_cb} ASC, c.code_id) AS rn
+        FROM sv s JOIN cb0 c ON c.m = s.m) WHERE rn = 1)""",
+        """agg0 AS (
+      SELECT m, code_id, d, sum(x) AS sx, count(*) AS c
+      FROM (SELECT m, code_id, unnest(sv) AS x,
+                   unnest(range(len(sv))) AS d
+            FROM a0)
+      GROUP BY m, code_id, d)""",
+        """means0 AS (
+      SELECT m, code_id,
+             list(CAST(CASE WHEN sx >= 0 THEN (2*sx + c) // (2*c)
+                            ELSE -((2*(-sx) + c) // (2*c)) END AS BIGINT)
+                  ORDER BY d) AS c_sv
+      FROM agg0 GROUP BY m, code_id)""",
+        """cb1 AS (
+      SELECT * FROM means0
+      UNION ALL
+      SELECT p.m, p.code_id, p.c_sv FROM cb0 p
+      WHERE NOT EXISTS (SELECT 1 FROM means0 x
+                        WHERE x.m = p.m AND x.code_id = p.code_id))""",
+        f"""codes AS (
+      SELECT vec_id, m, code_id FROM (
+        SELECT s.vec_id, s.m, c.code_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 {d_cb} ASC, c.code_id) AS rn
+        FROM sv s JOIN cb1 c ON c.m = s.m) WHERE rn = 1)""",
+        """qsv AS (SELECT vec_id AS q_id, m, sv AS q_sv
+            FROM sv WHERE vec_id IN (0,1,2,3,4))""",
+        f"""dt AS (
+      SELECT q.q_id, c.m, c.code_id, {d_dt} AS dist
+      FROM qsv q JOIN cb1 c ON c.m = q.m)""",
+    ]
+
+
 def _pq_oracle() -> str:
     """DuckDB replay of the full PQ pipeline — codebook training
     (lowest-id seeds + one exact-integer Lloyd step per subspace),
     corpus encoding, per-query distance tables, and the ADC sum — the
     llm_kmeans data-dependent-oracle discipline extended with the
     subspace as a grouping column."""
-    m, k = S.PQ_M_SUB, S.PQ_K_CODES
-    d_a0 = _PQD.format(a="s.sv", b="c.c_sv")
-    d_dt = _PQD.format(a="q.q_sv", b="c.c_sv")
+    joined = ",\n    ".join(_pq_ctes())
     return f"""
     WITH {_IVEC_CTE},
-    sv AS (
-      SELECT vec_id, g.m AS m,
-             ivec[(g.m*(len(ivec)//{m})+1):((g.m+1)*(len(ivec)//{m}))] AS sv
-      FROM nv, generate_series(0, {m - 1}) g(m)
-      WHERE len(ivec) > 0
-    ),
-    cb0 AS (SELECT m, vec_id AS code_id, sv AS c_sv
-            FROM sv WHERE vec_id < {k}),
-    a0 AS (
-      SELECT vec_id, m, sv, code_id FROM (
-        SELECT s.vec_id, s.m, s.sv, c.code_id,
-               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-                 {d_a0} ASC, c.code_id) AS rn
-        FROM sv s JOIN cb0 c ON c.m = s.m) WHERE rn = 1
-    ),
-    agg0 AS (
-      SELECT m, code_id, d, sum(x) AS sx, count(*) AS c
-      FROM (SELECT m, code_id, unnest(sv) AS x,
-                   unnest(range(len(sv))) AS d
-            FROM a0)
-      GROUP BY m, code_id, d
-    ),
-    means0 AS (
-      SELECT m, code_id,
-             list(CAST(CASE WHEN sx >= 0 THEN (2*sx + c) // (2*c)
-                            ELSE -((2*(-sx) + c) // (2*c)) END AS BIGINT)
-                  ORDER BY d) AS c_sv
-      FROM agg0 GROUP BY m, code_id
-    ),
-    cb1 AS (
-      SELECT * FROM means0
-      UNION ALL
-      SELECT p.m, p.code_id, p.c_sv FROM cb0 p
-      WHERE NOT EXISTS (SELECT 1 FROM means0 x
-                        WHERE x.m = p.m AND x.code_id = p.code_id)
-    ),
-    codes AS (
-      SELECT vec_id, m, code_id FROM (
-        SELECT s.vec_id, s.m, c.code_id,
-               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-                 {_PQD.format(a="s.sv", b="c.c_sv")} ASC, c.code_id) AS rn
-        FROM sv s JOIN cb1 c ON c.m = s.m) WHERE rn = 1
-    ),
-    qsv AS (SELECT vec_id AS q_id, m, sv AS q_sv
-            FROM sv WHERE vec_id IN (0,1,2,3,4)),
-    dt AS (
-      SELECT q.q_id, c.m, c.code_id, {d_dt} AS dist
-      FROM qsv q JOIN cb1 c ON c.m = q.m
-    ),
+    {joined},
     scored AS (
       SELECT d.q_id, kk.vec_id, CAST(sum(d.dist) AS BIGINT) AS adc_dist
       FROM codes kk JOIN dt d ON d.m = kk.m AND d.code_id = kk.code_id
@@ -1845,6 +1850,69 @@ def _pq_oracle() -> str:
           PARTITION BY q_id ORDER BY adc_dist, vec_id) AS BIGINT) AS rn
       FROM scored) WHERE rn <= 5
     """
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ replay: the shared PQ CTE chain plus the integer-L2
+    coarse quantizer (lowest-id cells, argmin assignment, per-query
+    n_probe probe set) — the ADC scan is then confined to probed
+    cells' codes."""
+    joined = ",\n    ".join(_pq_ctes())
+    d_asg = _PQD.format(a="n.ivec", b="c.c_ivec")
+    d_prb = _PQD.format(a="q.q_ivec", b="c.c_ivec")
+    return f"""
+    WITH {_IVEC_CTE},
+    {joined},
+    pv AS (SELECT vec_id, ivec FROM nv WHERE len(ivec) > 0),
+    cents AS (SELECT vec_id AS cell_id, ivec AS c_ivec
+              FROM pv WHERE vec_id < {S.N_CELLS}),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT n.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {d_asg} ASC, c.cell_id) AS rn
+        FROM pv n, cents c) WHERE rn = 1
+    ),
+    qv AS (SELECT vec_id AS q_id, ivec AS q_ivec
+           FROM pv WHERE vec_id IN (0,1,2,3,4)),
+    probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT q.q_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 {d_prb} ASC, c.cell_id) AS prn
+        FROM qv q, cents c) WHERE prn <= {S.N_PROBE}
+    ),
+    scored AS (
+      SELECT d.q_id, kk.vec_id, CAST(sum(d.dist) AS BIGINT) AS adc_dist
+      FROM codes kk
+      JOIN assigned a ON a.vec_id = kk.vec_id
+      JOIN probes p ON p.cell_id = a.cell_id
+      JOIN dt d ON d.q_id = p.q_id AND d.m = kk.m AND d.code_id = kk.code_id
+      WHERE kk.vec_id != p.q_id
+      GROUP BY d.q_id, kk.vec_id
+    )
+    SELECT q_id, vec_id, adc_dist, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY adc_dist, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """
+
+
+@query("llm_similarity_ivfpq", oracle=_ivfpq_oracle)
+def llm_similarity_ivfpq(spark, sf_dir):
+    """IVF-PQ — the composed two-level vector index a production store
+    actually runs (operators/similarity.py::topk_l2_ivfpq): IVF bounds
+    WHICH vectors each query scans (n_probe nearest cells by exact-
+    integer squared L2), PQ bounds the BYTES per scanned vector (ADC
+    over the probed cells' code ids — raw embeddings are never read at
+    search time). Integer-pure end to end — coarse assignment, probe
+    selection, codebook training, encoding, and the ADC sum are all
+    exact longs — so the oracle replays the entire two-level index
+    bit-for-bit. Search cost = n_probe/n_cells of a codes relation
+    that is a few ints per vector: the 100 TB memory-and-IO budget
+    that neither half achieves alone."""
+    e = Tables(spark, sf_dir).embeddings
+    return S.topk_l2_ivfpq(e, _QUERY_IDS, k=5)
 
 
 @query("llm_similarity_pq", oracle=_pq_oracle)

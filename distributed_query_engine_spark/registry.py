@@ -318,6 +318,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "layout_zorder_pruning",
     "llm_similarity_ivf_incremental",
     "llm_similarity_pq",
+    "llm_similarity_ivfpq",
 )
 
 

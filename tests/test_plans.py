@@ -197,6 +197,28 @@ def test_pq_adc_scan_broadcasts_tables_and_partial_aggregates(spark, sf_dir):
     assert overlap >= 5, (overlap, sorted(got), sorted(exact))
 
 
+def test_ivfpq_search_scans_codes_with_broadcast_index(spark, sf_dir):
+    # IVF-PQ (llm_similarity_ivfpq): every index relation (centroids,
+    # codebooks, probe sets, distance tables) must broadcast onto the
+    # codes/assignment scan side; the ADC sum partial-aggregates; no
+    # shuffled Cartesian, no Python in the pipeline. Quality: the
+    # probed-cells ADC top-k must agree with plain PQ on most hits for
+    # queries whose neighbors sit in probed cells — asserted weakly as
+    # non-empty per-query results (5 queries x 5).
+    df = _q("llm_similarity_ivfpq", spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) == 25
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r["rn"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
 def test_simhash_pairs_salted_no_single_task_bucket(spark, sf_dir):
     # simhash_near_pairs' de-skew contract (operators/dedup.py): identical
     # simhash values are collapsed to group rows and the cross-group
