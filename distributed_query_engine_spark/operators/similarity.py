@@ -1009,9 +1009,17 @@ def topk_l2_pq(
     distance table is query-local and broadcast; the per-(q, vec) sum
     partial-aggregates map-side. Raw vectors are touched only at
     train/encode time (and would be re-ranked from disk for the final
-    top-k in a full IVF-PQ deployment)."""
-    base = with_int_vec(emb).filter(F.size("ivec") > 0).select(
-        "vec_id", "ivec"
+    top-k in a full IVF-PQ deployment). The raw scan is spread first
+    (dedup._spread_narrow_scan; the r9 one-split lesson): a compact
+    embeddings file arrives in 1-2 splits, which would single-thread
+    the subvector/assignment fan-outs."""
+    from distributed_query_engine_spark.operators.dedup import (
+        _spread_narrow_scan,
+    )
+
+    base = _spread_narrow_scan(
+        with_int_vec(emb).filter(F.size("ivec") > 0).select("vec_id", "ivec"),
+        key="vec_id",
     )
     dim = base.select(F.size("ivec").alias("d")).first()["d"]
     if dim % m_sub:
@@ -1089,9 +1097,14 @@ def topk_l2_ivfpq(
     search is codes ⋈ cell-assignment — a few ints per vector; the
     only corpus-sized shuffles are the two partial-aggregated argmin
     assignments at BUILD time. Search cost = n_probe/n_cells of the
-    codes relation per query."""
-    base = with_int_vec(emb).filter(F.size("ivec") > 0).select(
-        "vec_id", "ivec"
+    codes relation per query. Raw scan spread like topk_l2_pq."""
+    from distributed_query_engine_spark.operators.dedup import (
+        _spread_narrow_scan,
+    )
+
+    base = _spread_narrow_scan(
+        with_int_vec(emb).filter(F.size("ivec") > 0).select("vec_id", "ivec"),
+        key="vec_id",
     )
     dim = base.select(F.size("ivec").alias("d")).first()["d"]
     if dim % m_sub:
