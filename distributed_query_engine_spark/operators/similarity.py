@@ -992,7 +992,7 @@ def pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
 def topk_l2_pq(
     emb: DataFrame,
     query_ids: list[int],
-    k: int = 5,
+    k: int | None = 5,
     m_sub: int = PQ_M_SUB,
     k_codes: int = PQ_K_CODES,
     lloyd_iters: int = PQ_LLOYD_ITERS,
@@ -1045,6 +1045,9 @@ def topk_l2_pq(
         .groupBy("q_id", "vec_id")
         .agg(F.sum("dist").alias("adc_dist"))
     )
+    if k is None:
+        # recall/cost instrumentation path (the ivf_scored pattern)
+        return scored
     w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -1078,7 +1081,7 @@ def _assign_to_l2(base: DataFrame, cents: DataFrame) -> DataFrame:
 def topk_l2_ivfpq(
     emb: DataFrame,
     query_ids: list[int],
-    k: int = 5,
+    k: int | None = 5,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
     m_sub: int = PQ_M_SUB,
@@ -1151,6 +1154,9 @@ def topk_l2_ivfpq(
         .groupBy("q_id", "vec_id")
         .agg(F.sum("dist").alias("adc_dist"))
     )
+    if k is None:
+        # recall/cost instrumentation path (the ivf_scored pattern)
+        return scored
     w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))

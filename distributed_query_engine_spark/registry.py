@@ -319,6 +319,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_similarity_ivf_incremental",
     "llm_similarity_pq",
     "llm_similarity_ivfpq",
+    "llm_similarity_pq_recall",
 )
 
 
