@@ -1165,6 +1165,73 @@ def topk_l2_ivfpq(
     )
 
 
+# ADC shortlist size for the re-rank stage (candidates per query that
+# get their raw vectors re-read and exactly re-scored).
+PQ_RERANK_C = 50
+
+
+def topk_l2_ivfpq_rerank(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    c: int = PQ_RERANK_C,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    m_sub: int = PQ_M_SUB,
+    k_codes: int = PQ_K_CODES,
+    lloyd_iters: int = PQ_LLOYD_ITERS,
+) -> DataFrame:
+    """IVF-PQ + EXACT RE-RANK — the complete production ladder: the ADC
+    scan over probed cells' codes produces a per-query shortlist of
+    ``c`` candidates, whose RAW vectors (and only whose) are then
+    re-read and exactly re-scored by squared L2 for the final top-k.
+    This is how FAISS-style deployments recover exact-metric quality
+    from a compressed index: the corpus-sized scan stays codes-only,
+    and the expensive raw-vector reads are bounded at |queries| × c
+    rows regardless of corpus size.
+
+    100 TB shape: stage 1 is :func:`topk_l2_ivfpq`'s scored relation
+    (broadcast index relations, codes-only scan); stage 2 broadcasts
+    the tiny shortlist onto one more base scan (at scale: point reads
+    of c rows from the vector store) and re-ranks within a
+    |queries| × c relation. Deterministic end to end."""
+    from distributed_query_engine_spark.operators.dedup import (
+        _spread_narrow_scan,
+    )
+
+    scored = topk_l2_ivfpq(
+        emb, query_ids, None, n_cells, n_probe, m_sub, k_codes, lloyd_iters
+    )
+    ws = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    shortlist = (
+        scored.withColumn("crn", F.row_number().over(ws))
+        .filter(F.col("crn") <= c)
+        .select("q_id", "vec_id")
+    )
+    base = _spread_narrow_scan(
+        with_int_vec(emb).filter(F.size("ivec") > 0).select("vec_id", "ivec"),
+        key="vec_id",
+    )
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("ivec").alias("q_ivec")
+    )
+    reranked = (
+        base.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            _pq_dist(F.col("q_ivec"), F.col("ivec")).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("l2_dist", "vec_id")
+    return (
+        reranked.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "l2_dist", "rn")
+    )
+
+
 RP_DIMS = 16  # random-projection output dimensionality
 
 

@@ -320,6 +320,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_similarity_pq",
     "llm_similarity_ivfpq",
     "llm_similarity_pq_recall",
+    "llm_similarity_ivfpq_rerank",
 )
 
 
