@@ -1279,16 +1279,27 @@ def _grams(base: DataFrame, k: int) -> DataFrame:
     df = base.select(
         "doc_id",
         F.posexplode(_span_gids(k)).alias("pos", "gid"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED_GRAMS.append(df)
+    )
+    # Registry keyed by the analyzed plan's semanticHash — Spark's
+    # CacheManager dedups semantically-equal plans to ONE cache entry,
+    # so repeat calls for the same (corpus plan, k) must reuse the
+    # registered relation instead of appending a new registry entry per
+    # call (r11 ADVICE: the list otherwise grows per call in a
+    # long-lived session and release issues redundant unpersists).
+    key = df._jdf.queryExecution().analyzed().semanticHash()
+    if key in _PERSISTED_GRAMS:
+        return _PERSISTED_GRAMS[key]
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_GRAMS[key] = df
     return df
 
 
 # Every relation _grams persisted, so long-lived sessions have a
 # release path (r10 ADVICE: a new cache entry per (corpus plan, k)
 # otherwise holds executor memory/disk for the whole session and
-# accumulates across corpora/k values).
-_PERSISTED_GRAMS: list[DataFrame] = []
+# accumulates across corpora/k values). One entry per semantic plan
+# (r11 ADVICE), mirroring the CacheManager's own dedup.
+_PERSISTED_GRAMS: dict[int, DataFrame] = {}
 
 
 def release_gram_cache() -> int:
@@ -1301,7 +1312,7 @@ def release_gram_cache() -> int:
     relations released (for tests)."""
     n = 0
     while _PERSISTED_GRAMS:
-        df = _PERSISTED_GRAMS.pop()
+        _, df = _PERSISTED_GRAMS.popitem()
         try:
             df.unpersist()
             n += 1

@@ -989,6 +989,44 @@ def pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
     return _pq_assign(subs, cb).select("vec_id", "m", "code_id")
 
 
+def _probe_dim_strict(narrow: DataFrame, m_sub: int) -> "tuple[int, DataFrame]":
+    """Probe the vector dimensionality on the RAW narrow projection —
+    BEFORE :func:`~...dedup._spread_narrow_scan` — so the one-row read
+    never forces the spread's repartition exchange to materialize
+    (r11 ADVICE). Returns ``(dim, guarded)`` where ``guarded`` re-emits
+    ``ivec`` through a size guard that RAISES on any row whose
+    dimensionality differs: PQ subvector slicing silently mis-slices a
+    heterogeneous corpus (and the DuckDB oracle slices per-row
+    ``len(ivec)//m``, so engine and oracle would diverge instead of
+    erroring) — mixed-dim input must fail loudly, not produce wrong
+    neighbors. The guard lives INSIDE the consumed ivec expression so
+    column pruning can't optimize it away; cost is one size()
+    comparison per row inside codegen."""
+    row = narrow.select(F.size("ivec").alias("d")).first()
+    if row is None:
+        raise ValueError("PQ: empty corpus — no vectors to index")
+    dim = row["d"]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    guarded = narrow.withColumn(
+        "ivec",
+        F.when(F.size("ivec") == dim, F.col("ivec")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"PQ requires homogeneous vector dims: expected {dim}, got "
+                    ),
+                    F.size("ivec").cast("string"),
+                    F.lit(" (vec_id "),
+                    F.col("vec_id").cast("string"),
+                    F.lit(")"),
+                )
+            )
+        ),
+    )
+    return dim, guarded
+
+
 def topk_l2_pq(
     emb: DataFrame,
     query_ids: list[int],
@@ -1017,13 +1055,11 @@ def topk_l2_pq(
         _spread_narrow_scan,
     )
 
-    base = _spread_narrow_scan(
-        with_int_vec(emb).filter(F.size("ivec") > 0).select("vec_id", "ivec"),
-        key="vec_id",
+    narrow = with_int_vec(emb).filter(F.size("ivec") > 0).select(
+        "vec_id", "ivec"
     )
-    dim = base.select(F.size("ivec").alias("d")).first()["d"]
-    if dim % m_sub:
-        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dim, narrow = _probe_dim_strict(narrow, m_sub)
+    base = _spread_narrow_scan(narrow, key="vec_id")
     subs = _pq_subvecs(base, dim, m_sub)
     cb = pq_codebooks(subs, k_codes, lloyd_iters)
     codes = pq_encode(subs, cb)
@@ -1105,13 +1141,11 @@ def topk_l2_ivfpq(
         _spread_narrow_scan,
     )
 
-    base = _spread_narrow_scan(
-        with_int_vec(emb).filter(F.size("ivec") > 0).select("vec_id", "ivec"),
-        key="vec_id",
+    narrow = with_int_vec(emb).filter(F.size("ivec") > 0).select(
+        "vec_id", "ivec"
     )
-    dim = base.select(F.size("ivec").alias("d")).first()["d"]
-    if dim % m_sub:
-        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dim, narrow = _probe_dim_strict(narrow, m_sub)
+    base = _spread_narrow_scan(narrow, key="vec_id")
     cents = base.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"), F.col("ivec").alias("c_ivec")
     )

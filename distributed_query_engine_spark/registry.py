@@ -164,6 +164,28 @@ _CHANGED: dict[str, int] = {
     # shared loop re-earn driver rows.
     "llm_bpe_train": 10,
     "llm_pack_sequences_bpe": 10,
+    # r11: the three unpartitioned-window de-globalizations (VERDICT
+    # r10 item 1) — all VALUE-PRESERVING by construction (strict total
+    # orders make the two-pass prefix scan reproduce the single-sort
+    # answer exactly; the ntile arithmetic is the SQL-standard bucket
+    # formula), locally re-verified oracle-exact at sf0.01 — stamped
+    # per the value-preserving-change precedent so each re-earns a
+    # driver row on the new plan.
+    "llm_vocab_oov_coverage": 11,  # global row_number -> orderBy+limit
+    "interval_concurrency_peak": 11,  # two-pass prefix + struct-max agg
+    "pareto_abc_classification": 11,  # two-pass prefix cumsum
+    "rfm_segmentation": 11,  # 3x two-pass rank + exact ntile arithmetic
+    # r11 ADVICE: PQ dim probe moved BEFORE the raw-scan spread + a
+    # homogeneous-dim guard spliced into the consumed ivec expression
+    # (value-preserving on homogeneous corpora — the guard CASE always
+    # takes the THEN branch — but it touches every PQ plan), and the
+    # incremental IVF index staged at a pid-keyed dir (path-only).
+    # All five consumers stamped per the value-preserving precedent.
+    "llm_similarity_pq": 11,
+    "llm_similarity_ivfpq": 11,
+    "llm_similarity_ivfpq_rerank": 11,
+    "llm_similarity_pq_recall": 11,
+    "llm_similarity_ivf_incremental": 11,
 }
 
 # Checked first within the unverified group (ordering hint only — a

@@ -143,7 +143,17 @@ def _staging_key(sf_dir: str) -> str:
 # clear a live run's store — the r9 phantom-pair bug), so dirs of
 # crashed/finished processes would otherwise accumulate forever (r10
 # ADVICE). Swept once per process by _sweep_dead_pid_dirs().
-_PID_KEYED_PARENTS = ("sig_store_stream", "fb_sink", "checkpoints", "cdc_dim")
+_PID_KEYED_PARENTS = (
+    "sig_store_stream",
+    "fb_sink",
+    "checkpoints",
+    "cdc_dim",
+    # append-mode IVF index staged by llm_similarity_ivf_incremental
+    # (r11 ADVICE: plain-overwrite indexes converge under process
+    # races, append-mode ones do not — so the incremental index is
+    # pid-keyed like every other mutable run store)
+    "ivf_index_incr",
+)
 _SWEPT = False
 
 

@@ -504,8 +504,13 @@ def test_release_gram_cache_unpersists(spark, sf_dir):
     docs = Tables(spark, sf_dir).documents
     D.duplicated_span_report(docs).count()  # materializes the grams
     assert len(D._PERSISTED_GRAMS) >= 1
-    df = D._PERSISTED_GRAMS[-1]
+    df = next(iter(D._PERSISTED_GRAMS.values()))
     assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    # r11 ADVICE: repeat calls for the same (corpus plan, k) must NOT
+    # grow the registry — the CacheManager dedups them to one entry.
+    n_before = len(D._PERSISTED_GRAMS)
+    D.duplicated_span_report(docs).count()
+    assert len(D._PERSISTED_GRAMS) == n_before
     assert D.release_gram_cache() >= 1
     assert not D._PERSISTED_GRAMS
     assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
@@ -977,3 +982,134 @@ def test_substring_mask_consistent_with_report(spark):
     assert msk[3].clean_text == "a short unique doc"
     assert msk[4].clean_text == ""
     assert msk[4].n_removed == 8
+
+
+# ---------------------------------------------------------------------------
+# partitioned_running — the two-pass distributed prefix scan
+# (operators/prefix.py; VERDICT r10 item 1). Exactness vs the
+# single-sort global window it replaces, on asc and desc orders, plus
+# the persist-registry release path.
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_running_matches_global_window(spark):
+    import random
+
+    from pyspark.sql.window import Window
+
+    from distributed_query_engine_spark.operators.prefix import (
+        partitioned_running,
+    )
+
+    random.seed(11)
+    rows = [
+        (i, random.randint(0, 40), random.randint(-5, 5))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    order = [F.col("k").desc(), F.col("id")]
+    w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    ref = df.select(
+        "id",
+        F.sum("v").over(w_run).alias("cs"),
+        F.row_number().over(Window.orderBy(*order)).alias("rn"),
+    )
+    got = partitioned_running(
+        df, order, sum_cols=[("v", "cs")], rank_col="rn", num_partitions=16
+    ).select("id", "cs", "rn")
+    mismatches = (
+        ref.alias("a")
+        .join(got.alias("b"), "id")
+        .filter(
+            (F.col("a.cs") != F.col("b.cs")) | (F.col("a.rn") != F.col("b.rn"))
+        )
+        .count()
+    )
+    assert mismatches == 0
+    assert got.count() == 3000
+
+
+def test_partitioned_running_plan_has_no_global_sort(spark):
+    from distributed_query_engine_spark.operators.prefix import (
+        partitioned_running,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    got = partitioned_running(df, [F.col("id")], sum_cols=[("v", "cs")])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the fact relation is range-exchanged, never single-partition-sorted
+    assert "rangepartitioning" in plan
+    import re
+
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), plan  # no global Sort
+    # the only single-partition exchange is the partition-count-sized
+    # offsets window (its sort orders by the internal _pp_pid key)
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_partitioned_running_requires_outputs(spark):
+    from distributed_query_engine_spark.operators.prefix import (
+        partitioned_running,
+    )
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        partitioned_running(df, [F.col("id")])
+
+
+def test_release_prefix_cache_frees_entries(spark):
+    from distributed_query_engine_spark.operators import prefix as P
+
+    df = spark.range(0, 100).select("id", (F.col("id") % 3).alias("v"))
+    before = len(P._PERSISTED)
+    P.partitioned_running(df, [F.col("id")], sum_cols=[("v", "cs")]).count()
+    assert len(P._PERSISTED) == before + 1
+    assert P.release_prefix_cache() >= 1
+    assert not P._PERSISTED
+
+
+def test_ivf_incremental_index_dir_is_pid_keyed_and_swept():
+    """r11 ADVICE: the append-mode incremental IVF index must be keyed
+    per process (overwrite-mode indexes converge under races; append-
+    mode ones interleave into phantom/missing rows) and its parent must
+    be in the dead-pid sweep list so abandoned indexes don't accumulate."""
+    import os
+
+    from distributed_query_engine_spark.plans.llm import _ivf_incr_index_dir
+    from distributed_query_engine_spark.streaming import ops
+
+    d = _ivf_incr_index_dir("/root/testdata/sf0.001")
+    assert d.endswith(f"-{os.getpid()}")
+    assert "ivf_index_incr" in ops._PID_KEYED_PARENTS
+    assert str(ops._TMP / "ivf_index_incr") in d
+
+
+def test_pq_mixed_dim_corpus_raises_instead_of_mis_slicing(spark):
+    """r11 ADVICE: PQ subvector slicing on a heterogeneous-dim corpus
+    must raise (the engine would silently mis-slice and the oracle —
+    which slices per-row len//m — would diverge instead of erroring).
+    The guard lives inside the consumed ivec expression, so it cannot
+    be pruned out of the plan."""
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0, 4.0], 0),
+            (1, [5.0, 6.0, 7.0, 8.0], 0),
+            (2, [9.0, 10.0], 0),  # wrong dim
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with _pytest.raises(Exception, match="homogeneous vector dims"):
+        S.topk_l2_pq(emb, [0], k=2, m_sub=2, k_codes=2, lloyd_iters=1).collect()
+
+
+def test_pq_homogeneous_corpus_still_searches(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 0.0, 1.0], 0) for i in range(6)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = S.topk_l2_pq(emb, [0], k=2, m_sub=2, k_codes=2, lloyd_iters=1).collect()
+    assert len(rows) == 2 and all(r.q_id == 0 for r in rows)

@@ -11,6 +11,8 @@ import re
 
 from distributed_query_engine_spark.registry import all_queries
 
+from .conftest import SF_MID
+
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
@@ -128,11 +130,11 @@ def test_ivf_incremental_assignment_broadcasts_and_search_prunes(
     from distributed_query_engine_spark.plans.llm import (
         _IVF_NEW_LO,
         _IVF_NEW_MOD,
+        _ivf_incr_index_dir,
     )
-    from distributed_query_engine_spark.plans.sources import _tmp
 
     e = Tables(spark, sf_dir).embeddings
-    index = _tmp(sf_dir, "ivf_index_incr")
+    index = _ivf_incr_index_dir(sf_dir)
     is_new = F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
     S.build_ivf_index(e.filter(~is_new), index)
     cents = spark.read.parquet(f"{index}/centroids")
@@ -614,7 +616,7 @@ def test_zorder_physical_write_prunes_files(spark, tmp_path):
     )
     from pyspark.sql import functions as F
 
-    orders = Tables(spark, "/root/testdata/sf0.01").orders
+    orders = Tables(spark, SF_MID).orders
     zk = orders.select(
         F.pmod(F.col("o_custkey"), F.lit(_Z_SIDE)).alias("x"),
         F.pmod(
@@ -677,9 +679,7 @@ def test_zorder_pruning_scorecard_shows_the_win(spark):
     # prune the x-only predicate and the contrast is vacuous.
     rows = {
         (r["layout"], r["predicate"]): r
-        for r in _q(
-            "layout_zorder_pruning", spark, "/root/testdata/sf0.01"
-        ).collect()
+        for r in _q("layout_zorder_pruning", spark, SF_MID).collect()
     }
     lin_x, z_x = rows[("linear", "x_only")], rows[("zorder", "x_only")]
     assert lin_x["n_files_scanned"] == lin_x["n_files"]
@@ -741,3 +741,65 @@ def test_bpe_encode_merge_loop_is_rowlocal_single_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r11 de-globalization (VERDICT r10 item 1): the three formerly
+# unpartitioned-window plans must show NO global Sort node anywhere —
+# every sort is partition-local (the two-pass prefix scan's range
+# exchange + pid-window, or TakeOrderedAndProject's partial top-K) —
+# and any remaining Exchange SinglePartition must belong to a
+# dimension-sized subplan (an aggregate, or the _pp_pid offsets
+# window), never a fact-grain sort.
+# ---------------------------------------------------------------------------
+
+_GLOBAL_SORT = re.compile(r"Sort \[[^\]]*\], true")
+
+
+def _assert_single_partition_exchanges_are_tiny(plan: str):
+    """Every `Exchange SinglePartition` must be the merge step of an
+    aggregate or the _pp_pid-keyed offsets window — walk upward from
+    each occurrence to its nearest parent Sort/HashAggregate line; a
+    parent Sort on anything but the internal _pp_pid key would be a
+    fact-grain single-task sort."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        for j in range(i - 1, -1, -1):
+            up = lines[j]
+            if "HashAggregate" in up or "ObjectHashAggregate" in up:
+                break  # scalar/final-agg merge — reduced relation
+            if "Sort [" in up:
+                assert "_pp_pid" in up, (ln, up)
+                break
+
+
+def test_vocab_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    plan = _plan(_q("llm_vocab_oov_coverage", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert not _GLOBAL_SORT.search(plan), plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pareto_prefix_scan_avoids_global_sort(spark, sf_dir):
+    plan = _plan(_q("pareto_abc_classification", spark, sf_dir))
+    assert "rangepartitioning" in plan
+    assert not _GLOBAL_SORT.search(plan), plan
+    _assert_single_partition_exchanges_are_tiny(plan)
+
+
+def test_interval_sweep_prefix_scan_avoids_global_sort(spark, sf_dir):
+    plan = _plan(_q("interval_concurrency_peak", spark, sf_dir))
+    assert "rangepartitioning" in plan
+    assert not _GLOBAL_SORT.search(plan), plan
+    _assert_single_partition_exchanges_are_tiny(plan)
+
+
+def test_rfm_rank_prefix_scans_avoid_global_sort(spark, sf_dir):
+    plan = _plan(_q("rfm_segmentation", spark, sf_dir))
+    # three metrics -> three range exchanges, zero global sorts
+    assert plan.count("rangepartitioning") >= 3
+    assert not _GLOBAL_SORT.search(plan), plan
+    assert "ntile" not in plan  # exact integer arithmetic, not a window
+    _assert_single_partition_exchanges_are_tiny(plan)
