@@ -883,13 +883,19 @@ PQ_K_CODES = 16
 PQ_LLOYD_ITERS = 1
 
 
-def _pq_subvecs(df: DataFrame, dim: int, m_sub: int = PQ_M_SUB) -> DataFrame:
-    """(vec_id, m, sv): the per-subspace slices of ivec. dim must be
+def _pq_subvecs(
+    df: DataFrame,
+    dim: int,
+    m_sub: int = PQ_M_SUB,
+    keys: "tuple[str, ...]" = ("vec_id",),
+) -> DataFrame:
+    """(*keys, m, sv): the per-subspace slices of ivec. dim must be
     divisible by m_sub (the caller probes it once — a scalar, like
-    suggest_n_cells' count())."""
+    suggest_n_cells' count()). ``keys`` generalizes the id columns —
+    the residual query side slices per (q_id, cell_id)."""
     sd = dim // m_sub
     return df.select(
-        "vec_id",
+        *keys,
         F.explode(
             F.array(
                 *[
@@ -901,7 +907,7 @@ def _pq_subvecs(df: DataFrame, dim: int, m_sub: int = PQ_M_SUB) -> DataFrame:
                 ]
             )
         ).alias("s"),
-    ).select("vec_id", "s.m", "s.sv")
+    ).select(*keys, "s.m", "s.sv")
 
 
 def _pq_dist(sv_a, sv_b) -> "Column":
@@ -941,6 +947,7 @@ def pq_codebooks(
     subs: DataFrame,
     k_codes: int = PQ_K_CODES,
     lloyd_iters: int = PQ_LLOYD_ITERS,
+    seed_lo: int = 0,
 ) -> DataFrame:
     """Per-subspace codebooks (m, code_id, c_sv): seeds = the k_codes
     lowest-vec_id vectors' subvectors (deterministic, oracle-
@@ -949,9 +956,16 @@ def pq_codebooks(
     train in ONE relation keyed by m — the subspace is a grouping
     column, so adding subspaces adds rows to broadcast-sized relations,
     never stages. Empty codes keep their previous centroid (the
-    empty-cell carry from ivf_centroids)."""
-    cb = subs.filter(F.col("vec_id") < k_codes).select(
-        "m", F.col("vec_id").alias("code_id"), F.col("sv").alias("c_sv")
+    empty-cell carry from ivf_centroids). ``seed_lo`` offsets the seed
+    id window to [seed_lo, seed_lo + k_codes): the RESIDUAL variant
+    must skip the n_cells lowest ids, whose residuals are all-zero
+    (each IS its own coarse centroid) and would collapse the seed set."""
+    cb = subs.filter(
+        (F.col("vec_id") >= seed_lo) & (F.col("vec_id") < seed_lo + k_codes)
+    ).select(
+        "m",
+        (F.col("vec_id") - seed_lo).alias("code_id"),
+        F.col("sv").alias("c_sv"),
     )
     for _ in range(lloyd_iters):
         assigned = _pq_assign(subs, cb)
@@ -1184,6 +1198,118 @@ def topk_l2_ivfpq(
         codes.join(assigned, "vec_id")
         .join(F.broadcast(probes), "cell_id")
         .join(F.broadcast(q_dt), ["q_id", "m", "code_id"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
+    if k is None:
+        # recall/cost instrumentation path (the ivf_scored pattern)
+        return scored
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "adc_dist", "rn")
+    )
+
+
+def topk_l2_ivfpq_residual(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int | None = 5,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    m_sub: int = PQ_M_SUB,
+    k_codes: int = PQ_K_CODES,
+    lloyd_iters: int = PQ_LLOYD_ITERS,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — what FAISS IndexIVFPQ actually
+    quantizes: each vector's code is trained/assigned on x − c(x) (its
+    offset from the coarse centroid), not on x itself. On structured
+    corpora this is the difference between a working index and a
+    collapsed one: raw-vector codebooks spend their K codes separating
+    the corpus's dominant (inter-cluster) variance, leaving nothing to
+    rank the WITHIN-cluster neighbors a top-k query actually needs —
+    measured on the planted-cluster slice (llm_similarity_pq_recall_
+    clustered: raw IVF-PQ 0.04 recall@5 vs residual's, PLANS.md r11).
+    The ADC table becomes per-(query, probed cell): dist[m, code] =
+    ||(q − c_cell)[m] − codebook[m, code]||² — still |q|·n_probe·M·K
+    tiny broadcast rows.
+
+    100 TB shape: identical to :func:`topk_l2_ivfpq` — centroids,
+    codebooks, probe sets, and distance tables broadcast; the search
+    scan is codes ⋈ assignment (a few ints per vector); the only
+    corpus-sized shuffles are the build-time argmin assignments. The
+    residual subtraction is one row-local zip_with at encode time."""
+    from distributed_query_engine_spark.operators.dedup import (
+        _spread_narrow_scan,
+    )
+
+    narrow = with_int_vec(emb).filter(F.size("ivec") > 0).select(
+        "vec_id", "ivec"
+    )
+    dim, narrow = _probe_dim_strict(narrow, m_sub)
+    base = _spread_narrow_scan(narrow, key="vec_id")
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("ivec").alias("c_ivec")
+    )
+    assigned = _assign_to_l2(base, cents)
+    res = (
+        base.join(assigned, "vec_id")
+        .join(F.broadcast(cents), "cell_id")
+        .select(
+            "vec_id",
+            F.zip_with("ivec", "c_ivec", lambda x, c: x - c).alias("ivec"),
+        )
+    )
+    subs = _pq_subvecs(res, dim, m_sub)
+    # seeds skip [0, n_cells): those ids ARE the coarse centroids, so
+    # their residuals are all-zero — k_codes identical zero seeds would
+    # collapse Lloyd to a single effective code.
+    cb = pq_codebooks(subs, k_codes, lloyd_iters, seed_lo=n_cells)
+    codes = pq_encode(subs, cb)
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("ivec").alias("q_ivec")
+    )
+    pw = Window.partitionBy("q_id").orderBy("p_dist", "cell_id")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "cell_id",
+            _pq_dist(F.col("q_ivec"), F.col("c_ivec")).alias("p_dist"),
+        )
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= n_probe)
+        .select("q_id", "cell_id")
+    )
+    # per-(query, probed cell) residual distance table: the query is
+    # re-expressed in each probed cell's frame before the ADC lookup
+    qres = (
+        probes.join(q, "q_id")
+        .join(F.broadcast(cents), "cell_id")
+        .select(
+            "q_id",
+            "cell_id",
+            F.zip_with("q_ivec", "c_ivec", lambda x, c: x - c).alias("ivec"),
+        )
+    )
+    q_dt = (
+        _pq_subvecs(qres, dim, m_sub, keys=("q_id", "cell_id"))
+        .withColumnRenamed("sv", "q_sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "q_id",
+            "cell_id",
+            "m",
+            "code_id",
+            _pq_dist(F.col("q_sv"), F.col("c_sv")).alias("dist"),
+        )
+    )
+    scored = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(q_dt), ["q_id", "cell_id", "m", "code_id"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", "vec_id")
         .agg(F.sum("dist").alias("adc_dist"))
