@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "llm_similarity_topk",
     "llm_similarity_ann_lsh",
     "stream_tumbling_window_agg",
+    # r11 (VERDICT r10 item 7): the recommended production ANN path —
+    # a regression in the two-level compressed index design must be
+    # driver-visible, not just oracle-correct.
+    "llm_similarity_ivfpq",
 ]
 
 

@@ -808,9 +808,46 @@ def agg_multi_distinct(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _bucket_stage(sf_dir):
+    """Content-addressed staging for the bucketed tables (VERDICT r10
+    item 4, the pid-dir lesson applied to shared derived data): the dir
+    and table tag embed a hash of (path, mtime_ns, size) of the two
+    SOURCE parquet files, so (a) regenerated testdata gets a fresh dir
+    and fresh catalog tables instead of silently serving stale buckets
+    (the streaming `_STAGED`-marker discipline, ADVICE r3), and (b)
+    stale siblings — same sf key, different content hash — plus the
+    pre-r11 basename-keyed legacy dirs are swept here, the one place
+    every bucketed consumer passes through. Sweeping a stale dir is
+    race-benign: its source no longer exists in that form, so no
+    correct process can be reading it."""
+    import hashlib
+    import shutil
+    from pathlib import Path
+
+    from distributed_query_engine_spark.catalog import staging_key
+
+    key = staging_key(sf_dir).replace(".", "_").replace("-", "_")
+    parts = []
+    for name in ("lineitem", "orders"):
+        f = Path(sf_dir) / f"{name}.parquet"
+        st = f.stat()
+        parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    fp = hashlib.md5(";".join(parts).encode()).hexdigest()[:8]
+    tmp = Path(__file__).resolve().parents[2] / ".tmp"
+    tag = f"{key}_{fp}"
+    current = tmp / f"bucketed_{tag}"
+    for d in tmp.glob(f"bucketed_{key}_*"):
+        if d != current:
+            shutil.rmtree(d, ignore_errors=True)
+    legacy = tmp / (
+        "bucketed_" + os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    )
+    shutil.rmtree(legacy, ignore_errors=True)
+    return current, tag
+
+
 def _bucketed_tables(spark, sf_dir):
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp", f"bucketed_{tag}")
+    base, tag = _bucket_stage(sf_dir)
     t = Tables(spark, sf_dir)
     specs = [("lineitem", t.lineitem, "l_orderkey"), ("orders", t.orders, "o_orderkey")]
     names = []
@@ -821,7 +858,7 @@ def _bucketed_tables(spark, sf_dir):
                 df.write.format("parquet")
                 .bucketBy(8, key)
                 .sortBy(key)
-                .option("path", os.path.join(base, name))
+                .option("path", str(base / name))
                 .mode("overwrite")
                 .saveAsTable(tbl)
             )

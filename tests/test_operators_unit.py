@@ -1113,3 +1113,38 @@ def test_pq_homogeneous_corpus_still_searches(spark):
     )
     rows = S.topk_l2_pq(emb, [0], k=2, m_sub=2, k_codes=2, lloyd_iters=1).collect()
     assert len(rows) == 2 and all(r.q_id == 0 for r in rows)
+
+
+def test_bucket_stage_is_content_addressed_and_sweeps_stale(tmp_path, spark):
+    """VERDICT r10 item 4: the bucketed staging dir must embed a
+    fingerprint of the SOURCE parquet files (regenerated testdata gets
+    a fresh dir + fresh tables instead of stale buckets) and stale
+    siblings of the same sf key — plus the pre-r11 basename-keyed
+    legacy dir — must be swept."""
+    import shutil
+    from pathlib import Path
+
+    from distributed_query_engine_spark.plans.analytic import _bucket_stage
+
+    src = tmp_path / "sfX"
+    src.mkdir()
+    for n in ("lineitem", "orders"):
+        shutil.copy(f"{SF_UNIT}/{n}.parquet", src / f"{n}.parquet")
+    base1, tag1 = _bucket_stage(str(src))
+    tmp = Path(base1).parent
+    # plant a stale sibling (same sf key, different hash) + a legacy dir
+    key_prefix = base1.name.rsplit("_", 1)[0]
+    stale = tmp / f"{key_prefix}_deadbeef"
+    legacy = tmp / "bucketed_sfX"
+    stale.mkdir(parents=True, exist_ok=True)
+    legacy.mkdir(parents=True, exist_ok=True)
+    base1b, tag1b = _bucket_stage(str(src))
+    assert (base1b, tag1b) == (base1, tag1)  # unchanged source -> same key
+    assert not stale.exists() and not legacy.exists()
+    # regenerating a source changes the fingerprint -> fresh dir,
+    # and the old dir is now the stale sibling that gets swept
+    base1.mkdir(parents=True, exist_ok=True)
+    (src / "orders.parquet").touch()  # bump mtime
+    base2, tag2 = _bucket_stage(str(src))
+    assert base2 != base1 and tag2 != tag1
+    assert not base1.exists()
