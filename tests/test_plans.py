@@ -803,3 +803,37 @@ def test_rfm_rank_prefix_scans_avoid_global_sort(spark, sf_dir):
     assert not _GLOBAL_SORT.search(plan), plan
     assert "ntile" not in plan  # exact integer arithmetic, not a window
     _assert_single_partition_exchanges_are_tiny(plan)
+
+
+def test_ivfpq_residual_plan_and_clustered_win(spark, sf_dir):
+    # Residual IVF-PQ (llm_similarity_ivfpq_residual): same broadcast
+    # discipline as the raw-encoded variant — index relations
+    # (centroids, residual codebooks, probes, per-(q, cell) distance
+    # tables) broadcast onto the codes/assignment scan, ADC sum
+    # partial-aggregates, no Cartesian, no Python. And the reason the
+    # rung exists: on the planted-cluster slice its ADC top-5 must
+    # strictly beat raw-encoded IVF-PQ's recall against exact L2
+    # (PLANS.md r11: 0.17 vs 0.04 at sf0.1).
+    df = _q("llm_similarity_ivfpq_residual", spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) == 25 and all(r["rn"] <= 5 for r in rows)
+
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.plans.llm import (
+        _clustered_embeddings,
+        _pq_recall_frame,
+    )
+
+    ladder = (
+        _pq_recall_frame(_clustered_embeddings(spark, SF_MID))
+        .groupBy("method")
+        .agg(F.sum("hits").alias("h"))
+    )
+    hits = {r["method"]: r["h"] for r in ladder.collect()}
+    assert hits["ivfpq_residual"] > hits["ivfpq"], hits
