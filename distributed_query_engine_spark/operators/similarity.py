@@ -1340,6 +1340,7 @@ def topk_l2_ivfpq_rerank(
     m_sub: int = PQ_M_SUB,
     k_codes: int = PQ_K_CODES,
     lloyd_iters: int = PQ_LLOYD_ITERS,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ + EXACT RE-RANK — the complete production ladder: the ADC
     scan over probed cells' codes produces a per-query shortlist of
@@ -1354,12 +1355,18 @@ def topk_l2_ivfpq_rerank(
     (broadcast index relations, codes-only scan); stage 2 broadcasts
     the tiny shortlist onto one more base scan (at scale: point reads
     of c rows from the vector store) and re-ranks within a
-    |queries| × c relation. Deterministic end to end."""
+    |queries| × c relation. Deterministic end to end.
+
+    ``residual=True`` takes the shortlist from the RESIDUAL-encoded ADC
+    scan (:func:`topk_l2_ivfpq_residual`) instead — the complete FAISS
+    IndexIVFPQ default (coarse cells + residual codes + exact re-rank);
+    the re-rank stage itself is encoding-agnostic."""
     from distributed_query_engine_spark.operators.dedup import (
         _spread_narrow_scan,
     )
 
-    scored = topk_l2_ivfpq(
+    adc = topk_l2_ivfpq_residual if residual else topk_l2_ivfpq
+    scored = adc(
         emb, query_ids, None, n_cells, n_probe, m_sub, k_codes, lloyd_iters
     )
     ws = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")

@@ -2033,6 +2033,53 @@ def _ivfpq_rerank_oracle() -> str:
     """
 
 
+def _ivfpq_residual_rerank_oracle() -> str:
+    """Residual IVF-PQ + exact re-rank replay — the complete FAISS
+    IndexIVFPQ default: residual-ADC shortlist (top-C per query over
+    probed cells) joined back to RAW vectors, exactly re-scored."""
+    joined = ",\n    ".join(_ivfpq_residual_ctes())
+    d_tru = _PQD.format(a="q.q_ivec", b="n.ivec")
+    return f"""
+    WITH {_IVEC_CTE},
+    {joined},
+    rshort AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY adc_dist, vec_id) AS crn
+        FROM ivfpqr_scored) WHERE crn <= {S.PQ_RERANK_C}
+    ),
+    rr AS (
+      SELECT s.q_id, s.vec_id, {d_tru} AS l2_dist
+      FROM rshort s
+      JOIN pv n ON n.vec_id = s.vec_id
+      JOIN qv q ON q.q_id = s.q_id
+    )
+    SELECT q_id, vec_id, l2_dist, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY l2_dist, vec_id) AS BIGINT) AS rn
+      FROM rr) WHERE rn <= 5
+    """
+
+
+@query(
+    "llm_similarity_ivfpq_residual_rerank",
+    oracle=_ivfpq_residual_rerank_oracle,
+)
+def llm_similarity_ivfpq_residual_rerank(spark, sf_dir):
+    """Residual IVF-PQ + EXACT RE-RANK — the assembled FAISS
+    IndexIVFPQ default, end to end: data-adaptive coarse cells bound
+    WHICH vectors are scanned, residual codes bound the BYTES per
+    scanned vector AND survive clustered data (see
+    llm_similarity_ivfpq_residual), and the exact re-rank recovers
+    true-metric ordering from a C=50 shortlist whose raw vectors are
+    the only per-query full-width reads. This is the rung combination
+    PLANS.md r11 concludes is the only one that holds recall on BOTH
+    corpus shapes — registered so the complete path, not just its
+    stages, is oracle-checked."""
+    e = Tables(spark, sf_dir).embeddings
+    return S.topk_l2_ivfpq_rerank(e, _QUERY_IDS, k=5, residual=True)
+
+
 @query("llm_similarity_ivfpq_rerank", oracle=_ivfpq_rerank_oracle)
 def llm_similarity_ivfpq_rerank(spark, sf_dir):
     """IVF-PQ with EXACT RE-RANK (operators/similarity.py::
@@ -2188,6 +2235,21 @@ def _pq_recall_sql(base_cte: str) -> str:
         FROM shortlist s
         JOIN pv n ON n.vec_id = s.vec_id
         JOIN qv q ON q.q_id = s.q_id) WHERE rn <= 5
+    ),
+    rshort AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY adc_dist, vec_id) AS crn
+        FROM ivfpqr_scored) WHERE crn <= {S.PQ_RERANK_C}
+    ),
+    rrerank_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT s.q_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.q_id ORDER BY
+                 {d_tru} ASC, s.vec_id) AS rn
+        FROM rshort s
+        JOIN pv n ON n.vec_id = s.vec_id
+        JOIN qv q ON q.q_id = s.q_id) WHERE rn <= 5
     )
     SELECT 'pq' AS method, e.q_id,
            CAST(count(l.vec_id) AS BIGINT) AS hits,
@@ -2223,6 +2285,15 @@ def _pq_recall_sql(base_cte: str) -> str:
     FROM exact_top e
     LEFT JOIN rerank_top l USING (q_id, vec_id)
     JOIN ivfpq_cand c ON c.q_id = e.q_id
+    GROUP BY e.q_id
+    UNION ALL
+    SELECT 'ivfpq_residual_rerank' AS method, e.q_id,
+           CAST(count(l.vec_id) AS BIGINT) AS hits,
+           count(l.vec_id) / 5.0 AS recall,
+           any_value(c.n_candidates) AS n_candidates
+    FROM exact_top e
+    LEFT JOIN rrerank_top l USING (q_id, vec_id)
+    JOIN ivfpqr_cand c ON c.q_id = e.q_id
     GROUP BY e.q_id
     """
 
@@ -2323,52 +2394,55 @@ def _pq_recall_frame(e):
         )
 
     ivfpq_scored = S.topk_l2_ivfpq(e, ids, k=None)
+    ivfpqr_scored = S.topk_l2_ivfpq_residual(e, ids, k=None)
     out = (
         rows_for(S.topk_l2_pq(e, ids, k=None), "pq")
         .unionByName(rows_for(ivfpq_scored, "ivfpq"))
-        .unionByName(
-            rows_for(
-                S.topk_l2_ivfpq_residual(e, ids, k=None), "ivfpq_residual"
+        .unionByName(rows_for(ivfpqr_scored, "ivfpq_residual"))
+    )
+
+    # the re-rank rungs: ADC shortlist from the probed-cells scored
+    # relation (raw- or residual-encoded), exactly re-scored from raw
+    # vectors; scan cost stays that rung's candidate count (re-rank
+    # adds only |q| x C raw reads)
+    def rerank_rows_for(scored, name):
+        ws = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+        shortlist = (
+            scored.withColumn("crn", F.row_number().over(ws))
+            .filter(F.col("crn") <= S.PQ_RERANK_C)
+            .select("q_id", "vec_id")
+        )
+        rr = (
+            base.join(F.broadcast(shortlist), "vec_id")
+            .join(F.broadcast(q), "q_id")
+            .select("q_id", "vec_id", l2.alias("d"))
+        )
+        wr = Window.partitionBy("q_id").orderBy("d", "vec_id")
+        rerank_top = (
+            rr.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= 5)
+            .select("q_id", "vec_id", F.lit(1).alias("hit"))
+        )
+        cand = scored.groupBy("q_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        return (
+            exact.join(rerank_top, ["q_id", "vec_id"], "left")
+            .groupBy("q_id")
+            .agg(F.count("hit").cast("long").alias("hits"))
+            .join(cand, "q_id")
+            .select(
+                F.lit(name).alias("method"),
+                "q_id",
+                "hits",
+                (F.col("hits") / F.lit(5.0)).alias("recall"),
+                "n_candidates",
             )
         )
-    )
-    # the re-rank rung: ADC shortlist from the SAME probed-cells scored
-    # relation, exactly re-scored from raw vectors; its scan cost is
-    # ivfpq's candidate count (re-rank adds only |q| x C raw reads)
-    ws = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
-    shortlist = (
-        ivfpq_scored.withColumn("crn", F.row_number().over(ws))
-        .filter(F.col("crn") <= S.PQ_RERANK_C)
-        .select("q_id", "vec_id")
-    )
-    rr = (
-        base.join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(q), "q_id")
-        .select("q_id", "vec_id", l2.alias("d"))
-    )
-    wr = Window.partitionBy("q_id").orderBy("d", "vec_id")
-    rerank_top = (
-        rr.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= 5)
-        .select("q_id", "vec_id", F.lit(1).alias("hit"))
-    )
-    cand = ivfpq_scored.groupBy("q_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidates")
-    )
-    rerank_rows = (
-        exact.join(rerank_top, ["q_id", "vec_id"], "left")
-        .groupBy("q_id")
-        .agg(F.count("hit").cast("long").alias("hits"))
-        .join(cand, "q_id")
-        .select(
-            F.lit("ivfpq_rerank").alias("method"),
-            "q_id",
-            "hits",
-            (F.col("hits") / F.lit(5.0)).alias("recall"),
-            "n_candidates",
-        )
-    )
-    return out.unionByName(rerank_rows)
+
+    return out.unionByName(
+        rerank_rows_for(ivfpq_scored, "ivfpq_rerank")
+    ).unionByName(rerank_rows_for(ivfpqr_scored, "ivfpq_residual_rerank"))
 
 
 @query("llm_similarity_pq_recall_clustered", oracle=_pq_recall_clustered_oracle)

@@ -344,10 +344,11 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_similarity_pq_recall",
     "llm_similarity_ivfpq_rerank",
     # --- r11 additions (born oracle-exact): the clustered-corpus
-    # recall ladder (VERDICT r10 item 2) and the residual-encoding
-    # IVF-PQ rung it motivated.
+    # recall ladder (VERDICT r10 item 2), the residual-encoding IVF-PQ
+    # rung it motivated, and the assembled residual+re-rank default.
     "llm_similarity_pq_recall_clustered",
     "llm_similarity_ivfpq_residual",
+    "llm_similarity_ivfpq_residual_rerank",
 )
 
 
