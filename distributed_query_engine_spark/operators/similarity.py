@@ -1003,7 +1003,9 @@ def pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
     return _pq_assign(subs, cb).select("vec_id", "m", "code_id")
 
 
-def _probe_dim_strict(narrow: DataFrame, m_sub: int) -> "tuple[int, DataFrame]":
+def _probe_dim_strict(
+    narrow: DataFrame, m_sub: int, id_col: str = "vec_id"
+) -> "tuple[int, DataFrame]":
     """Probe the vector dimensionality on the RAW narrow projection —
     BEFORE :func:`~...dedup._spread_narrow_scan` — so the one-row read
     never forces the spread's repartition exchange to materialize
@@ -1031,8 +1033,8 @@ def _probe_dim_strict(narrow: DataFrame, m_sub: int) -> "tuple[int, DataFrame]":
                         f"PQ requires homogeneous vector dims: expected {dim}, got "
                     ),
                     F.size("ivec").cast("string"),
-                    F.lit(" (vec_id "),
-                    F.col("vec_id").cast("string"),
+                    F.lit(f" ({id_col} "),
+                    F.col(id_col).cast("string"),
                     F.lit(")"),
                 )
             )
@@ -1317,6 +1319,137 @@ def topk_l2_ivfpq_residual(
     if k is None:
         # recall/cost instrumentation path (the ivf_scored pattern)
         return scored
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "adc_dist", "rn")
+    )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    index_path: str,
+    n_cells: int = N_CELLS,
+    m_sub: int = PQ_M_SUB,
+    k_codes: int = PQ_K_CODES,
+    lloyd_iters: int = PQ_LLOYD_ITERS,
+) -> int:
+    """Materialize the RESIDUAL IVF-PQ index — the artifact a
+    production vector store actually maintains (FAISS IndexIVFPQ on
+    disk): ``centroids/`` (cell_id, c_ivec — broadcast-sized),
+    ``codebooks/`` (m, code_id, c_sv — broadcast-sized), and
+    ``codes/`` (vec_id, m, code_id) PARTITIONED BY cell_id. The
+    corpus-sized relation stores M_SUB small ints per vector — at
+    100 TB of embeddings the codes relation is the only per-vector
+    state a search reads, and the cell partitioning means a probe
+    reads n_probe/n_cells of it. Raw vectors are touched only here
+    (train/encode) and in an optional re-rank. Returns the probed
+    vector dimensionality (stored implicitly by the codebooks)."""
+    from distributed_query_engine_spark.operators.dedup import (
+        _spread_narrow_scan,
+    )
+
+    narrow = with_int_vec(emb).filter(F.size("ivec") > 0).select(
+        "vec_id", "ivec"
+    )
+    dim, narrow = _probe_dim_strict(narrow, m_sub)
+    base = _spread_narrow_scan(narrow, key="vec_id")
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("ivec").alias("c_ivec")
+    )
+    assigned = _assign_to_l2(base, cents)
+    res = (
+        base.join(assigned, "vec_id")
+        .join(F.broadcast(cents), "cell_id")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.zip_with("ivec", "c_ivec", lambda x, c: x - c).alias("ivec"),
+        )
+    )
+    subs = _pq_subvecs(res, dim, m_sub)
+    cb = pq_codebooks(subs, k_codes, lloyd_iters, seed_lo=n_cells)
+    codes = pq_encode(subs, cb).join(assigned, "vec_id")
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    cb.write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    codes.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{index_path}/codes"
+    )
+    return dim
+
+
+def topk_l2_ivfpq_index(
+    spark,
+    index_path: str,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = N_PROBE,
+    m_sub: int = PQ_M_SUB,
+) -> DataFrame:
+    """Search a :func:`build_ivfpq_index` artifact — identical results
+    to :func:`topk_l2_ivfpq_residual` for the same corpus and knobs
+    (the index stores exactly the relations that function derives).
+    Centroids and codebooks broadcast; the query vectors come from one
+    point-lookup-shaped read of the embeddings relation; the codes
+    scan is restricted to probed cells by dynamic partition pruning —
+    at 100 TB a search reads n_probe/n_cells of a few-ints-per-vector
+    relation and nothing else."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    cb = spark.read.parquet(f"{index_path}/codebooks")
+    # partition-column type inference narrows small cell ids to int;
+    # restore the long the in-memory relations carry
+    codes = spark.read.parquet(f"{index_path}/codes").withColumn(
+        "cell_id", F.col("cell_id").cast("long")
+    )
+    q_narrow = (
+        with_int_vec(emb)
+        .filter(F.col("vec_id").isin(query_ids) & (F.size("ivec") > 0))
+        .select(F.col("vec_id").alias("q_id"), "ivec")
+    )
+    dim, q_guarded = _probe_dim_strict(q_narrow, m_sub, id_col="q_id")
+    q = q_guarded.select("q_id", F.col("ivec").alias("q_ivec"))
+    pw = Window.partitionBy("q_id").orderBy("p_dist", "cell_id")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "cell_id",
+            _pq_dist(F.col("q_ivec"), F.col("c_ivec")).alias("p_dist"),
+        )
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= n_probe)
+        .select("q_id", "cell_id")
+    )
+    qres = (
+        probes.join(q, "q_id")
+        .join(F.broadcast(cents), "cell_id")
+        .select(
+            "q_id",
+            "cell_id",
+            F.zip_with("q_ivec", "c_ivec", lambda x, c: x - c).alias("ivec"),
+        )
+    )
+    q_dt = (
+        _pq_subvecs(qres, dim, m_sub, keys=("q_id", "cell_id"))
+        .withColumnRenamed("sv", "q_sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "q_id",
+            "cell_id",
+            "m",
+            "code_id",
+            _pq_dist(F.col("q_sv"), F.col("c_sv")).alias("dist"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(q_dt), ["q_id", "cell_id", "m", "code_id"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
     w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))

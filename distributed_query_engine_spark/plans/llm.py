@@ -2506,6 +2506,28 @@ def llm_similarity_ivfpq_residual(spark, sf_dir):
     return S.topk_l2_ivfpq_residual(e, _QUERY_IDS, k=5)
 
 
+@query("llm_similarity_ivfpq_index", oracle=_ivfpq_residual_oracle)
+def llm_similarity_ivfpq_index(spark, sf_dir):
+    """MATERIALIZED residual IVF-PQ index — the artifact a production
+    vector store maintains on disk (operators/similarity.py::
+    build_ivfpq_index / topk_l2_ivfpq_index): broadcast-sized
+    ``centroids/`` and ``codebooks/`` plus a ``codes/`` relation of
+    M_SUB small ints per vector PARTITIONED BY cell_id, so the search
+    scan is restricted to probed cells by dynamic partition pruning
+    (plan-asserted, like llm_similarity_ivf_index) — at 100 TB a
+    search reads n_probe/n_cells of the compressed index and nothing
+    else; raw vectors are touched only at build (and in the optional
+    re-rank stage). Results are bit-identical to the in-memory
+    residual search (the index stores exactly the relations
+    topk_l2_ivfpq_residual derives), so it shares that oracle."""
+    from distributed_query_engine_spark.plans.sources import _tmp
+
+    e = Tables(spark, sf_dir).embeddings
+    index = _tmp(sf_dir, "ivfpq_index")
+    S.build_ivfpq_index(e, index)
+    return S.topk_l2_ivfpq_index(spark, index, e, _QUERY_IDS, k=5)
+
+
 @query("llm_similarity_pq", oracle=_pq_oracle)
 def llm_similarity_pq(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011 — the FAISS IVF-PQ

@@ -349,6 +349,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_similarity_pq_recall_clustered",
     "llm_similarity_ivfpq_residual",
     "llm_similarity_ivfpq_residual_rerank",
+    "llm_similarity_ivfpq_index",
 )
 
 

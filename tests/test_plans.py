@@ -837,3 +837,19 @@ def test_ivfpq_residual_plan_and_clustered_win(spark, sf_dir):
     )
     hits = {r["method"]: r["h"] for r in ladder.collect()}
     assert hits["ivfpq_residual"] > hits["ivfpq"], hits
+
+
+def test_ivfpq_index_search_partition_prunes(spark, sf_dir):
+    # The materialized residual IVF-PQ index stores codes PARTITIONED
+    # BY cell_id; the probe join must trigger dynamic partition pruning
+    # so the search reads only probed cells' code files, with
+    # centroids/codebooks/probe/distance-table relations broadcast and
+    # the ADC sum partial-aggregated — the 100 TB read-bound contract.
+    df = _q("llm_similarity_ivfpq_index", spark, sf_dir)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
+    rows = df.collect()
+    assert len(rows) == 25 and all(r["rn"] <= 5 for r in rows)
