@@ -1379,6 +1379,44 @@ def build_ivfpq_index(
     return dim
 
 
+def append_to_ivfpq_index(
+    spark, emb_new: DataFrame, index_path: str, m_sub: int = PQ_M_SUB
+) -> None:
+    """Ingest a NEW vector batch into an existing :func:`build_ivfpq_index`
+    artifact WITHOUT retraining — the compressed-index twin of
+    :func:`append_to_ivf_index`: the stored quantizer (centroids +
+    codebooks) is a versioned artifact whose retrain would invalidate
+    every stored code, so ingest is (1) one broadcast of the stored
+    centroids against the batch scan (coarse assignment), (2) one
+    broadcast of the stored codebooks against the batch's residual
+    subvectors (encode), and (3) an append of part-files into the
+    cell-partitioned codes layout — existing files never rewritten,
+    searches see the new codes immediately through the same
+    partition-pruned reads. Batch-sized work only; the corpus is never
+    rescanned."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    cb = spark.read.parquet(f"{index_path}/codebooks")
+    narrow = with_int_vec(emb_new).filter(F.size("ivec") > 0).select(
+        "vec_id", "ivec"
+    )
+    dim, narrow = _probe_dim_strict(narrow, m_sub)
+    assigned = _assign_to_l2(narrow, cents)
+    res = (
+        narrow.join(assigned, "vec_id")
+        .join(F.broadcast(cents), "cell_id")
+        .select(
+            "vec_id",
+            F.zip_with("ivec", "c_ivec", lambda x, c: x - c).alias("ivec"),
+        )
+    )
+    codes = _pq_assign(_pq_subvecs(res, dim, m_sub), cb).select(
+        "vec_id", "m", "code_id"
+    )
+    codes.join(assigned, "vec_id").write.mode("append").partitionBy(
+        "cell_id"
+    ).parquet(f"{index_path}/codes")
+
+
 def topk_l2_ivfpq_index(
     spark,
     index_path: str,

@@ -1907,7 +1907,9 @@ def _ivfpq_oracle() -> str:
     """
 
 
-def _ivfpq_residual_ctes(ids_sql: str = "0,1,2,3,4") -> list[str]:
+def _ivfpq_residual_ctes(
+    ids_sql: str = "0,1,2,3,4", train_where: str = ""
+) -> list[str]:
     """RESIDUAL-encoding IVF-PQ chain (FAISS IndexIVFPQ semantics):
     reuses the coarse-quantizer CTEs (pv/cents/assigned/qv/probes) and
     re-runs the PQ train/encode on x − c(x). Seeds skip the n_cells
@@ -1915,7 +1917,10 @@ def _ivfpq_residual_ctes(ids_sql: str = "0,1,2,3,4") -> list[str]:
     centroid). The distance table is per-(query, probed cell): the
     query is re-expressed in each cell's frame. All arithmetic stays
     within double-exact int range (components ≤ ~1.1e7, 16-dim subvec
-    sums ≤ ~2e15 < 2^53), so list_dot_product replays exactly."""
+    sums ≤ ~2e15 < 2^53), so list_dot_product replays exactly.
+    ``train_where`` (an `AND ...` fragment) restricts the Lloyd
+    TRAINING population only — the incremental-ingest oracle trains on
+    the existing corpus while encoding everything."""
     m, k = S.PQ_M_SUB, S.PQ_K_CODES
     lo = S.N_CELLS
     d_cb = _PQD.format(a="s.sv", b="c.c_sv")
@@ -1940,7 +1945,8 @@ def _ivfpq_residual_ctes(ids_sql: str = "0,1,2,3,4") -> list[str]:
         SELECT s.vec_id, s.m, s.sv, c.code_id,
                row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
                  {d_cb} ASC, c.code_id) AS rn
-        FROM rsv s JOIN rcb0 c ON c.m = s.m) WHERE rn = 1)""",
+        FROM rsv s JOIN rcb0 c ON c.m = s.m
+        WHERE 1=1 {train_where}) WHERE rn = 1)""",
         """ragg0 AS (
       SELECT m, code_id, d, sum(x) AS sx, count(*) AS c
       FROM (SELECT m, code_id, unnest(sv) AS x,
@@ -2322,9 +2328,11 @@ def llm_similarity_pq_recall(spark, sf_dir):
     IVF-PQ 0.32 at ~24%, **IVF-PQ + exact re-rank 0.86** at ~24% plus
     C=50 raw reads per query — consistent with the r8 isotropy
     analysis (this corpus is mean-zero NOISE, so 4×16 codebooks mostly
-    encode quantization error; on a clustered real corpus the
-    codebooks capture structure and the un-reranked rungs rise
-    sharply). IVF-PQ beating plain PQ despite scanning 4× less is
+    encode quantization error; the r11 clustered-corpus measurement —
+    llm_similarity_pq_recall_clustered — shows what structure actually
+    does: it helps SMALL corpora and *collapses* raw-vector codes at
+    sf0.1, which is the measured case for residual encoding, see
+    PLANS.md r11). IVF-PQ beating plain PQ despite scanning 4× less is
     real, not noise: the data-dependent coarse quantizer filters out
     the spurious global ADC minimizers that displace true neighbors
     from plain PQ's top-5. The re-rank rung shows the probed cells
@@ -2526,6 +2534,58 @@ def llm_similarity_ivfpq_index(spark, sf_dir):
     index = _tmp(sf_dir, "ivfpq_index")
     S.build_ivfpq_index(e, index)
     return S.topk_l2_ivfpq_index(spark, index, e, _QUERY_IDS, k=5)
+
+
+def _ivfpq_incr_oracle() -> str:
+    """Incremental-ingest replay for the compressed index: quantizer
+    (coarse cells + residual codebooks) trained on the EXISTING 90%,
+    everything encoded and searched — what build-then-append produces."""
+    joined = ",\n    ".join(
+        _ivfpq_residual_ctes(
+            train_where=f"AND s.vec_id % {_IVF_NEW_MOD} < {_IVF_NEW_LO}"
+        )
+    )
+    return f"""
+    WITH {_IVEC_CTE},
+    {joined}
+    SELECT q_id, vec_id, adc_dist, rn,
+           (vec_id % {_IVF_NEW_MOD}) >= {_IVF_NEW_LO} AS is_new
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY adc_dist, vec_id) AS BIGINT) AS rn
+      FROM ivfpqr_scored) WHERE rn <= 5
+    """
+
+
+@query("llm_similarity_ivfpq_incremental", oracle=_ivfpq_incr_oracle)
+def llm_similarity_ivfpq_incremental(spark, sf_dir):
+    """COMPRESSED-index ingest lifecycle — the IVF-PQ twin of
+    llm_similarity_ivf_incremental: build the residual IVF-PQ index
+    from the existing 90% of the corpus, ingest the new 10% batch by
+    assigning it to the STORED cells and encoding it with the STORED
+    codebooks (operators/similarity.py::append_to_ivfpq_index — two
+    broadcast passes over the BATCH, an append of part-files into the
+    cell-partitioned codes layout, existing files never rewritten),
+    then search the updated index. The quantizer is a versioned
+    artifact — retraining would invalidate every stored code — so the
+    oracle replays exactly that contract: Lloyd trains on the existing
+    side only, everything is encoded and searchable. is_new marks hits
+    served from the freshly ingested batch. The index dir is pid-keyed
+    (append-mode stores do not converge under process races — the r11
+    ADVICE lesson applied at birth)."""
+    from distributed_query_engine_spark.catalog import staging_key
+    from distributed_query_engine_spark.streaming.ops import _pid_run_dir
+
+    e = Tables(spark, sf_dir).embeddings
+    is_new = F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
+    index = str(_pid_run_dir("ivfpq_index_incr", staging_key(sf_dir)))
+    S.build_ivfpq_index(e.filter(~is_new), index)
+    S.append_to_ivfpq_index(spark, e.filter(is_new), index)
+    res = S.topk_l2_ivfpq_index(spark, index, e, _QUERY_IDS, k=5)
+    return res.withColumn(
+        "is_new",
+        F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO,
+    )
 
 
 @query("llm_similarity_pq", oracle=_pq_oracle)

@@ -350,6 +350,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "llm_similarity_ivfpq_residual",
     "llm_similarity_ivfpq_residual_rerank",
     "llm_similarity_ivfpq_index",
+    "llm_similarity_ivfpq_incremental",
 )
 
 

@@ -148,11 +148,12 @@ _PID_KEYED_PARENTS = (
     "fb_sink",
     "checkpoints",
     "cdc_dim",
-    # append-mode IVF index staged by llm_similarity_ivf_incremental
-    # (r11 ADVICE: plain-overwrite indexes converge under process
-    # races, append-mode ones do not — so the incremental index is
-    # pid-keyed like every other mutable run store)
+    # append-mode IVF / IVF-PQ indexes staged by the incremental-ingest
+    # queries (r11 ADVICE: plain-overwrite indexes converge under
+    # process races, append-mode ones do not — so the incremental
+    # indexes are pid-keyed like every other mutable run store)
     "ivf_index_incr",
+    "ivfpq_index_incr",
 )
 _SWEPT = False
 

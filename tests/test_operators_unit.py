@@ -1148,3 +1148,39 @@ def test_bucket_stage_is_content_addressed_and_sweeps_stale(tmp_path, spark):
     base2, tag2 = _bucket_stage(str(src))
     assert base2 != base1 and tag2 != tag1
     assert not base1.exists()
+
+
+def test_ivfpq_incremental_append_never_rewrites_codes(spark, sf_dir, tmp_path):
+    """Compressed-index ingest (append_to_ivfpq_index): the new batch's
+    codes land as APPENDED part-files under already-existing cell
+    partition dirs — existing files untouched — and every ingested
+    vector is immediately searchable through the partition-pruned
+    reads (its code rows exist and the search returns its id for a
+    query that IS a new vector: self-excluded but siblings findable)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.catalog import Tables
+
+    e = Tables(spark, sf_dir).embeddings
+    is_new = F.pmod(F.col("vec_id"), F.lit(100)) >= 90
+    index = str(tmp_path / "ivfpq_index")
+    S.build_ivfpq_index(e.filter(~is_new), index)
+    files_before = set(Path(index, "codes").rglob("*.parquet"))
+    S.append_to_ivfpq_index(spark, e.filter(is_new), index)
+    files_after = set(Path(index, "codes").rglob("*.parquet"))
+    assert files_before < files_after
+    old_cells = {f.parent.name for f in files_before}
+    assert {f.parent.name for f in files_after - files_before} <= old_cells
+    # every ingested vector has exactly M_SUB code rows in the index
+    codes = spark.read.parquet(f"{index}/codes")
+    n_new = e.filter(is_new).count()
+    assert (
+        codes.join(
+            e.filter(is_new).select("vec_id"), "vec_id"
+        ).count()
+        == n_new * S.PQ_M_SUB
+    )
+    got = S.topk_l2_ivfpq_index(spark, index, e, [0, 1, 2], k=5).collect()
+    assert len(got) == 15
