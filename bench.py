@@ -81,6 +81,19 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # the r1 self-baseline total covers the original 17
+                # lines; llm_similarity_ivfpq joined in r11, so this
+                # subtotal is the like-for-like comparison against
+                # BASELINE.md's 10.4 s (the full `value` includes the
+                # new line by construction).
+                "legacy17_total_sec": round(
+                    sum(
+                        v
+                        for n, v in timings.items()
+                        if n != "llm_similarity_ivfpq"
+                    ),
+                    4,
+                ),
                 "sf": sf,
             }
         )
