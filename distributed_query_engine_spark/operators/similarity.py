@@ -878,8 +878,16 @@ def cosine_near_dup_pairs(
 # fit in RAM. All arithmetic is exact integer (fixed-point subvectors,
 # squared-L2 decomposes across subspaces), so a SQL oracle replays
 # codebook training, encoding, and the ADC scan bit-for-bit.
-PQ_M_SUB = 4
-PQ_K_CODES = 16
+# r11 knob sweep (scripts/pq_sweep.py, PLANS.md r11): recall rises
+# monotonically with code budget on BOTH corpus shapes; (8, 32) =
+# 5 bytes/vector on the 64-dim corpus (51x smaller than the raw float
+# vector) lifts residual+re-rank recall@5 to 0.904 raw / 0.928
+# clustered at sf0.1 (from 0.840 / 0.816 at the r10 (4, 16) point)
+# and the ADC-only rung to 0.15-0.26. Production stores run 8-bit
+# codes (k=256) at m = dim/4..dim/8 — this grid point is the same
+# shape scaled to the oracle-replayable synthetic corpus.
+PQ_M_SUB = 8
+PQ_K_CODES = 32
 PQ_LLOYD_ITERS = 1
 
 

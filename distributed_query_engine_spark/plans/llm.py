@@ -2324,9 +2324,9 @@ def llm_similarity_pq_recall(spark, sf_dir):
     numbers themselves are oracle-exact — the M_SUB/K_CODES/N_PROBE
     knobs are graded by measurement, not folklore.
 
-    Measured ladder (sf0.01): PQ 0.21 mean recall at 100% scanned,
-    IVF-PQ 0.32 at ~24%, **IVF-PQ + exact re-rank 0.86** at ~24% plus
-    C=50 raw reads per query — consistent with the r8 isotropy
+    Measured ladder (sf0.01, retuned (8, 32) knobs): PQ 0.26 mean
+    recall at 100% scanned, IVF-PQ 0.34 at ~24%, **IVF-PQ + exact
+    re-rank 0.92** at ~24% plus C=50 raw reads per query — consistent with the r8 isotropy
     analysis (this corpus is mean-zero NOISE, so 4×16 codebooks mostly
     encode quantization error; the r11 clustered-corpus measurement —
     llm_similarity_pq_recall_clustered — shows what structure actually
@@ -2460,20 +2460,22 @@ def llm_similarity_pq_recall_clustered(spark, sf_dir):
     the worst case for quantizers — they exist to exploit structure,
     and the r10 rungs (PQ 0.21 / IVF-PQ 0.32 / +re-rank 0.86 mean
     recall@5 at sf0.01) undersell the machinery. This query re-runs
-    PQ, IVF-PQ, and IVF-PQ+re-rank on a deterministic planted-cluster
-    transform of the same table (member = W·center + residual in exact
+    the ladder on a deterministic planted-cluster transform of the
+    same table (member = W·center + residual in exact
     fixed-point integers — see _IVEC_CLUSTERED_CTE), so the recall-vs-
     candidate-cost frontier is measured at BOTH corpus shapes and the
     contrast itself is oracle-exact. Measured (PLANS.md r11): the
     coarse quantizer discovers the planted cells (probe coverage →
-    re-rank 0.86→1.0 at sf0.01, 0.61→0.80 at sf0.1) — but RAW-vector
-    PQ collapses on the clustered shape at sf0.1 (0.16→0.04): the 16
+    re-rank 0.92→1.0 at sf0.01, 0.85→0.80+ at sf0.1) — but RAW-vector
+    PQ collapses on the clustered shape at sf0.1 (0.26→0.04): the
     codes per subspace get spent separating 32 cluster directions
     (the high-variance axis), leaving nothing for the residuals that
     rank WITHIN a cluster, where all the true neighbors live. That is
     the textbook argument for RESIDUAL encoding (FAISS IndexIVFPQ
     quantizes x − centroid, not x) — measured here, not folklore;
-    llm_similarity_ivfpq_residual is the rung that applies it."""
+    llm_similarity_ivfpq_residual applies it (0.04 → 0.26), and the
+    assembled residual+re-rank rung is the best on every shape
+    (PLANS.md r11 tables, including the (m_sub, k_codes) sweep)."""
     return _pq_recall_frame(_clustered_embeddings(spark, sf_dir))
 
 
@@ -2505,8 +2507,9 @@ def llm_similarity_ivfpq_residual(spark, sf_dir):
     raw-vector codebooks spend their K codes separating inter-cluster
     variance and cannot rank the within-cluster neighbors a top-k
     query needs (measured on the planted-cluster slice at sf0.1: raw
-    IVF-PQ 0.04 mean recall@5, residual 0.17 — 4.2× — at identical
-    candidate cost; llm_similarity_pq_recall_clustered, PLANS.md r11).
+    IVF-PQ 0.04 mean recall@5, residual 0.26 — 6.6× — at identical
+    candidate cost; llm_similarity_pq_recall_clustered, PLANS.md r11,
+    retuned (8, 32) knobs).
     Integer-pure end to end, oracle replays the full
     two-level residual index. Same 100 TB shape as llm_similarity_ivfpq:
     broadcast index relations, codes-only search scan."""
