@@ -62,6 +62,30 @@ def release_prefix_cache() -> int:
     return n
 
 
+def exact_ntile(rk: Column, n: Column, k: int) -> Column:
+    """SQL-standard ``NTILE(k)`` reproduced from (global rank, total
+    count) in exact integer CASE arithmetic — the scale-safe companion
+    to :func:`partitioned_running`'s rank output (an unpartitioned
+    ntile window would be a single-partition sort). Bucket sizes: the
+    first ``n mod k`` buckets hold ``n div k + 1`` rows, the rest
+    ``n div k``. The q=0 divisor guard is unreachable (q=0 ⇒ cut=n, the
+    WHEN always fires) but keeps the expression total."""
+    q = F.floor(n / k)
+    r = n % k
+    cut = (q + 1) * r
+    return (
+        F.when(rk <= cut, F.floor((rk + q) / (q + 1)))
+        .otherwise(
+            r
+            + F.floor(
+                (rk - cut + F.greatest(q, F.lit(1)) - 1)
+                / F.greatest(q, F.lit(1))
+            )
+        )
+        .cast("int")
+    )
+
+
 def partitioned_running(
     df: DataFrame,
     order_cols: "list[Column | str]",

@@ -3050,22 +3050,12 @@ def rfm_segmentation(spark, sf_dir):
     ranked = partitioned_running(
         ranked, [F.col("monetary").desc(), F.col("o_custkey")], rank_col="m_rk"
     )
+    from distributed_query_engine_spark.operators.prefix import exact_ntile
+
     nrow = rfm.agg(F.count(F.lit(1)).alias("_n"))
-    q = F.floor(F.col("_n") / 4)
-    r = F.col("_n") % 4
 
     def ntile4(rk):
-        # SQL-standard NTILE(4): bucket i <= r has size q+1, the rest
-        # size q. cut = rows covered by the larger buckets; the q=0
-        # divisor guard is unreachable (q=0 => cut=n, the WHEN always
-        # fires) but keeps the expression total.
-        cut = (q + 1) * r
-        return (
-            F.when(rk <= cut, F.floor((rk + q) / (q + 1)))
-            .otherwise(r + F.floor((rk - cut + F.greatest(q, F.lit(1)) - 1)
-                                   / F.greatest(q, F.lit(1))))
-            .cast("int")
-        )
+        return exact_ntile(rk, F.col("_n"), 4)
 
     scored = (
         ranked.crossJoin(F.broadcast(nrow))

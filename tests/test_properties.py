@@ -916,3 +916,101 @@ def test_kmeans_cell_stats_matches_python_model(spark, vecs):
         for r in kmeans_cell_stats(df, N_CELLS, ITERS).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# r11: the two-pass distributed prefix scan vs the pure-Python prefix
+# model, on randomized value/key shapes (duplicate sort keys with a
+# unique tiebreak, negative values, skewed key distributions) — the
+# structures the fixed testdata never stresses.
+# ---------------------------------------------------------------------------
+
+prefix_rows_st = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(-5, 5)),  # (key, value)
+    min_size=1,
+    max_size=40,
+)
+
+
+@SET
+@given(rows=prefix_rows_st, n_parts=st.sampled_from([1, 3, 7]))
+def test_partitioned_running_matches_python_prefix(spark, rows, n_parts):
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.operators.prefix import (
+        partitioned_running,
+    )
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k long, v long")
+    got = {
+        r["id"]: (r["cs"], r["rn"])
+        for r in partitioned_running(
+            df,
+            [F.col("k").desc(), F.col("id")],
+            sum_cols=[("v", "cs")],
+            rank_col="rn",
+            num_partitions=n_parts,
+        ).collect()
+    }
+    # pure-Python model: sort by the same strict total order, walk
+    ordered = sorted(data, key=lambda t: (-t[1], t[0]))
+    cs = 0
+    for rn, (i, _k, v) in enumerate(ordered, start=1):
+        cs += v
+        assert got[i] == (cs, rn), (i, got[i], (cs, rn))
+    assert len(got) == len(data)
+
+
+@SET
+@given(rows=st.lists(st.integers(-3, 3), min_size=1, max_size=30))
+def test_clustered_embeddings_roundtrip_is_exact(spark, rows):
+    """The planted-cluster transform's float detour must round-trip to
+    EXACTLY w*center + residual in fixed point (division by 2^20 is
+    exact in binary floating point) — the property the clustered
+    recall oracle's integer-side construction relies on."""
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.functions.vectors import SCALE, int_vec
+    from distributed_query_engine_spark.plans.llm import _CLUST_W
+
+    # center ivec components and member ivec components as raw ints
+    c = [r * 3 for r in rows]
+    x = [r * 7 - 1 for r in rows]
+    df = spark.createDataFrame(
+        [(0, [(_CLUST_W * ci + xi) / SCALE for ci, xi in zip(c, x)])],
+        "vec_id long, embedding array<double>",
+    )
+    got = df.select(int_vec("embedding").alias("iv")).first()["iv"]
+    assert got == [_CLUST_W * ci + xi for ci, xi in zip(c, x)]
+
+
+@SET
+@given(
+    n=st.integers(1, 23),
+    k=st.sampled_from([2, 3, 4, 5, 7]),
+)
+def test_exact_ntile_matches_sparks_ntile(spark, n, k):
+    """exact_ntile (rank+count integer arithmetic) must agree with
+    Spark's own NTILE window for EVERY (n, k), including n < k where
+    trailing buckets are empty — the edge the fixed customer-grain
+    testdata never reaches."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from distributed_query_engine_spark.operators.prefix import exact_ntile
+
+    df = spark.range(1, n + 1).select(F.col("id").alias("rk"))
+    got = {
+        r["rk"]: r["b"]
+        for r in df.select(
+            "rk", exact_ntile(F.col("rk"), F.lit(n), k).alias("b")
+        ).collect()
+    }
+    want = {
+        r["rk"]: r["b"]
+        for r in df.select(
+            "rk", F.ntile(k).over(Window.orderBy("rk")).alias("b")
+        ).collect()
+    }
+    assert got == want, (n, k, got, want)
