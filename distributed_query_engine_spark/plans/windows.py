@@ -4,8 +4,9 @@ full Spark-grade surface the north star demands).
 Scale note: every window here declares a PARTITION BY, so Spark plans one
 shuffle on the partition key and sorts within partitions — the shape that
 survives 100 TB. A window with no PARTITION BY collapses to a single
-partition and is only acceptable on already-reduced data
-(``window_ntile_percent`` documents this).
+partition and is only acceptable on already-reduced data; global-order
+statistics over fact-grain rows go through the two-pass prefix scan
+instead (``window_ntile_percent`` below, on ``operators/prefix.py``).
 
 Cross-engine type discipline: ranking functions return INT in Spark but
 BIGINT in DuckDB — Spark results are cast to long so the driver's schema
@@ -172,16 +173,37 @@ def window_time_rolling(spark, sf_dir):
     """,
 )
 def window_ntile_percent(spark, sf_dir):
-    # Unpartitioned window → single-partition sort. Fine here because the
-    # input is a dimension table; for fact-scale data, partition first
-    # (or compute global quantiles via approx_percentile instead).
-    c = Tables(spark, sf_dir).customer
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    """Global NTILE / PERCENT_RANK / CUME_DIST WITHOUT the unpartitioned
+    window (which plans ``Exchange SinglePartition`` + a one-task sort —
+    customer is SF-proportional, ~15 M rows at sf100, so the old
+    dimension-table excuse did not hold; VERDICT r11 item 1). The
+    distributed form: one global rank from the two-pass prefix scan
+    (range exchange + per-partition row_number + broadcast offsets,
+    :func:`~distributed_query_engine_spark.operators.prefix
+    .partitioned_running`), then every output is pure arithmetic over
+    (rank, n) — the order is strict (c_custkey tiebreak), so
+    rank = row_number, percent_rank = (rk−1)/(n−1), cume_dist = rk/n,
+    and ntile(4) is :func:`exact_ntile`'s integer CASE, byte-identical
+    to the oracle's window ntile over the same total order. ``n`` is a
+    scalar aggregate broadcast onto the ranked rows."""
+    from distributed_query_engine_spark.operators.prefix import (
+        exact_ntile,
+        partitioned_running,
+    )
+
+    c = Tables(spark, sf_dir).customer.select("c_custkey", "c_acctbal")
+    ranked = partitioned_running(
+        c, ["c_acctbal", "c_custkey"], rank_col="_rk"
+    )
+    nrow = c.agg(F.count(F.lit(1)).alias("_n"))
+    rk, n = F.col("_rk"), F.col("_n")
+    return ranked.crossJoin(F.broadcast(nrow)).select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        exact_ntile(rk, n, 4).cast("long").alias("quartile"),
+        F.when(n > 1, (rk - 1) / (n - 1)).otherwise(F.lit(0.0)).alias(
+            "pct_rank"
+        ),
+        (rk / n).alias("cume"),
     )
 
 

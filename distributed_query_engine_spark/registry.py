@@ -186,6 +186,15 @@ _CHANGED: dict[str, int] = {
     "llm_similarity_ivfpq_rerank": 11,
     "llm_similarity_pq_recall": 11,
     "llm_similarity_ivf_incremental": 11,
+    # r12: the LAST two fact-grain single-partition sorts retired
+    # (VERDICT r11 item 1) — both VALUE-PRESERVING by construction
+    # (strict total orders; exact_ntile reproduces SQL ntile from
+    # (rank, n)), locally re-verified oracle-exact at sf0.01:
+    # window_ntile_percent now = two-pass prefix rank + (rk,n)
+    # arithmetic; zorder pruning file ids = two-pass prefix rank +
+    # exact_ntile instead of two global ntile windows.
+    "window_ntile_percent": 12,
+    "layout_zorder_pruning": 12,
 }
 
 # Checked first within the unverified group (ordering hint only — a

@@ -805,6 +805,31 @@ def test_rfm_rank_prefix_scans_avoid_global_sort(spark, sf_dir):
     _assert_single_partition_exchanges_are_tiny(plan)
 
 
+def test_ntile_percent_prefix_scan_avoids_global_sort(spark, sf_dir):
+    # r12 (VERDICT r11 item 1): customer is SF-proportional, so the old
+    # unpartitioned ntile/percent_rank window was a fact-grain
+    # single-task sort. The rewrite must show the two-pass shape: one
+    # range exchange, no global Sort, no window-ntile node — quartile /
+    # pct_rank / cume are arithmetic over (rank, n).
+    plan = _plan(_q("window_ntile_percent", spark, sf_dir))
+    assert "rangepartitioning" in plan, plan
+    assert not _GLOBAL_SORT.search(plan), plan
+    assert "ntile(" not in plan, plan
+    _assert_single_partition_exchanges_are_tiny(plan)
+
+
+def test_zorder_pruning_file_ids_avoid_global_sort(spark, sf_dir):
+    # r12 (VERDICT r11 item 1): file-id assignment for BOTH layouts must
+    # be the two-pass prefix rank + exact_ntile arithmetic — two range
+    # exchanges (zorder order + linear order), zero global sorts, zero
+    # window-ntile nodes.
+    plan = _plan(_q("layout_zorder_pruning", spark, sf_dir))
+    assert plan.count("rangepartitioning") >= 2, plan
+    assert not _GLOBAL_SORT.search(plan), plan
+    assert "ntile(" not in plan, plan
+    _assert_single_partition_exchanges_are_tiny(plan)
+
+
 def test_ivfpq_residual_plan_and_clustered_win(spark, sf_dir):
     # Residual IVF-PQ (llm_similarity_ivfpq_residual): same broadcast
     # discipline as the raw-encoded variant — index relations
