@@ -1280,26 +1280,29 @@ def _grams(base: DataFrame, k: int) -> DataFrame:
         "doc_id",
         F.posexplode(_span_gids(k)).alias("pos", "gid"),
     )
-    # Registry keyed by the analyzed plan's semanticHash — Spark's
+    # Registry keyed by the analyzed plan's semanticHash with
+    # sameResult confirmation on hit (operators/semcache.py) — Spark's
     # CacheManager dedups semantically-equal plans to ONE cache entry,
     # so repeat calls for the same (corpus plan, k) must reuse the
     # registered relation instead of appending a new registry entry per
-    # call (r11 ADVICE: the list otherwise grows per call in a
-    # long-lived session and release issues redundant unpersists).
-    key = df._jdf.queryExecution().analyzed().semanticHash()
-    if key in _PERSISTED_GRAMS:
-        return _PERSISTED_GRAMS[key]
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED_GRAMS[key] = df
-    return df
+    # call (r11 ADVICE), and a bare-hash collision across distinct
+    # (corpus, k) plans must not serve the wrong relation (r12 ADVICE).
+    from distributed_query_engine_spark.operators.semcache import (
+        persist_semantic,
+    )
+
+    return persist_semantic(
+        _PERSISTED_GRAMS, df, StorageLevel.MEMORY_AND_DISK
+    )
 
 
 # Every relation _grams persisted, so long-lived sessions have a
 # release path (r10 ADVICE: a new cache entry per (corpus plan, k)
 # otherwise holds executor memory/disk for the whole session and
 # accumulates across corpora/k values). One entry per semantic plan
-# (r11 ADVICE), mirroring the CacheManager's own dedup.
-_PERSISTED_GRAMS: dict[int, DataFrame] = {}
+# (r11 ADVICE), confirmed with sameResult on hash hit (r12 ADVICE) —
+# see operators/semcache.py.
+_PERSISTED_GRAMS: "dict[int, list[DataFrame]]" = {}
 
 
 def release_gram_cache() -> int:
@@ -1310,15 +1313,11 @@ def release_gram_cache() -> int:
     instead leave the entries to Spark's LRU cache manager, which is
     the right default for a short-lived driver. Returns the number of
     relations released (for tests)."""
-    n = 0
-    while _PERSISTED_GRAMS:
-        _, df = _PERSISTED_GRAMS.popitem()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing left to free
-    return n
+    from distributed_query_engine_spark.operators.semcache import (
+        release_semantic,
+    )
+
+    return release_semantic(_PERSISTED_GRAMS)
 
 
 def duplicated_span_report(docs: DataFrame, k: int = SPAN_K) -> DataFrame:

@@ -44,22 +44,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 # One entry per semantic plan, mirroring Spark's CacheManager dedup
-# (the r11 _PERSISTED_GRAMS lesson applied at birth).
-_PERSISTED: dict[int, DataFrame] = {}
+# (the r11 _PERSISTED_GRAMS lesson applied at birth; sameResult
+# confirmation on hash hit per r12 ADVICE — operators/semcache.py).
+_PERSISTED: "dict[int, list[DataFrame]]" = {}
 
 
 def release_prefix_cache() -> int:
     """Unpersist every pid-stamped relation :func:`partitioned_running`
     persisted in this process (mirrors ``release_gram_cache``)."""
-    n = 0
-    while _PERSISTED:
-        _, df = _PERSISTED.popitem()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing left to free
-    return n
+    from distributed_query_engine_spark.operators.semcache import (
+        release_semantic,
+    )
+
+    return release_semantic(_PERSISTED)
 
 
 def exact_ntile(rk: Column, n: Column, k: int) -> Column:
@@ -109,21 +106,20 @@ def partitioned_running(
     """
     if not sum_cols and rank_col is None:
         raise ValueError("nothing to compute: pass sum_cols and/or rank_col")
-    from pyspark import StorageLevel
+    from distributed_query_engine_spark.operators.semcache import (
+        persist_semantic,
+    )
 
     spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "_pp_pid", F.spark_partition_id()
+    part = persist_semantic(
+        _PERSISTED,
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "_pp_pid", F.spark_partition_id()
+        ),
     )
-    key = part._jdf.queryExecution().analyzed().semanticHash()
-    if key in _PERSISTED:
-        part = _PERSISTED[key]
-    else:
-        part = part.persist(StorageLevel.MEMORY_AND_DISK)
-        _PERSISTED[key] = part
 
     w_run = Window.partitionBy("_pp_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -1051,6 +1051,44 @@ def _probe_dim_strict(
     return dim, guarded
 
 
+def _stored_index_shape(cb: DataFrame) -> "tuple[int, int]":
+    """Derive ``(m_sub, dim)`` from a STORED codebook relation —
+    ``dim = m_sub × len(c_sv)`` (r12 ADVICE: :func:`_probe_dim_strict`
+    only enforces internal homogeneity of a new batch, so a batch with
+    a different-but-homogeneous dim used to zip_with against mismatched
+    centroids and silently append NULL-component garbage codes). One
+    scalar aggregate over the broadcast-sized codebooks; callers raise
+    on any mismatch against the incoming batch/query shape."""
+    row = cb.agg(
+        F.count_distinct("m").alias("m_sub"),
+        F.min(F.size("c_sv")).alias("sv_lo"),
+        F.max(F.size("c_sv")).alias("sv_hi"),
+    ).first()
+    if row is None or row["m_sub"] == 0:
+        raise ValueError("IVF-PQ index: empty codebooks relation")
+    if row["sv_lo"] != row["sv_hi"]:
+        raise ValueError(
+            "IVF-PQ index: corrupt codebooks (ragged subvector lengths "
+            f"{row['sv_lo']}..{row['sv_hi']})"
+        )
+    return int(row["m_sub"]), int(row["m_sub"]) * int(row["sv_lo"])
+
+
+def _check_against_stored_index(
+    cb: DataFrame, m_sub: int, dim: int, what: str
+) -> None:
+    """Raise unless ``(m_sub, dim)`` of an incoming batch/query matches
+    the stored index's shape — the 'mixed-dim must fail loudly'
+    contract extended across index generations (r12 ADVICE)."""
+    m_stored, dim_stored = _stored_index_shape(cb)
+    if m_sub != m_stored or dim != dim_stored:
+        raise ValueError(
+            f"IVF-PQ index shape mismatch: stored index has m_sub="
+            f"{m_stored}, dim={dim_stored}; {what} has m_sub={m_sub}, "
+            f"dim={dim}"
+        )
+
+
 def topk_l2_pq(
     emb: DataFrame,
     query_ids: list[int],
@@ -1408,6 +1446,7 @@ def append_to_ivfpq_index(
         "vec_id", "ivec"
     )
     dim, narrow = _probe_dim_strict(narrow, m_sub)
+    _check_against_stored_index(cb, m_sub, dim, "ingest batch")
     assigned = _assign_to_l2(narrow, cents)
     res = (
         narrow.join(assigned, "vec_id")
@@ -1455,6 +1494,7 @@ def topk_l2_ivfpq_index(
         .select(F.col("vec_id").alias("q_id"), "ivec")
     )
     dim, q_guarded = _probe_dim_strict(q_narrow, m_sub, id_col="q_id")
+    _check_against_stored_index(cb, m_sub, dim, "query panel")
     q = q_guarded.select("q_id", F.col("ivec").alias("q_ivec"))
     pw = Window.partitionBy("q_id").orderBy("p_dist", "cell_id")
     probes = (

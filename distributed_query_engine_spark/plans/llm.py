@@ -1708,6 +1708,58 @@ def llm_similarity_ivf(spark, sf_dir):
     return S.topk_cosine_ivf(e, _QUERY_IDS, k=5)
 
 
+def _content_addressed_index(sf_dir, name: str, knobs: str, build) -> str:
+    """Build-once, content-addressed ANN index staging (r12: VERDICT
+    r11 item 4 + ADVICE item 4). The generation directory is keyed by
+    a hash of (build knobs, source parquet fingerprint = per-file
+    path+mtime_ns+size — the same self-invalidation contract as the
+    ``bucketed_*``/streaming staging): regenerating the testdata
+    changes the fingerprint, so a stale index can never be served. The
+    build writes into a pid-suffixed scratch dir and PUBLISHES with one
+    atomic ``os.rename`` — a concurrent reader either sees the complete
+    previous generation or the complete new one, never a mixed
+    centroids/codebooks/codes state (plain sequential overwrites only
+    converge eventually, not for in-flight readers). A lost publish
+    race discards the scratch build (both builders produce identical
+    content — the build is deterministic in the source). Superseded
+    ``gen-*`` siblings are swept best-effort after publish; a
+    fingerprint hit skips the rebuild entirely."""
+    import hashlib
+    import os
+    import shutil
+    from pathlib import Path
+
+    from distributed_query_engine_spark.plans.sources import _tmp
+    from distributed_query_engine_spark.streaming.ops import (
+        _source_fingerprint,
+    )
+
+    src = Path(sf_dir) / "embeddings.parquet"
+    fp = hashlib.md5(
+        f"{knobs}\n{_source_fingerprint(src)}".encode()
+    ).hexdigest()[:16]
+    root = Path(_tmp(sf_dir, name))
+    final = root / f"gen-{fp}"
+    if (final / "_BUILT").is_file():
+        return str(final)
+    scratch = root / f".build-{fp}-{os.getpid()}"
+    if scratch.exists():
+        shutil.rmtree(scratch)
+    build(str(scratch))
+    (scratch / "_BUILT").write_text(f"{name}\n{knobs}\n{fp}\n")
+    try:
+        os.rename(scratch, final)
+    except OSError:
+        # lost the publish race — identical content already live
+        shutil.rmtree(scratch, ignore_errors=True)
+    for sib in root.glob("gen-*"):
+        if sib != final:
+            shutil.rmtree(sib, ignore_errors=True)
+    return str(final)
+
+
+
+
 @query(
     "llm_similarity_ivf_index",
     # The index stores exactly the relations topk_cosine_ivf derives,
@@ -1756,12 +1808,16 @@ def llm_similarity_ivf_index(spark, sf_dir):
     table at all — query vectors are index lookups too. Identical
     results to llm_similarity_ivf; the build-once/search-many split is
     what a 100 TB deployment actually operates
-    (operators/similarity.py::build_ivf_index / topk_cosine_ivf_index)."""
-    from distributed_query_engine_spark.plans.sources import _tmp
-
+    (operators/similarity.py::build_ivf_index / topk_cosine_ivf_index).
+    The index dir is content-addressed + atomically published
+    (:func:`_content_addressed_index`): fingerprint hit → search only."""
     e = Tables(spark, sf_dir).embeddings
-    index = _tmp(sf_dir, "ivf_index")
-    S.build_ivf_index(e, index)
+    index = _content_addressed_index(
+        sf_dir,
+        "ivf_index",
+        f"ivf:{S.N_CELLS}:lowest_id:0",
+        lambda p: S.build_ivf_index(e, p),
+    )
     return S.topk_cosine_ivf_index(spark, index, _QUERY_IDS, k=5)
 
 
@@ -2125,8 +2181,12 @@ iv0 AS (
              x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS ivec
   FROM embeddings
 ),
+-- len(ivec) > 0 mirrors the engine's size(ivec) > 0 pre-filter: a
+-- hypothetical empty-embedding row at vec_id < _CLUST_N must drop that
+-- cluster's members on BOTH sides (inner join on a missing centroid),
+-- not keep them with NULL components on one (r12 ADVICE).
 clcent AS (SELECT vec_id AS c_id, ivec AS c_ivec FROM iv0
-           WHERE vec_id < {_CLUST_N}),
+           WHERE vec_id < {_CLUST_N} AND len(ivec) > 0),
 iv AS (
   SELECT b.vec_id, b.label,
          list_transform(range(1, len(b.ivec) + 1),
@@ -2530,12 +2590,19 @@ def llm_similarity_ivfpq_index(spark, sf_dir):
     else; raw vectors are touched only at build (and in the optional
     re-rank stage). Results are bit-identical to the in-memory
     residual search (the index stores exactly the relations
-    topk_l2_ivfpq_residual derives), so it shares that oracle."""
-    from distributed_query_engine_spark.plans.sources import _tmp
-
+    topk_l2_ivfpq_residual derives), so it shares that oracle. The
+    index dir is content-addressed + atomically published
+    (:func:`_content_addressed_index`): regenerated testdata changes
+    the fingerprint (never a stale serve), a concurrent reader never
+    observes a mixed centroids/codebooks/codes generation, and a
+    fingerprint hit skips the rebuild."""
     e = Tables(spark, sf_dir).embeddings
-    index = _tmp(sf_dir, "ivfpq_index")
-    S.build_ivfpq_index(e, index)
+    index = _content_addressed_index(
+        sf_dir,
+        "ivfpq_index",
+        f"ivfpq:{S.N_CELLS}:{S.PQ_M_SUB}:{S.PQ_K_CODES}:{S.PQ_LLOYD_ITERS}",
+        lambda p: S.build_ivfpq_index(e, p),
+    )
     return S.topk_l2_ivfpq_index(spark, index, e, _QUERY_IDS, k=5)
 
 

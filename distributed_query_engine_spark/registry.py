@@ -195,6 +195,14 @@ _CHANGED: dict[str, int] = {
     # exact_ntile instead of two global ntile windows.
     "window_ntile_percent": 12,
     "layout_zorder_pruning": 12,
+    # r12 ADVICE: the shared ANN index dirs moved to content-addressed
+    # atomically-published generations (path change only; results
+    # bit-identical), and the clustered oracle's clcent CTE gained the
+    # len(ivec)>0 guard (oracle text change; no-op on current data).
+    # All three re-verified repr-exact at sf0.01.
+    "llm_similarity_ivf_index": 12,
+    "llm_similarity_ivfpq_index": 12,
+    "llm_similarity_pq_recall_clustered": 12,
 }
 
 # Checked first within the unverified group (ordering hint only — a

@@ -504,7 +504,9 @@ def test_release_gram_cache_unpersists(spark, sf_dir):
     docs = Tables(spark, sf_dir).documents
     D.duplicated_span_report(docs).count()  # materializes the grams
     assert len(D._PERSISTED_GRAMS) >= 1
-    df = next(iter(D._PERSISTED_GRAMS.values()))
+    # r12: registry values are LISTS (hash -> sameResult-confirmed
+    # relations) so a hash collision can hold both plans
+    df = next(iter(D._PERSISTED_GRAMS.values()))[0]
     assert df.storageLevel.useMemory or df.storageLevel.useDisk
     # r11 ADVICE: repeat calls for the same (corpus plan, k) must NOT
     # grow the registry — the CacheManager dedups them to one entry.
@@ -1184,3 +1186,102 @@ def test_ivfpq_incremental_append_never_rewrites_codes(spark, sf_dir, tmp_path):
     )
     got = S.topk_l2_ivfpq_index(spark, index, e, [0, 1, 2], k=5).collect()
     assert len(got) == 15
+
+
+def test_ivfpq_index_rejects_mismatched_dims(spark, sf_dir, tmp_path):
+    """r12 ADVICE: _probe_dim_strict only enforces internal homogeneity
+    of a batch — a homogeneous batch of the WRONG dim used to zip_with
+    against mismatched centroids and silently append NULL-residual
+    garbage codes. Both ingest and query must instead raise against the
+    stored index's (m_sub, dim), derived from the codebooks."""
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.catalog import Tables
+
+    e = Tables(spark, sf_dir).embeddings
+    index = str(tmp_path / "ivfpq_dim_index")
+    S.build_ivfpq_index(e, index)
+    wrong = e.withColumn(
+        "embedding", F.slice("embedding", 1, S.PQ_M_SUB * 2)
+    )
+    with pytest.raises(Exception, match="shape mismatch"):
+        S.append_to_ivfpq_index(spark, wrong, index)
+    with pytest.raises(Exception, match="shape mismatch"):
+        S.topk_l2_ivfpq_index(spark, index, wrong, [0, 1], k=5)
+    # matching shape still flows end-to-end
+    assert len(S.topk_l2_ivfpq_index(spark, index, e, [0, 1], k=5).collect()) == 10
+
+
+def test_content_addressed_index_invalidates_on_regenerated_source(
+    spark, tmp_path
+):
+    """r12 (VERDICT r11 item 4): the shared ANN index staging keys on
+    the SOURCE CONTENT fingerprint (path, mtime_ns, size), not just the
+    sf_dir path — regenerating the testdata must force a rebuild into a
+    NEW generation dir, and an unchanged source must serve the cached
+    generation without rebuilding."""
+    import os
+    import time
+    from pathlib import Path
+
+    from distributed_query_engine_spark.plans.llm import (
+        _content_addressed_index,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.range(8).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id AS FLOAT), CAST(id+1 AS FLOAT)) AS embedding",
+        "'x' AS label",
+    ).coalesce(1).write.mode("overwrite").parquet(str(sf / "embeddings.parquet"))
+
+    builds = []
+
+    def build(path):
+        Path(path).mkdir(parents=True)
+        (Path(path) / "payload").write_text(str(len(builds)))
+        builds.append(path)
+
+    g1 = _content_addressed_index(str(sf), "catest_index", "k:1", build)
+    g1_again = _content_addressed_index(str(sf), "catest_index", "k:1", build)
+    assert g1 == g1_again and len(builds) == 1  # fingerprint hit: no rebuild
+    assert (Path(g1) / "_BUILT").is_file()
+
+    # regenerate the source (content + mtime change)
+    time.sleep(0.05)
+    data_file = next(Path(sf, "embeddings.parquet").rglob("*.parquet"))
+    os.utime(data_file)
+    g2 = _content_addressed_index(str(sf), "catest_index", "k:1", build)
+    assert g2 != g1 and len(builds) == 2
+    assert not Path(g1).exists()  # superseded generation swept
+    # different knobs are a different generation too
+    g3 = _content_addressed_index(str(sf), "catest_index", "k:2", build)
+    assert g3 != g2 and len(builds) == 3
+
+
+def test_persist_semantic_confirms_on_hash_hit(spark):
+    """r12 ADVICE: a semanticHash collision between two distinct plans
+    must not serve the wrong persisted relation — equality is confirmed
+    with sameResult on the analyzed plans (simulated collision: seed
+    the registry with a DIFFERENT relation under the incoming plan's
+    hash and require a fresh persist, not the seeded entry)."""
+    from distributed_query_engine_spark.operators.semcache import (
+        persist_semantic,
+        release_semantic,
+    )
+
+    reg = {}
+    a = spark.range(10).selectExpr("id", "id * 2 AS v")
+    b = spark.range(10).selectExpr("id", "id * 3 AS v")
+    got_a = persist_semantic(reg, a)
+    # same SEMANTIC plan (fresh object) -> the registered relation
+    a2 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    assert persist_semantic(reg, a2) is got_a
+    # forced hash collision: b's hash key pre-seeded with a's relation
+    key_b = b._jdf.queryExecution().analyzed().semanticHash()
+    reg.setdefault(key_b, []).insert(0, got_a)
+    got_b = persist_semantic(reg, b)
+    assert got_b is not got_a
+    assert [r["v"] for r in got_b.orderBy("id").collect()][:3] == [0, 3, 6]
+    assert release_semantic(reg) >= 2
