@@ -45,7 +45,19 @@ BENCH_QUERIES = [
     # a regression in the two-level compressed index design must be
     # driver-visible, not just oracle-correct.
     "llm_similarity_ivfpq",
+    # r12 (VERDICT r11 item 8): the production corpus-ingest loop —
+    # multi-batch streaming dedup against the mutating signature store.
+    # Dominated by the per-batch verify of the twin-heavy synthetic
+    # corpus (quadratic pair OUTPUT within twin groups — a data
+    # property, see PLANS.md r11 ngram profile), so its absolute time
+    # dwarfs the batch lines; benched to catch regressions in the
+    # foreachBatch/store design, compared per-line, not in the total.
+    "stream_ingest_dedup",
 ]
+
+# Lines added after the r1 self-baseline (17 lines): excluded from the
+# like-for-like legacy17 subtotal.
+_POST_BASELINE_LINES = {"llm_similarity_ivfpq", "stream_ingest_dedup"}
 
 
 def run_once(fn, spark, sf_dir) -> float:
@@ -82,15 +94,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 # the r1 self-baseline total covers the original 17
-                # lines; llm_similarity_ivfpq joined in r11, so this
-                # subtotal is the like-for-like comparison against
-                # BASELINE.md's 10.4 s (the full `value` includes the
-                # new line by construction).
+                # lines; llm_similarity_ivfpq joined in r11 and
+                # stream_ingest_dedup in r12, so this subtotal is the
+                # like-for-like comparison against BASELINE.md (the
+                # full `value` includes the new lines by construction).
                 "legacy17_total_sec": round(
                     sum(
                         v
                         for n, v in timings.items()
-                        if n != "llm_similarity_ivfpq"
+                        if n not in _POST_BASELINE_LINES
                     ),
                     4,
                 ),

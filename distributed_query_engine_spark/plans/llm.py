@@ -1964,7 +1964,10 @@ def _ivfpq_oracle() -> str:
 
 
 def _ivfpq_residual_ctes(
-    ids_sql: str = "0,1,2,3,4", train_where: str = ""
+    ids_sql: str = "0,1,2,3,4",
+    train_where: str = "",
+    m: "int | None" = None,
+    k: "int | None" = None,
 ) -> list[str]:
     """RESIDUAL-encoding IVF-PQ chain (FAISS IndexIVFPQ semantics):
     reuses the coarse-quantizer CTEs (pv/cents/assigned/qv/probes) and
@@ -1976,8 +1979,12 @@ def _ivfpq_residual_ctes(
     sums ≤ ~2e15 < 2^53), so list_dot_product replays exactly.
     ``train_where`` (an `AND ...` fragment) restricts the Lloyd
     TRAINING population only — the incremental-ingest oracle trains on
-    the existing corpus while encoding everything."""
-    m, k = S.PQ_M_SUB, S.PQ_K_CODES
+    the existing corpus while encoding everything. ``m``/``k`` override
+    the registered (PQ_M_SUB, PQ_K_CODES) code budget — the
+    production-width rung (llm_similarity_ivfpq_prod) replays the same
+    chain at (16, 256)."""
+    m = m or S.PQ_M_SUB
+    k = k or S.PQ_K_CODES
     lo = S.N_CELLS
     d_cb = _PQD.format(a="s.sv", b="c.c_sv")
     d_dt = _PQD.format(a="q.q_sv", b="c.c_sv")
@@ -2095,11 +2102,14 @@ def _ivfpq_rerank_oracle() -> str:
     """
 
 
-def _ivfpq_residual_rerank_oracle() -> str:
+def _ivfpq_residual_rerank_oracle(
+    m: "int | None" = None, k: "int | None" = None
+) -> str:
     """Residual IVF-PQ + exact re-rank replay — the complete FAISS
     IndexIVFPQ default: residual-ADC shortlist (top-C per query over
-    probed cells) joined back to RAW vectors, exactly re-scored."""
-    joined = ",\n    ".join(_ivfpq_residual_ctes())
+    probed cells) joined back to RAW vectors, exactly re-scored.
+    ``m``/``k`` override the code budget (production-width rung)."""
+    joined = ",\n    ".join(_ivfpq_residual_ctes(m=m, k=k))
     d_tru = _PQD.format(a="q.q_ivec", b="n.ivec")
     return f"""
     WITH {_IVEC_CTE},
@@ -2140,6 +2150,41 @@ def llm_similarity_ivfpq_residual_rerank(spark, sf_dir):
     stages, is oracle-checked."""
     e = Tables(spark, sf_dir).embeddings
     return S.topk_l2_ivfpq_rerank(e, _QUERY_IDS, k=5, residual=True)
+
+
+# Production code width (VERDICT r11 item 5): FAISS's default stores
+# 8-BIT codes (k_codes=256); the r11 ladder stopped at (8, 32). The r12
+# sweep (scripts/pq_sweep.py, sf0.1, recall@5 adc / +re-rank):
+#   (8, 128) = 7 B/vec: raw 0.18/0.91, clustered 0.39/0.98
+#   (8, 256) = 8 B/vec: raw 0.20/0.94, clustered 0.42/1.00
+#   (16,256) = 16 B/vec: raw 0.41/0.96, clustered 0.59/1.00
+# (16, 256) — 4-dim subvectors at 8-bit codes, 16 B/vec = 16x smaller
+# than the raw float vector — is the first point meeting recall >= 0.95
+# on BOTH corpus shapes, so it is the registered production rung. The
+# (8, 32) default ladder stays: it prices the aggressive-compression
+# end (5 B/vec) the sweep showed is the knee of the curve.
+_PQ_PROD_M, _PQ_PROD_K = 16, 256
+
+
+@query(
+    "llm_similarity_ivfpq_prod",
+    oracle=lambda: _ivfpq_residual_rerank_oracle(m=_PQ_PROD_M, k=_PQ_PROD_K),
+)
+def llm_similarity_ivfpq_prod(spark, sf_dir):
+    """Residual IVF-PQ + exact re-rank at PRODUCTION code width
+    (m_sub=16, k_codes=256 — FAISS IndexIVFPQ's 8-bit default): same
+    assembled ladder as llm_similarity_ivfpq_residual_rerank, bigger
+    code budget. Measured recall@5 at sf0.1: 0.96 raw / 1.00 clustered
+    (scripts/pq_sweep.py r12 rows) — the >= 0.95-on-both-shapes rung.
+    The codebook relation grows to 16x256 rows — still broadcast-sized
+    (the ONLY broadcast relations are centroids + codebooks); the
+    codes relation stays a per-vector handful of small ints, so every
+    100 TB property of the (8, 32) rung carries over unchanged."""
+    e = Tables(spark, sf_dir).embeddings
+    return S.topk_l2_ivfpq_rerank(
+        e, _QUERY_IDS, k=5, m_sub=_PQ_PROD_M, k_codes=_PQ_PROD_K,
+        residual=True,
+    )
 
 
 @query("llm_similarity_ivfpq_rerank", oracle=_ivfpq_rerank_oracle)

@@ -26,6 +26,7 @@ from distributed_query_engine_spark.functions.vectors import dot_long
 QIDS = list(range(25))
 K = 5
 GRID = [(4, 16), (4, 32), (8, 16), (8, 32), (8, 64), (16, 32)]
+GRID = [tuple(map(int, g.split(","))) for g in os.environ["DQE_PQ_GRID"].split(";")] if os.environ.get("DQE_PQ_GRID") else GRID
 
 spark = get_spark("pq-sweep")
 spark.sparkContext.setLogLevel("ERROR")
