@@ -120,25 +120,31 @@ def shapes(sf_dir):
         return df
 
     return [
-        ("pareto", pareto_new, pareto_old),
-        ("interval", interval_new, interval_old),
-        ("rfm", rfm_new, rfm_old),
+        ("pareto", pareto_new, pareto_old, ["run_cents"]),
+        ("interval", interval_new, interval_old, ["concurrency"]),
+        ("rfm", rfm_new, rfm_old, ["r_rk", "f_rk", "m_rk"]),
     ]
 
 
-def timed(build) -> float:
+def timed(build, out_cols) -> float:
+    """Consume by CHECKSUMMING the computed columns — a bare count()
+    lets the optimizer prune the unused Window node entirely (the
+    global-window arm then measures a scan, not the sort)."""
     release_prefix_cache()
     t0 = time.perf_counter()
-    assert build().count() >= 0
+    row = build().select(
+        [F.expr(f"bit_xor(xxhash64({c}))").alias(c) for c in out_cols]
+    ).first()
+    assert row is not None
     return time.perf_counter() - t0
 
 
 for sf_dir in sfs:
-    for name, new, old in shapes(sf_dir):
-        timed(new)  # warm-up (also JIT/scan-cache symmetric with old's)
-        t_new = statistics.median(timed(new) for _ in range(3))
-        timed(old)
-        t_old = statistics.median(timed(old) for _ in range(3))
+    for name, new, old, out_cols in shapes(sf_dir):
+        timed(new, out_cols)  # warm-up (JIT/scan-cache symmetric)
+        t_new = statistics.median(timed(new, out_cols) for _ in range(3))
+        timed(old, out_cols)
+        t_old = statistics.median(timed(old, out_cols) for _ in range(3))
         print(
             f"{Path(sf_dir).name} {name}: partitioned_running "
             f"{t_new:.2f}s vs global window {t_old:.2f}s "
