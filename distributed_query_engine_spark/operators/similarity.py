@@ -401,7 +401,9 @@ def ivf_centroids(
     return cents
 
 
-def _assign_to(base: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_to(
+    base: DataFrame, cents: DataFrame, meta_cols: "tuple[str, ...]" = ()
+) -> DataFrame:
     """Nearest-centroid assignment (ties → lowest cell id): broadcast
     centroids, scan the corpus once, per-vector argmax.
 
@@ -412,22 +414,32 @@ def _assign_to(base: DataFrame, cents: DataFrame) -> DataFrame:
     per vec_id BEFORE the exchange, so the shuffle carries ~|corpus|
     rows instead of |corpus| × n_cells rows each dragging the full ivec
     array — an n_cells× shuffle-volume cut that matters exactly when
-    n_cells grows with the corpus (suggest_n_cells ~ sqrt(N))."""
+    n_cells grows with the corpus (suggest_n_cells ~ sqrt(N)).
+
+    ``meta_cols`` rides filterable metadata (e.g. ``label``) THROUGH
+    the assignment into the index relation — a 100 TB vector store
+    stores predicate columns next to the codes so hybrid search filters
+    inside the probed-cell scan instead of joining the corpus back."""
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "ivec",
         "nsq",
+        *meta_cols,
         "cell_id",
         cosine_from_ints(
             dot_long(F.col("ivec"), F.col("c_ivec")), F.col("nsq"), F.col("c_nsq")
         ).alias("c_cos"),
     )
     best = F.max_by(
-        F.struct("ivec", "nsq", "cell_id"),
+        F.struct("ivec", "nsq", *meta_cols, "cell_id"),
         F.struct(F.col("c_cos"), (-F.col("cell_id")).alias("neg_cell")),
     ).alias("b")
     return scored.groupBy("vec_id").agg(best).select(
-        "vec_id", "b.ivec", "b.nsq", "b.cell_id"
+        "vec_id",
+        "b.ivec",
+        "b.nsq",
+        *[f"b.{c}" for c in meta_cols],
+        "b.cell_id",
     )
 
 
@@ -581,17 +593,121 @@ def topk_cosine_ivf(
     return _ivf_search(cents, assigned, query_ids, k, n_probe)
 
 
+def topk_cosine_ivf_filtered(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = N_PROBE,
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """HYBRID (filtered) ANN: top-k among vectors sharing the QUERY's
+    ``label`` — the metadata-predicate-plus-vector search every
+    production store serves ("similar items in the same category").
+    The index is filter-AGNOSTIC (quantizer trained on the full
+    corpus, same cells as the unfiltered search) and the label rides
+    INSIDE the assignment relation (``_assign_to`` meta_cols), so the
+    predicate evaluates inside the probed-cell scan — no corpus-side
+    join-back, candidate cost = n_probe/n_cells × selectivity. Fewer
+    than k in-filter candidates in the probed cells → fewer rows for
+    that query (approximate by the same contract as the unfiltered
+    IVF; a production store widens n_probe on shortfall)."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq", "label")
+    cents = ivf_centroids(base.select("vec_id", "ivec", "nsq"), n_cells)
+    assigned = _assign_to(base, cents, meta_cols=("label",))
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ivec").alias("q_ivec"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("label").alias("q_label"),
+    )
+    pw = Window.partitionBy("q_id").orderBy(
+        F.col("p_cos").desc(), F.col("cell_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "cell_id",
+            cosine_from_ints(
+                dot_long(F.col("q_ivec"), F.col("c_ivec")),
+                F.col("q_nsq"),
+                F.col("c_nsq"),
+            ).alias("p_cos"),
+        )
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= n_probe)
+        .select("q_id", "cell_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(q), "q_id")
+        .filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") == F.col("q_label"))
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            cosine_from_ints(
+                dot_long(F.col("q_ivec"), F.col("ivec")),
+                F.col("q_nsq"),
+                F.col("nsq"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "label", "cosine", "rn")
+    )
+
+
+def topk_cosine_ivf_deleted(
+    emb: DataFrame,
+    query_ids: list[int],
+    tombstones: DataFrame,
+    k: int = 5,
+    n_probe: int = N_PROBE,
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """DELETE lifecycle for the IVF index: deletions are a TOMBSTONE
+    relation (vec_id), never an index rewrite — the quantizer and the
+    surviving assignments are untouched (rewriting a cell-partitioned
+    100 TB codes relation per delete batch would be the store's write
+    amplification death). Search excludes tombstoned ids with one
+    broadcast anti-join on the probed-cell scan; a background
+    compaction would eventually rewrite cells whose tombstone fraction
+    crosses a threshold (the append_to_ivf_index twin closes the CRUD
+    triangle: build → append → delete)."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    cents = ivf_centroids(base, n_cells)
+    assigned = _assign_to(base, cents)
+    corpus = assigned.join(
+        F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti"
+    )
+    return _ivf_search(cents, assigned, query_ids, k, n_probe, corpus=corpus)
+
+
 def _ivf_search(
     cents: DataFrame,
     assigned: DataFrame,
     query_ids: list[int],
     k: int | None,
     n_probe: int,
+    corpus: "DataFrame | None" = None,
 ) -> DataFrame:
     """The IVF search given its two index relations: probe selection
     over broadcast centroids, exact ranking within probed cells. Query
     vectors come from the assignment relation itself (an index lookup),
-    so search needs NOTHING beyond the index."""
+    so search needs NOTHING beyond the index. ``corpus`` overrides the
+    SCANNED side only (tombstone-excluded view for the delete
+    lifecycle) while queries still resolve from the full index."""
+    if corpus is None:
+        corpus = assigned
     q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"),
         F.col("ivec").alias("q_ivec"),
@@ -612,7 +728,7 @@ def _ivf_search(
         .select("q_id", "cell_id")
     )
     scored = (
-        assigned.join(F.broadcast(probes), "cell_id")
+        corpus.join(F.broadcast(probes), "cell_id")
         .join(F.broadcast(q), "q_id")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(

@@ -1708,6 +1708,127 @@ def llm_similarity_ivf(spark, sf_dir):
     return S.topk_cosine_ivf(e, _QUERY_IDS, k=5)
 
 
+@query(
+    "llm_similarity_filtered",
+    # Same coarse chain as llm_similarity_ivf, with the label riding in
+    # the assignment relation and the metadata predicate (candidate
+    # label = query label) applied inside the probed-cell scan.
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    cents AS (SELECT vec_id AS cell_id, ivec AS c_ivec, nsq AS c_nsq
+              FROM nv WHERE vec_id < {S.N_CELLS}),
+    assigned AS (
+      SELECT vec_id, label, ivec, nsq, cell_id FROM (
+        SELECT n.vec_id, n.label, n.ivec, n.nsq, c.cell_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {_COS.format(a='n.ivec', b='c.c_ivec', na='n.nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS crn
+        FROM nv n, cents c) WHERE crn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, label AS q_label,
+                 ivec AS q_ivec, nsq AS q_nsq
+          FROM assigned WHERE vec_id IN (0,1,2,3,4)),
+    probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT q.q_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 {_COS.format(a='q.q_ivec', b='c.c_ivec', na='q.q_nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS prn
+        FROM q, cents c) WHERE prn <= {S.N_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id, a.label,
+             {_COS.format(a='q.q_ivec', b='a.ivec', na='q.q_nsq', nb='a.nsq')} AS cosine
+      FROM probes p
+      JOIN assigned a ON a.cell_id = p.cell_id
+      JOIN q ON q.q_id = p.q_id
+      WHERE a.vec_id != p.q_id AND a.label = q.q_label
+    )
+    SELECT q_id, vec_id, label, cosine, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def llm_similarity_filtered(spark, sf_dir):
+    """HYBRID (metadata-filtered) ANN — "nearest neighbors in the
+    query's own category", the predicate-plus-vector search every
+    production store serves. The index stays filter-agnostic (same
+    quantizer/cells as llm_similarity_ivf); the label column rides
+    INSIDE the assignment relation (operators/similarity.py::
+    _assign_to meta_cols) so the predicate evaluates during the
+    probed-cell scan — no join back to the corpus, candidate cost =
+    n_probe/n_cells × label selectivity. At 100 TB this is why vector
+    stores keep filterable metadata columnar next to the codes."""
+    e = Tables(spark, sf_dir).embeddings
+    return S.topk_cosine_ivf_filtered(e, _QUERY_IDS, k=5)
+
+
+_DELETE_MOD, _DELETE_RESIDUE = 10, 7
+
+
+@query(
+    "llm_similarity_ivf_delete",
+    # The unfiltered IVF replay with tombstoned ids excluded from the
+    # SCANNED side only — queries still resolve from the full index.
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    cents AS (SELECT vec_id AS cell_id, ivec AS c_ivec, nsq AS c_nsq
+              FROM nv WHERE vec_id < {S.N_CELLS}),
+    assigned AS (
+      SELECT vec_id, ivec, nsq, cell_id FROM (
+        SELECT n.vec_id, n.ivec, n.nsq, c.cell_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {_COS.format(a='n.ivec', b='c.c_ivec', na='n.nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS crn
+        FROM nv n, cents c) WHERE crn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
+          FROM assigned WHERE vec_id IN (0,1,2,3,4)),
+    probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT q.q_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 {_COS.format(a='q.q_ivec', b='c.c_ivec', na='q.q_nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS prn
+        FROM q, cents c) WHERE prn <= {S.N_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             {_COS.format(a='q.q_ivec', b='a.ivec', na='q.q_nsq', nb='a.nsq')} AS cosine
+      FROM probes p
+      JOIN assigned a ON a.cell_id = p.cell_id
+      JOIN q ON q.q_id = p.q_id
+      WHERE a.vec_id != p.q_id
+        AND a.vec_id % {_DELETE_MOD} != {_DELETE_RESIDUE}
+    )
+    SELECT q_id, vec_id, cosine, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def llm_similarity_ivf_delete(spark, sf_dir):
+    """DELETE lifecycle for the vector index — the third side of the
+    CRUD triangle (build = llm_similarity_ivf_index, ingest =
+    llm_similarity_ivf_incremental): deletions are a TOMBSTONE
+    relation, never an index rewrite. The quantizer and every
+    surviving assignment are untouched; search excludes tombstoned
+    ids with ONE broadcast anti-join on the probed-cell scan
+    (operators/similarity.py::topk_cosine_ivf_deleted). At 100 TB a
+    per-delete rewrite of the cell-partitioned codes relation would be
+    write-amplification death — tombstone-at-read + threshold
+    compaction is how production stores (and every LSM system) handle
+    it. Tombstones here: vec_id ≡ {_DELETE_RESIDUE} (mod
+    {_DELETE_MOD}) — ~10% of the corpus, disjoint from the query
+    panel."""
+    e = Tables(spark, sf_dir).embeddings
+    tomb = e.filter(
+        F.pmod(F.col("vec_id"), F.lit(_DELETE_MOD)) == _DELETE_RESIDUE
+    ).select("vec_id")
+    return S.topk_cosine_ivf_deleted(e, _QUERY_IDS, tomb, k=5)
+
+
 def _content_addressed_index(sf_dir, name: str, knobs: str, build) -> str:
     """Build-once, content-addressed ANN index staging (r12: VERDICT
     r11 item 4 + ADVICE item 4). The generation directory is keyed by

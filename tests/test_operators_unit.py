@@ -1285,3 +1285,43 @@ def test_persist_semantic_confirms_on_hash_hit(spark):
     assert got_b is not got_a
     assert [r["v"] for r in got_b.orderBy("id").collect()][:3] == [0, 3, 6]
     assert release_semantic(reg) >= 2
+
+
+def test_filtered_ann_matches_label_and_stays_broadcast(spark, sf_dir):
+    """r12 hybrid search: every hit must share its query's label, the
+    metadata predicate must evaluate inside the probed-cell scan (no
+    corpus join-back: the only joins are broadcast), and the plan stays
+    JVM-side."""
+    from distributed_query_engine_spark.catalog import Tables
+
+    e = Tables(spark, sf_dir).embeddings
+    df = S.topk_cosine_ivf_filtered(e, [0, 1, 2, 3, 4], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan, plan  # no corpus-grain shuffle join
+    label = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["label"] == label[r["q_id"]], r
+
+
+def test_tombstone_delete_excludes_and_changes_results(spark, sf_dir):
+    """r12 delete lifecycle: tombstoned ids never appear in results,
+    the query panel still resolves (full index), and the exclusion
+    actually changes at least one top-k set vs the undeleted search
+    (the tombstones are ~10% of the corpus — if results were identical
+    the anti-join would be decorative)."""
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.catalog import Tables
+
+    e = Tables(spark, sf_dir).embeddings
+    tomb = e.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7).select("vec_id")
+    got = S.topk_cosine_ivf_deleted(e, [0, 1, 2, 3, 4], tomb, k=5).collect()
+    assert len({r["q_id"] for r in got}) == 5
+    assert all(r["vec_id"] % 10 != 7 for r in got)
+    base = {(r["q_id"], r["vec_id"])
+            for r in S.topk_cosine_ivf(e, [0, 1, 2, 3, 4], k=5).collect()}
+    assert {(r["q_id"], r["vec_id"]) for r in got} != base
