@@ -692,6 +692,52 @@ def topk_cosine_ivf_deleted(
     return _ivf_search(cents, assigned, query_ids, k, n_probe, corpus=corpus)
 
 
+def ivf_compaction_report(
+    emb: DataFrame,
+    tombstones: DataFrame,
+    threshold_num: int = 2,
+    threshold_den: int = 25,
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """Tombstone-threshold COMPACTION planning — the background half of
+    the delete lifecycle (:func:`topk_cosine_ivf_deleted` reads around
+    tombstones; this decides which cells to rewrite). A cell compacts
+    when its tombstone fraction reaches threshold_num/threshold_den —
+    compared in EXACT integers (n_tomb·den ≥ n_total·num), never a
+    float threshold, so engine and oracle agree on boundary cells. The
+    report is one map-combined aggregate over the assignment relation
+    joined to the broadcast tombstone set: per cell, live/tombstone
+    counts and the post-compaction stored-row count. At 100 TB only
+    the flagged cells' files are rewritten (they are hive partitions
+    of the codes/assignments layout); unflagged cells keep paying the
+    anti-join at read — the same threshold economics as LSM stores."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    cents = ivf_centroids(base, n_cells)
+    assigned = _assign_to(base, cents)
+    flagged = assigned.join(
+        F.broadcast(tombstones.select("vec_id").withColumn("_t", F.lit(1))),
+        "vec_id",
+        "left",
+    )
+    stats = flagged.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.coalesce(F.col("_t"), F.lit(0)).cast("long")).alias("n_tomb"),
+    )
+    compacted = (
+        F.col("n_tomb") * threshold_den >= F.col("n_total") * threshold_num
+    )
+    return stats.select(
+        "cell_id",
+        "n_total",
+        "n_tomb",
+        (F.col("n_tomb").cast("double") / F.col("n_total")).alias("tomb_frac"),
+        compacted.alias("compacted"),
+        F.when(compacted, F.col("n_total") - F.col("n_tomb"))
+        .otherwise(F.col("n_total"))
+        .alias("n_stored_after"),
+    )
+
+
 def _ivf_search(
     cents: DataFrame,
     assigned: DataFrame,

@@ -1829,6 +1829,57 @@ def llm_similarity_ivf_delete(spark, sf_dir):
     return S.topk_cosine_ivf_deleted(e, _QUERY_IDS, tomb, k=5)
 
 
+_COMPACT_NUM, _COMPACT_DEN = 2, 25  # compact a cell at >= 8% tombstones
+
+
+@query(
+    "llm_similarity_ivf_compact",
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    cents AS (SELECT vec_id AS cell_id, ivec AS c_ivec, nsq AS c_nsq
+              FROM nv WHERE vec_id < {S.N_CELLS}),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT n.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {_COS.format(a='n.ivec', b='c.c_ivec', na='n.nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS crn
+        FROM nv n, cents c) WHERE crn = 1
+    ),
+    stats AS (
+      SELECT cell_id,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN vec_id % {_DELETE_MOD} = {_DELETE_RESIDUE}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_tomb
+      FROM assigned GROUP BY cell_id)
+    SELECT cell_id, n_total, n_tomb,
+           CAST(n_tomb AS DOUBLE) / n_total AS tomb_frac,
+           n_tomb * {_COMPACT_DEN} >= n_total * {_COMPACT_NUM} AS compacted,
+           CASE WHEN n_tomb * {_COMPACT_DEN} >= n_total * {_COMPACT_NUM}
+                THEN n_total - n_tomb ELSE n_total END AS n_stored_after
+    FROM stats
+    """,
+)
+def llm_similarity_ivf_compact(spark, sf_dir):
+    """COMPACTION planning for the tombstoned index — the background
+    half of llm_similarity_ivf_delete's read path: per cell,
+    live/tombstone counts and whether the cell's tombstone fraction
+    crossed the rewrite threshold ({_COMPACT_NUM}/{_COMPACT_DEN}),
+    compared in EXACT integers so boundary cells agree cross-engine
+    (operators/similarity.py::ivf_compaction_report). One
+    map-combined aggregate over the assignment scan with the tombstone
+    set broadcast; at 100 TB only flagged cells — hive partitions of
+    the codes layout — get rewritten, everyone else keeps paying the
+    read-side anti-join: LSM threshold economics for a vector index."""
+    e = Tables(spark, sf_dir).embeddings
+    tomb = e.filter(
+        F.pmod(F.col("vec_id"), F.lit(_DELETE_MOD)) == _DELETE_RESIDUE
+    ).select("vec_id")
+    return S.ivf_compaction_report(
+        e, tomb, threshold_num=_COMPACT_NUM, threshold_den=_COMPACT_DEN
+    )
+
+
 def _content_addressed_index(sf_dir, name: str, knobs: str, build) -> str:
     """Build-once, content-addressed ANN index staging (r12: VERDICT
     r11 item 4 + ADVICE item 4). The generation directory is keyed by

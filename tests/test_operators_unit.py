@@ -1325,3 +1325,24 @@ def test_tombstone_delete_excludes_and_changes_results(spark, sf_dir):
     base = {(r["q_id"], r["vec_id"])
             for r in S.topk_cosine_ivf(e, [0, 1, 2, 3, 4], k=5).collect()}
     assert {(r["q_id"], r["vec_id"]) for r in got} != base
+
+
+def test_compaction_report_partitions_cells_by_exact_threshold(spark, sf_dir):
+    """r12: the rewrite decision is integer arithmetic (n_tomb*den >=
+    n_total*num), the stored-count column reflects it, and totals
+    reconcile with the corpus and the tombstone set."""
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.catalog import Tables
+
+    e = Tables(spark, sf_dir).embeddings
+    tomb = e.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7).select("vec_id")
+    rows = S.ivf_compaction_report(e, tomb, 2, 25).collect()
+    n_corpus = e.filter(F.size(S.int_vec("embedding")) >= 0).count()
+    assert sum(r["n_total"] for r in rows) == n_corpus
+    assert sum(r["n_tomb"] for r in rows) == tomb.count()
+    for r in rows:
+        flagged = r["n_tomb"] * 25 >= r["n_total"] * 2
+        assert r["compacted"] == flagged, r
+        expect = r["n_total"] - r["n_tomb"] if flagged else r["n_total"]
+        assert r["n_stored_after"] == expect, r
