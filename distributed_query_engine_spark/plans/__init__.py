@@ -7,6 +7,7 @@ Importing this package populates the registry in
 from distributed_query_engine_spark.plans import analytic  # noqa: F401
 from distributed_query_engine_spark.plans import llm  # noqa: F401
 from distributed_query_engine_spark.plans import relational  # noqa: F401
+from distributed_query_engine_spark.plans import retrieval  # noqa: F401
 from distributed_query_engine_spark.plans import scalar  # noqa: F401
 from distributed_query_engine_spark.plans import sources  # noqa: F401
 from distributed_query_engine_spark.plans import streaming  # noqa: F401

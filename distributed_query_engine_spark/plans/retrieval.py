@@ -1,0 +1,347 @@
+"""Sparse / hybrid text-retrieval queries over ``documents`` +
+``embeddings`` — the classic IR counterpart to the dense ANN ladder in
+:mod:`plans.llm` (reference analog: the golden-value query surface of
+``DistributedQueryEngine.diff:285-287``; the operators themselves are the
+standard public IR stack — inverted index, BM25 (Robertson & Walker,
+TREC-3), reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)).
+
+House arithmetic discipline: every score is computed in EXACT BIGINT
+arithmetic with one explicit integral floor-division per term (Spark
+``div`` == DuckDB ``//`` on non-negative operands), then SUMMED as
+integers — so the DuckDB oracle is bit-identical, with no dependence on
+double accumulation order. BM25's ``ln()`` idf is replaced by the linear
+odds idf (2(N-df)+1)/(2df+1) — the same quantity WITHOUT the log wrap —
+which keeps the per-term score a single exact rational. (A monotone
+transform of idf, not of the summed score: this is the documented
+"linear-idf BM25" variant, chosen so the oracle can replay it exactly.)
+
+Overflow headroom (per-term numerator bound (2N)·22·A·tf·SCALE_MILLI):
+at the sf1 slice (N=5e4 docs, A≈2.7e6 tokens) the bound is ~2e17 <
+int64; at sf10+ the pipeline would re-scale SCALE_MILLI or move the
+product to decimal(38) — recorded here so the gate doesn't rediscover
+the r7 overflow class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from distributed_query_engine_spark.catalog import Tables
+from distributed_query_engine_spark.functions import text as T
+from distributed_query_engine_spark.operators import similarity as S
+from distributed_query_engine_spark.registry import query
+
+# Query panel: mirrors llm_similarity_topk's doc/vec id alignment
+# (testdata doc_id == vec_id entity-wise at every SF).
+_Q_IDS = [0, 1, 2, 3, 4]
+_Q_IDS_SQL = ", ".join(str(i) for i in _Q_IDS)
+
+_POSTINGS_HEAD = 8
+_BM25_K = 5
+_SCALE_MILLI = 1000
+_RRF_K = 60
+_RRF_DEPTH = 20
+_RRF_SCALE = 1_000_000
+
+# Shared SQL fragments --------------------------------------------------
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+)"""
+
+# Per-term linear-idf BM25 contribution, integer-exact (see module doc):
+#   tfnorm = tf(k1+1) / (tf + k1(1-b) + k1·b·dl/avgdl),  k1=6/5, b=3/4
+#   with avgdl = A/N this is  22·A·tf / (10·A·tf + 3·A + 9·dl·N)
+#   idf    = (2(N-df)+1) / (2df+1)
+#   milli  = (idf_num · tf_num · 1000) div (idf_den · tf_den)
+_BM25_MILLI_SQL = (
+    "((2*(n_docs - df) + 1) * (22 * a_tok * tf) * {scale})"
+    " // ((2*df + 1) * (10 * a_tok * tf + 3 * a_tok + 9 * dl * n_docs))"
+).format(scale=_SCALE_MILLI)
+
+_BM25_CTE = f"""
+{_TOKS_CTE},
+dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS a_tok
+  FROM dl
+),
+qterms AS (
+  SELECT doc_id AS q_id, tok FROM tf WHERE doc_id IN ({_Q_IDS_SQL})
+),
+bm25 AS (
+  SELECT q.q_id, t.doc_id,
+         CAST(sum({_BM25_MILLI_SQL}) AS BIGINT) AS score_milli
+  FROM qterms q
+  JOIN tf t ON t.tok = q.tok AND t.doc_id != q.q_id
+  JOIN dfreq f ON f.tok = t.tok
+  JOIN dl ON dl.doc_id = t.doc_id, corpus
+  GROUP BY q.q_id, t.doc_id
+)"""
+
+
+def _tf_dl(spark, sf_dir):
+    """(tf, dl, dfreq, corpus) relations shared by the sparse family.
+    Scale shape: tf/dl are one partial-agg'd shuffle each over the
+    exploded corpus; dfreq is vocabulary-sized; corpus is one row."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("a_tok")
+    )
+    return tf, dl, dfreq, corpus
+
+
+@query(
+    "llm_inverted_index",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    heads AS (
+      SELECT tok, list(doc_id ORDER BY doc_id) AS postings_head FROM (
+        SELECT tok, doc_id,
+               row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+        FROM tf) WHERE rn <= {_POSTINGS_HEAD}
+      GROUP BY tok
+    )
+    SELECT s.tok, s.df, s.cf, h.postings_head
+    FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(tf) AS BIGINT) AS cf
+          FROM tf GROUP BY tok) s
+    JOIN heads h USING (tok)
+    """,
+)
+def llm_inverted_index(spark, sf_dir):
+    """Inverted-index build: one row per token with document frequency,
+    collection frequency, and the head of its ascending posting list.
+    Scale shape: df/cf are a vocabulary-sized aggregate of the tf
+    relation; the posting HEAD is row_number-limited BEFORE collection
+    (Spark 4 turns the rn<=8 window into a partial WindowGroupLimit on
+    the map side), so no executor ever materializes a stopword's full
+    posting list — at 100 TB full postings would be written as a
+    token-bucketed sharded sink, never collect_list'd whole."""
+    tf, _, _, _ = _tf_dl(spark, sf_dir)
+    stats = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    heads = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _POSTINGS_HEAD)
+        .groupBy("tok")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings_head"))
+    )
+    return stats.join(heads, "tok")
+
+
+@query(
+    "llm_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTE}
+    SELECT q_id, doc_id, score_milli, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rn
+      FROM bm25) WHERE rn <= {_BM25_K}
+    """,
+)
+def llm_bm25_topk(spark, sf_dir):
+    """Linear-idf BM25 top-5 per query doc (panel = docs 0-4), integer-
+    exact per the module doc. Scale shape: the query-term relation is
+    panel-sized and BROADCAST to the corpus tf relation; dfreq
+    (vocabulary-sized) and corpus (1 row) are broadcast onto the same
+    scan; the only data-sized shuffles are the tf/dl builds and the
+    (q_id, doc_id) score aggregate; top-k is a WindowGroupLimit."""
+    tf, dl, dfreq, corpus = _tf_dl(spark, sf_dir)
+    qterms = tf.filter(F.col("doc_id").isin(_Q_IDS)).select(
+        F.col("doc_id").alias("q_id"), "tok"
+    )
+    joined = (
+        tf.join(F.broadcast(qterms), "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    milli = F.expr(_BM25_MILLI_SQL.replace("//", " div "))
+    scored = joined.groupBy("q_id", "doc_id").agg(
+        F.sum(milli).cast("long").alias("score_milli")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _BM25_K)
+    )
+
+
+@query(
+    "llm_hybrid_rrf",
+    oracle=lambda: f"""
+    WITH {_BM25_CTE},
+    sparse AS (
+      SELECT q_id, doc_id AS id, rn FROM (
+        SELECT q_id, doc_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY score_milli DESC, doc_id) AS rn
+        FROM bm25) WHERE rn <= {_RRF_DEPTH}
+    ),
+    {_ivec_cte()},
+    dense AS (
+      SELECT q_id, id, rn FROM (
+        SELECT q.q_id, c.vec_id AS id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(q.q_ivec, c.ivec)
+                   / (sqrt(CAST(q.q_nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+                 DESC, c.vec_id) AS rn
+        FROM (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
+              FROM nv WHERE vec_id IN ({_Q_IDS_SQL})) q,
+             nv c WHERE c.vec_id != q.q_id) WHERE rn <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(s.q_id, d.q_id) AS q_id,
+             COALESCE(s.id, d.id) AS doc_id,
+             CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + s.rn), 0)
+                + COALESCE({_RRF_SCALE} // ({_RRF_K} + d.rn), 0) AS BIGINT)
+               AS rrf_scaled
+      FROM sparse s FULL JOIN dense d ON d.q_id = s.q_id AND d.id = s.id
+    )
+    SELECT q_id, doc_id, rrf_scaled, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS rn
+      FROM fused) WHERE rn <= {_BM25_K}
+    """,
+)
+def llm_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 and
+    the exact-cosine top-20 (testdata doc_id == vec_id), RRF constant
+    k=60, contribution floor(1e6/(k+rank)) summed as exact integers.
+    Scale shape: both per-query rank lists are panel×depth-sized (tiny)
+    regardless of corpus size — the fusion join and final top-k cost
+    nothing; all the data-sized work lives in the two upstream rankers,
+    each already scale-audited (llm_bm25_topk / llm_similarity_topk)."""
+    sparse = _bm25_ranks(spark, sf_dir)
+    dense = (
+        S.topk_cosine(Tables(spark, sf_dir).embeddings, _Q_IDS, k=_RRF_DEPTH)
+        .select("q_id", F.col("vec_id").alias("id"), "rn")
+    )
+    s = sparse.select("q_id", F.col("doc_id").alias("id"), "rn")
+    contrib = lambda rn: F.coalesce(  # noqa: E731
+        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + {rn})"), F.lit(0)
+    )
+    fused = (
+        s.alias("s")
+        .join(
+            dense.alias("d"),
+            (F.col("d.q_id") == F.col("s.q_id")) & (F.col("d.id") == F.col("s.id")),
+            "full",
+        )
+        .select(
+            F.coalesce(F.col("s.q_id"), F.col("d.q_id")).alias("q_id"),
+            F.coalesce(F.col("s.id"), F.col("d.id")).alias("doc_id"),
+            (contrib("s.rn") + contrib("d.rn")).cast("long").alias("rrf_scaled"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rrf_scaled").desc(), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _BM25_K)
+    )
+
+
+def _bm25_ranks(spark, sf_dir):
+    """BM25 rank list at RRF depth (same machinery as llm_bm25_topk,
+    different k — kept separate so each registered query stays a pure
+    (spark, sf_dir) plan)."""
+    tf, dl, dfreq, corpus = _tf_dl(spark, sf_dir)
+    qterms = tf.filter(F.col("doc_id").isin(_Q_IDS)).select(
+        F.col("doc_id").alias("q_id"), "tok"
+    )
+    joined = (
+        tf.join(F.broadcast(qterms), "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    milli = F.expr(_BM25_MILLI_SQL.replace("//", " div "))
+    scored = joined.groupBy("q_id", "doc_id").agg(
+        F.sum(milli).cast("long").alias("score_milli")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _RRF_DEPTH)
+    )
+
+
+def _ivec_cte() -> str:
+    # Single source of truth for the integer-vector CTE (defined in
+    # plans/llm.py next to the dense ladder it belongs to).
+    from distributed_query_engine_spark.plans.llm import _IVEC_CTE
+
+    return _IVEC_CTE
+
+
+_SHUFFLE_SEED = "r12"
+_N_SHARDS = 64
+
+
+@query(
+    "llm_corpus_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '|{_SHUFFLE_SEED}') AS skey,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|{_SHUFFLE_SEED}'), 1, 15))
+                  AS BIGINT) % {_N_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(skey) AS first_key, max(skey) AS last_key
+    FROM keyed GROUP BY shard
+    """,
+)
+def llm_corpus_shuffle(spark, sf_dir):
+    """Deterministic pre-training corpus shuffle: every doc gets a
+    pseudorandom sort key md5(doc_id|seed) and a shard = key-prefix mod
+    64; the manifest (per shard: count, token mass, key range) is what a
+    training loader consumes. Scale shape: the 'shuffle' never sorts
+    globally — shard assignment is a row-local hash (map-side), each
+    shard is written independently and ordered WITHIN the shard at read
+    or sink time (the (shard, skey) pair already defines the total
+    order); the manifest is a 64-row aggregate."""
+    d = Tables(spark, sf_dir).documents
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"|{_SHUFFLE_SEED}"))).alias("skey"),
+        F.size(T.words(F.col("text"))).cast("long").alias("n_tok"),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("skey", 1, 15), 16, 10).cast("bigint") % _N_SHARDS),
+    )
+    return keyed.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("skey").alias("first_key"),
+        F.max("skey").alias("last_key"),
+    )

@@ -1,0 +1,134 @@
+"""Sparse/hybrid retrieval family (plans/retrieval.py): result-shape
+invariants DuckDB repr-compare can't see, plus the physical-plan claims
+the docstrings make (posting heads limited BEFORE collection, panel
+relations broadcast, shard manifest shuffle-free up to its 64-row agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_query_engine_spark.registry import all_queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _q(name, spark, sf_dir):
+    return all_queries()[name](spark, sf_dir)
+
+
+def test_inverted_index_postings_sorted_and_bounded(spark, sf_dir):
+    rows = _q("llm_inverted_index", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= len(r.postings_head) <= 8
+        assert r.postings_head == sorted(r.postings_head)
+        assert len(r.postings_head) == min(r.df, 8)
+        assert r.cf >= r.df  # every posting contributes >= 1 occurrence
+
+
+def test_inverted_index_head_is_window_limited(spark, sf_dir):
+    # The rn<=8 head must be a WindowGroupLimit (map-side partial limit),
+    # not a full collect_list + slice: no executor ever materializes a
+    # stopword's complete posting list.
+    plan = _plan(_q("llm_inverted_index", spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "slice(" not in plan
+
+
+def test_bm25_scores_positive_and_ranked(spark, sf_dir):
+    rows = _q("llm_bm25_topk", spark, sf_dir).collect()
+    assert len(rows) == 25  # 5 queries x top-5
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.doc_id != r.q_id
+        assert r.score_milli > 0
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        scores = [r.score_milli for r in rs]
+        assert scores == sorted(scores, reverse=True), (q, scores)
+
+
+def test_bm25_panel_relations_broadcast(spark, sf_dir):
+    # qterms / dfreq / corpus are panel- or vocabulary-sized: all must
+    # ride broadcast joins; the corpus-sized tf relation must never be
+    # the build side.
+    plan = _plan(_q("llm_bm25_topk", spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark, sf_dir):
+    rows = _q("llm_hybrid_rrf", spark, sf_dir).collect()
+    assert len(rows) == 25
+    # A doc ranked #1 by BOTH rankers would score 2*floor(1e6/61); a doc
+    # present in only one list tops out at floor(1e6/61). Every fused
+    # score must be a sum of at most two valid contributions.
+    max_single = 1_000_000 // 61
+    for r in rows:
+        assert 0 < r.rrf_scaled <= 2 * max_single
+        assert r.doc_id != r.q_id
+
+
+def test_rrf_agrees_with_component_rankers(spark, sf_dir):
+    # Recompute RRF driver-side from the two registered rankers at the
+    # same depth and compare the fused top-5 exactly.
+    from distributed_query_engine_spark.operators import similarity as S
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.plans.retrieval import (
+        _RRF_DEPTH,
+        _RRF_K,
+        _RRF_SCALE,
+        _Q_IDS,
+        _bm25_ranks,
+    )
+
+    sparse = {
+        (r.q_id, r.doc_id): r.rn
+        for r in _bm25_ranks(spark, sf_dir).collect()
+    }
+    dense = {
+        (r.q_id, r.vec_id): r.rn
+        for r in S.topk_cosine(
+            Tables(spark, sf_dir).embeddings, _Q_IDS, k=_RRF_DEPTH
+        ).collect()
+    }
+    fused: dict[tuple, int] = {}
+    for key, rn in list(sparse.items()) + list(dense.items()):
+        fused[key] = fused.get(key, 0) + _RRF_SCALE // (_RRF_K + rn)
+    expect = {}
+    for q in _Q_IDS:
+        cand = [(s, d) for (qq, d), s in fused.items() if qq == q]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        expect[q] = cand[:5]
+    got: dict[int, list] = {q: [] for q in _Q_IDS}
+    for r in sorted(
+        _q("llm_hybrid_rrf", spark, sf_dir).collect(), key=lambda r: (r.q_id, r.rn)
+    ):
+        got[r.q_id].append((r.rrf_scaled, r.doc_id))
+    assert got == expect
+
+
+def test_corpus_shuffle_manifest_conserves_corpus(spark, sf_dir):
+    man = _q("llm_corpus_shuffle", spark, sf_dir).collect()
+    assert 1 <= len(man) <= 64
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = d.count()
+    n_tok = d.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    assert sum(r.n_docs for r in man) == n_docs
+    assert sum(r.n_tokens for r in man) == n_tok
+    for r in man:
+        assert r.first_key <= r.last_key
+
+
+def test_corpus_shuffle_is_map_side_plus_tiny_agg(spark, sf_dir):
+    # The manifest must cost exactly one shuffle (the 64-group agg);
+    # no GLOBAL sort anywhere — the total order is (shard, skey) by
+    # construction. (SortAggregate's within-partition sorts print as
+    # `Sort [...], false, 0` — the `false` is the global flag.)
+    plan = _plan(_q("llm_corpus_shuffle", spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "], true, 0" not in plan and "SinglePartition" not in plan
