@@ -3589,3 +3589,201 @@ def agg_higher_moments(spark, sf_dir):
         skew.alias("skewness"),
         kurt.alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_regression_family",
+    # OLS of y = discount-in-whole-percent on x = quantity, per return
+    # flag — the regr_slope/regr_intercept/regr_r2 aggregate family via
+    # the SAME power-sum discipline as agg_stats_family: both columns
+    # are integer-valued, the five sums are exact BIGINTs at any
+    # partitioning, and each statistic is ONE double expression in the
+    # closed form (slope = (n·sxy−sx·sy)/(n·sxx−sx²), intercept =
+    # (sy·sxx−sx·sxy)/(n·sxx−sx²), r² via the two double factors — num
+    # < 2^53 so int64→double is exact; den conversions are identically
+    # IEEE-rounded in both engines). int64 headroom: n·sxy peaks ~4.5e15
+    # at the sf1 slice and ~4.5e17 at sf10; sf100 would move the power
+    # sums to DECIMAL(38,0) — same rescale note as plans/retrieval.py.
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS sx,
+             SUM(CAST(round(l_discount * 100) AS BIGINT)) AS sy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             SUM(CAST(round(l_discount * 100) AS BIGINT)
+                   * CAST(round(l_discount * 100) AS BIGINT)) AS syy,
+             SUM(CAST(l_quantity AS BIGINT)
+                   * CAST(round(l_discount * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept,
+           (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS r2,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS avg_x,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS avg_y
+    FROM s
+    """,
+)
+def agg_regression_family(spark, sf_dir):
+    """regr_slope / regr_intercept / regr_r2 / regr_avgx / regr_avgy —
+    grouped OLS from exact integer power sums (see oracle comment).
+    Scale shape: one map-side-combined shuffle carrying six BIGINTs per
+    group; the closed-form statistics are per-group scalar expressions,
+    so the plan is identical to any grouped sum at 100 TB."""
+    l = Tables(spark, sf_dir).lineitem
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_discount") * 100).cast("bigint")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    den_y = (n * syy - sy * sy).cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (num / den).alias("slope"),
+        ((sy * sxx - sx * sxy).cast("double") / den).alias("intercept"),
+        ((num * num) / (den * den_y)).alias("r2"),
+        (sx.cast("double") / n.cast("double")).alias("avg_x"),
+        (sy.cast("double") / n.cast("double")).alias("avg_y"),
+    )
+
+
+@query(
+    "mv_incremental_refresh",
+    # Incremental materialized-view maintenance: the stored MV holds
+    # ALGEBRAIC partial states (count, decimal sum, min, max) per group;
+    # a new-arrivals batch folds in WITHOUT rescanning the base fact —
+    # union the two state relations and merge with the combine functions
+    # (sum-of-sums, min-of-mins...). avg is DERIVED from merged
+    # (sum, count) at read time — the classic reason avg itself is not a
+    # mergeable state. The oracle recomputes from scratch over the full
+    # table: incremental == full IS the correctness contract.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def mv_incremental_refresh(spark, sf_dir):
+    """Scale shape: the refresh cost is |delta| + |groups| — the base
+    fact is NEVER rescanned (here the 'stored MV' is simulated by
+    aggregating the base split; in production it's a parquet state
+    table). Both aggregates are map-side partial; the merge is a
+    |groups|-sized shuffle."""
+    o = Tables(spark, sf_dir).orders
+    DEC = "decimal(38,6)"
+
+    def states(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("sum_dec"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    base = states(o.filter(F.col("o_orderkey") % 10 != 0))  # stored MV
+    delta = states(o.filter(F.col("o_orderkey") % 10 == 0))  # new batch
+    merged = base.unionByName(delta).groupBy("o_orderpriority").agg(
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.min("min_price").alias("min_price"),
+        F.max("max_price").alias("max_price"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("sum_dec").cast("double").alias("revenue"),
+        "min_price",
+        "max_price",
+        (F.col("sum_dec").cast("double") / F.col("n_orders")).alias("avg_price"),
+    )
+
+
+@query(
+    "snapshot_diff_audit",
+    # Snapshot reconciliation: classify every key across two table
+    # versions as added / removed / changed / unchanged and roll up the
+    # audit (row counts + absolute balance drift in exact cents). Old
+    # snapshot = keys with c_custkey % 7 != 3; new snapshot = keys with
+    # c_custkey % 5 != 2, balances bumped +100 where c_custkey % 11 = 0.
+    oracle="""
+    WITH old AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer WHERE c_custkey % 7 != 3
+    ),
+    new AS (
+      SELECT c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT)
+               + CASE WHEN c_custkey % 11 = 0 THEN 10000 ELSE 0 END AS cents
+      FROM customer WHERE c_custkey % 5 != 2
+    ),
+    diff AS (
+      SELECT COALESCE(o.c_custkey, n.c_custkey) AS key,
+             CASE WHEN o.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  WHEN o.cents != n.cents THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             abs(COALESCE(n.cents, 0) - COALESCE(o.cents, 0)) AS drift_cents
+      FROM old o FULL JOIN new n ON n.c_custkey = o.c_custkey
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(drift_cents) AS BIGINT) AS total_drift_cents
+    FROM diff GROUP BY status
+    """,
+)
+def snapshot_diff_audit(spark, sf_dir):
+    """Scale shape: one co-partitioned full outer join on the key (both
+    sides shuffle once on c_custkey; with bucketed snapshots it would be
+    exchange-free), then a 4-group rollup. Drift is exact integer cents
+    (HALF_UP round contract), so the audit is engine-reproducible."""
+    c = Tables(spark, sf_dir).customer
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    old = c.filter(F.col("c_custkey") % 7 != 3).select(
+        "c_custkey", cents.alias("cents")
+    )
+    new = c.filter(F.col("c_custkey") % 5 != 2).select(
+        "c_custkey",
+        (
+            cents
+            + F.when(F.col("c_custkey") % 11 == 0, F.lit(10000)).otherwise(0)
+        ).alias("cents"),
+    )
+    diff = (
+        old.alias("o")
+        .join(new.alias("n"), F.col("n.c_custkey") == F.col("o.c_custkey"), "full")
+        .select(
+            F.when(F.col("o.c_custkey").isNull(), "added")
+            .when(F.col("n.c_custkey").isNull(), "removed")
+            .when(F.col("o.cents") != F.col("n.cents"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+            F.abs(
+                F.coalesce(F.col("n.cents"), F.lit(0))
+                - F.coalesce(F.col("o.cents"), F.lit(0))
+            ).alias("drift_cents"),
+        )
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("drift_cents").cast("bigint").alias("total_drift_cents"),
+    )

@@ -276,3 +276,90 @@ def udf_arrow_scalar(spark, sf_dir):
         "o_orderkey", classify("o_totalprice", "o_orderpriority").alias("c")
     )
     return out.select("o_orderkey", "c.cents", "c.lane")
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (Spark 4): CREATE FUNCTION ... RETURN <expr|query>. The fifth
+# tier, and at 100 TB the PREFERRED one for any logic SQL can express:
+# the body inlines into the plan at analysis time — no Python boundary,
+# no serialization, full whole-stage codegen — while still giving users
+# the reusable-function packaging the Python tiers provide. The plan
+# tests assert the inlining (no BatchEvalPython / ArrowEvalPython node).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_udf_scalar",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS tier,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY tier
+    """,
+)
+def sql_udf_scalar(spark, sf_dir):
+    """Scalar SQL UDFs (disc_price, qty_tier) applied in an aggregate
+    over lineitem. The oracle inlines the bodies — which is exactly what
+    Catalyst does with the UDF, so the equivalence IS the feature. The
+    decimal-cast sum keeps the double aggregate order-independent
+    (functions/deterministic.py discipline)."""
+    Tables(spark, sf_dir).lineitem.createOrReplaceTempView("li_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_tier(q DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN q < 10 THEN 'low' WHEN q < 30 THEN 'mid' "
+        "ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT qty_tier(l_quantity) AS tier,
+               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM li_sqludf
+        GROUP BY qty_tier(l_quantity)
+        """
+    )
+
+
+@query(
+    "sql_udf_table",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-01'
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf_table(spark, sf_dir):
+    """Table-valued SQL UDF: a parameterized revenue report
+    (``revenue_report(cutoff DATE) RETURNS TABLE``), invoked in the FROM
+    clause. Catalyst inlines the body as a subquery against the view, so
+    the cutoff predicate still pushes into the parquet scan — asserted
+    in the plan test."""
+    Tables(spark, sf_dir).lineitem.createOrReplaceTempView("li_sqltvf")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION revenue_report(cutoff DATE)
+        RETURNS TABLE(l_returnflag STRING, revenue DOUBLE, n_lines BIGINT)
+        RETURN
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_lines
+          FROM li_sqltvf
+          WHERE l_shipdate <= cutoff
+          GROUP BY l_returnflag
+        """
+    )
+    return spark.sql("SELECT * FROM revenue_report(DATE '1998-09-01')")

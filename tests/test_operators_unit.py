@@ -1346,3 +1346,71 @@ def test_compaction_report_partitions_cells_by_exact_threshold(spark, sf_dir):
         assert r["compacted"] == flagged, r
         expect = r["n_total"] - r["n_tomb"] if flagged else r["n_total"]
         assert r["n_stored_after"] == expect, r
+
+
+def test_mv_incremental_refresh_equals_full_recompute(spark, sf_dir):
+    """r12: the merged algebraic states must equal a from-scratch
+    aggregate over the full fact — including the decimal-exact revenue
+    and the derived avg — and the base/delta split must cover the fact
+    exactly once."""
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.registry import all_queries
+
+    got = {
+        r["o_orderpriority"]: r
+        for r in all_queries()["mv_incremental_refresh"](spark, sf_dir).collect()
+    }
+    o = Tables(spark, sf_dir).orders
+    full = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .collect()
+    }
+    assert set(got) == set(full)
+    for k, g in got.items():
+        f = full[k]
+        assert g["n_orders"] == f["n_orders"]
+        assert g["revenue"] == f["revenue"]  # bit-exact via decimal states
+        assert g["min_price"] == f["min_price"]
+        assert g["max_price"] == f["max_price"]
+        assert g["avg_price"] == f["revenue"] / f["n_orders"]
+
+
+def test_snapshot_diff_audit_statuses_reconcile(spark, sf_dir):
+    """r12: the four statuses must partition the key universe of the two
+    snapshots, and drift is nonzero exactly on 'changed'/'added'/
+    'removed' rows."""
+    from distributed_query_engine_spark.registry import all_queries
+
+    rows = {r["status"]: r for r in
+            all_queries()["snapshot_diff_audit"](spark, sf_dir).collect()}
+    assert set(rows) <= {"added", "removed", "changed", "unchanged"}
+    assert rows["unchanged"]["total_drift_cents"] == 0
+    assert rows["changed"]["total_drift_cents"] == 10000 * rows["changed"]["n_keys"]
+    # key-universe reconciliation against the raw snapshots
+    import duckdb
+
+    con = duckdb.connect()
+    n_old, n_new, n_common = con.sql(
+        f"""
+        WITH c AS (SELECT c_custkey FROM read_parquet('{sf_dir}/customer.parquet')),
+        o AS (SELECT c_custkey FROM c WHERE c_custkey % 7 != 3),
+        n AS (SELECT c_custkey FROM c WHERE c_custkey % 5 != 2)
+        SELECT (SELECT count(*) FROM o), (SELECT count(*) FROM n),
+               (SELECT count(*) FROM o JOIN n USING (c_custkey))
+        """
+    ).fetchone()
+    total = sum(r["n_keys"] for r in rows.values())
+    assert total == n_old + n_new - n_common
+    assert rows["added"]["n_keys"] == n_new - n_common
+    assert rows["removed"]["n_keys"] == n_old - n_common

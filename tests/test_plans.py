@@ -878,3 +878,27 @@ def test_ivfpq_index_search_partition_prunes(spark, sf_dir):
     assert "partial_sum" in plan, plan
     rows = df.collect()
     assert len(rows) == 25 and all(r["rn"] <= 5 for r in rows)
+
+
+def test_sql_udf_scalar_inlines_no_python(spark, sf_dir):
+    # The SQL UDF body must inline into the plan at analysis time: no
+    # Python evaluation node of any tier, and the aggregate still gets
+    # map-side partials.
+    plan = _plan(_q("sql_udf_scalar", spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_" in plan
+
+
+def test_sql_udf_table_pushes_cutoff_to_scan(spark, sf_dir):
+    # The TVF parameter becomes a literal predicate after inlining and
+    # must reach the parquet scan as a pushed filter.
+    plan = _plan(_q("sql_udf_table", spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1), plan
+
+
+def test_regression_family_single_partial_agg_shuffle(spark, sf_dir):
+    plan = _plan(_q("agg_regression_family", spark, sf_dir))
+    assert "partial_" in plan
+    assert plan.count("HashAggregate") >= 2
