@@ -77,3 +77,42 @@ def prepared_edges(edges: DataFrame, partitions: int | None = None) -> DataFrame
     layout instead of re-shuffling the (much larger) edge side."""
     e = edges.repartition(*( [partitions, "src"] if partitions else ["src"] ))
     return e.persist()
+
+
+def bfs_hop_distance(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Bounded-hop BFS: minimum hop distance from a source set — the
+    third iterative shape next to CC (fixpoint label propagation) and
+    PageRank (fixed-count diffusion): frontier expansion with a HOP
+    BOUND, the pattern behind k-hop neighborhoods and landmark-distance
+    features.
+
+    ``sources`` has one ``node`` column; returns (node, dist) for every
+    node within ``max_hops``. Exact integer labels, so results are
+    bit-identical under any partitioning.
+
+    Scale shape: per hop, ONE join of the frontier with the (src-
+    partitioned, reused) edge relation plus a min-aggregate; the settled
+    relation is node-sized, never edge-sized. The settled/frontier
+    DataFrames are localCheckpoint-ed per hop to cut lineage (cluster
+    scale: ``checkpoint``). Unlike an unbounded fixpoint there is no
+    convergence test — the hop bound is the contract, so the oracle can
+    replay it as a depth-bounded recursion."""
+    dist = sources.select("node", F.lit(0).alias("dist")).localCheckpoint()
+    frontier = dist
+    for _hop in range(1, max_hops + 1):
+        expanded = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # new frontier = nodes not already settled with a smaller label
+        frontier = (
+            expanded.join(dist.select(F.col("node").alias("s_node")),
+                          expanded["node"] == F.col("s_node"), "left_anti")
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(frontier).localCheckpoint()
+    return dist

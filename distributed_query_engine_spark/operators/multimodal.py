@@ -331,3 +331,35 @@ def sample_video_frames(video: DataFrame, stride: int = VID_STRIDE) -> DataFrame
         "sampled_sum long, motion_total long"
     )
     return video.mapInPandas(decode, schema)
+
+
+def frame_fingerprints(video: DataFrame, stride: int = VID_STRIDE) -> DataFrame:
+    """(doc_id, blob) → one row per KEPT frame with a position-weighted
+    content fingerprint fhash = Σ byte[p]·(p+1) (exact int64; max
+    255·Σ(p+1) ≈ 8.4M at 16×16, no modulus needed). Equal frame bytes ⇒
+    equal fingerprint, so grouping by fhash is frame-level exact dedup
+    across videos. Same Arrow-batched mapInPandas shape as
+    sample_video_frames: blobs never leave executors; the output is
+    (docs × kept-frames)-sized, tiny relative to the blobs."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "f": [], "fhash": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                head, rest = b.split(b"\n", 1)
+                assert head == b"VID", "not a VID container"
+                dims, payload = rest.split(b"\n", 1)
+                w, h, nf = (int(x) for x in dims.split())
+                plane = w * h
+                arr = np.frombuffer(payload, dtype=np.uint8, count=plane * nf)
+                frames = arr.reshape(nf, plane).astype(np.int64)
+                weights = np.arange(1, plane + 1, dtype=np.int64)
+                for f in range(0, nf, stride):
+                    out["doc_id"].append(doc_id)
+                    out["f"].append(f)
+                    out["fhash"].append(int((frames[f] * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return video.mapInPandas(decode, "doc_id long, f int, fhash long")

@@ -3787,3 +3787,116 @@ def snapshot_diff_audit(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("drift_cents").cast("bigint").alias("total_drift_cents"),
     )
+
+
+@query(
+    "graph_shortest_paths",
+    # Bounded-hop BFS (k-hop landmark distances) over the same
+    # customer-supplier trade graph as graph_pagerank. The oracle's
+    # depth-bounded recursive CTE uses UNION (tuple-dedup) so its
+    # working set is nodes x hops, not paths — replayable at the sf1
+    # sweep, unlike the quadratic min-label CC walks.
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    walk(node, dist) AS (
+      SELECT c_custkey * 2 AS node, 0 AS dist
+      FROM customer WHERE c_custkey <= 2
+      UNION
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < 3
+    )
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(min(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def graph_shortest_paths(spark, sf_dir):
+    """Minimum hop distance from the landmark set (customers 1-2) within
+    3 hops — operators/graph.py::bfs_hop_distance. Scale shape: per hop
+    one frontier-edge join (edges src-partitioned and checkpointed ONCE)
+    + one node-grain min-aggregate; settled set is node-sized. Exact
+    integer labels: bit-identical under any partitioning."""
+    from distributed_query_engine_spark.operators.graph import bfs_hop_distance
+
+    t = Tables(spark, sf_dir)
+    pairs = (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    sources = (
+        t.customer.filter(F.col("c_custkey") <= 2)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    dist = bfs_hop_distance(edges, sources, max_hops=3)
+    return dist.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("node_type"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+@query(
+    "privacy_k_anonymity",
+    # Privacy audit before corpus release: equivalence classes over the
+    # quasi-identifier (nation, market segment), class size k, and
+    # l-diversity of the sensitive attribute (acctbal band) — classes
+    # with k < 5 or l < 2 are re-identification / homogeneity risks.
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                    WHEN c_acctbal < 5000 THEN 'mid'
+                                    ELSE 'high' END) AS BIGINT) AS l_div,
+           (count(*) < 5) AS k_risky,
+           (count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                WHEN c_acctbal < 5000 THEN 'mid'
+                                ELSE 'high' END) < 2) AS l_risky
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity + l-diversity audit over the customer table. Scale
+    shape: one map-side-combined aggregate at quasi-identifier grain
+    (bounded: |nations| x |segments|); the distinct-count is over a
+    3-value band so the partial state is tiny."""
+    c = Tables(spark, sf_dir).customer
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.countDistinct(band).cast("long").alias("l_div"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k",
+        "l_div",
+        (F.col("k") < 5).alias("k_risky"),
+        (F.col("l_div") < 2).alias("l_risky"),
+    )

@@ -4980,3 +4980,52 @@ def llm_curation_funnel_report(spark, sf_dir):
         "n_raw long, n_quality_pass long, n_exact_unique long, "
         "n_final long, keep_permille long",
     )
+
+
+@query(
+    "llm_multimodal_frame_dedup",
+    # Arithmetic replay of the container bytes (pixel = (doc*31 + f*17 +
+    # p*7) % 256) and the position-weighted fingerprint; grouping by the
+    # fingerprint IS the cross-video exact frame dedup. The synthetic
+    # pixel formula depends on doc/f only through (doc*31 + f*17) % 256,
+    # so the fingerprint space is bounded at 256 rows — which is the
+    # point: heavy frame-level duplication across videos, like real
+    # copied segments.
+    oracle=lambda: f"""
+    WITH occ AS (
+      SELECT d.doc_id, t.f,
+             CAST(SUM(((d.doc_id * 31 + t.f * 17 + s.p * 7) % 256)
+                        * (s.p + 1)) AS BIGINT) AS fhash
+      FROM documents d,
+           unnest(generate_series(0, {M.VID_FRAMES} - 1)) AS t(f),
+           unnest(generate_series(0, {M.VID_W} * {M.VID_H} - 1)) AS s(p)
+      WHERE t.f % {M.VID_STRIDE} = 0
+      GROUP BY d.doc_id, t.f
+    )
+    SELECT fhash,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc,
+           CAST(min(f) AS INT) AS min_frame,
+           (count(*) > 1) AS is_dup
+    FROM occ GROUP BY fhash
+    """,
+)
+def llm_multimodal_frame_dedup(spark, sf_dir):
+    """Cross-video frame-level exact dedup: REAL container decode →
+    per-kept-frame content fingerprint (operators/multimodal.py::
+    frame_fingerprints) → group-by-fingerprint dup report (keeper =
+    lexicographically first occurrence). The multimodal analog of
+    llm_dedup_exact, composing the decode tier with the dedup tier.
+    Scale shape: blobs stay in executors; the shuffled relation is
+    (docs × kept-frames) fingerprint rows — three orders of magnitude
+    smaller than the video bytes; the dup report is fingerprint-grain."""
+    d = Tables(spark, sf_dir).documents
+    occ = M.frame_fingerprints(M.synthesize_video(d))
+    return occ.groupBy("fhash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.min("f").alias("min_frame"),
+        (F.count(F.lit(1)) > 1).alias("is_dup"),
+    )

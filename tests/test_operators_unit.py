@@ -1414,3 +1414,35 @@ def test_snapshot_diff_audit_statuses_reconcile(spark, sf_dir):
     assert total == n_old + n_new - n_common
     assert rows["added"]["n_keys"] == n_new - n_common
     assert rows["removed"]["n_keys"] == n_old - n_common
+
+
+def test_bfs_hop_distance_small_graph(spark):
+    """r12: hand-checkable path graph 1-2-3-4-5 with landmark {1}:
+    labels are minimum hops, the bound cuts at 3, and revisits never
+    overwrite a smaller settled label."""
+    from distributed_query_engine_spark.operators.graph import bfs_hop_distance
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 1), (3, 2), (4, 3), (5, 4)],
+        "src long, dst long",
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_hop_distance(edges, src, 3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops away: excluded
+
+
+def test_frame_fingerprints_match_arithmetic(spark, sf_dir):
+    """r12: the decoded fingerprint equals the synthetic-pixel formula's
+    closed form for a sampled doc/frame."""
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.operators import multimodal as M
+
+    d = Tables(spark, sf_dir).documents.filter("doc_id < 3")
+    rows = M.frame_fingerprints(M.synthesize_video(d)).collect()
+    assert len(rows) == 3 * (M.VID_FRAMES // M.VID_STRIDE)
+    for r in rows:
+        expect = sum(
+            ((r["doc_id"] * 31 + r["f"] * 17 + p * 7) % 256) * (p + 1)
+            for p in range(M.VID_W * M.VID_H)
+        )
+        assert r["fhash"] == expect, r
