@@ -345,3 +345,39 @@ def llm_corpus_shuffle(spark, sf_dir):
         F.min("skey").alias("first_key"),
         F.max("skey").alias("last_key"),
     )
+
+
+@query(
+    "llm_bm25_index",
+    # Identical oracle to llm_bm25_topk: the index stores exactly the
+    # relations the scan-everything query derives, so search-from-index
+    # must be bit-identical — the build-once/search-many contract.
+    oracle=f"""
+    WITH {_BM25_CTE}
+    SELECT q_id, doc_id, score_milli, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rn
+      FROM bm25) WHERE rn <= {_BM25_K}
+    """,
+)
+def llm_bm25_index(spark, sf_dir):
+    """BM25 search against a MATERIALIZED inverted index
+    (operators/sparse.py): postings bucketed by token (bucket pruning at
+    query time — the sparse analog of the IVF index's cell-partition
+    pruning; plan-asserted SelectedBucketsCount), vocabulary stats
+    broadcast, corpus scalars one row. The query panel's terms are
+    collected ONCE as driver-side literals — a search query is request
+    metadata, the same class as the similarity family's panel ids — so
+    the IN predicate is literal and prunes at planning. Content-
+    addressed staging: fingerprint hit = search only, no rebuild."""
+    from distributed_query_engine_spark.operators import sparse as SP
+
+    d = Tables(spark, sf_dir).documents
+    SP.build_bm25_index(spark, d, sf_dir)
+    qterms = [
+        (r["q_id"], r["tok"])
+        for r in SP.tf_dl_relation(d.filter(F.col("doc_id").isin(_Q_IDS)))
+        .select(F.col("doc_id").alias("q_id"), "tok")
+        .collect()
+    ]
+    return SP.bm25_search_index(spark, sf_dir, qterms, k=_BM25_K)

@@ -539,3 +539,29 @@ def stream_tumbling_topk(spark, sf_dir):
         .filter(F.col("rn") <= 2)
         .select("window_start", "event_type", "cnt", "value_sum", "rn")
     )
+
+
+@query(
+    "stream_stream_semi_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def stream_stream_semi_join(spark, sf_dir):
+    # LEFT SEMI stream-stream interval join (converted clicks): the
+    # deduplicating funnel form — at most one row per click regardless
+    # of how many purchases land in its window, which is exactly the
+    # batch EXISTS. One AvailableNow pass sees both sides complete, so
+    # every click's window is closed by the final watermark.
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(
+        ops.semi_join_converting_clicks(ev), "mem_semi_join", "append"
+    )

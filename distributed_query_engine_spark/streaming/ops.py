@@ -1003,3 +1003,40 @@ def stream_cdc_apply(
         [p for p in q.recentProgress if p["numInputRows"] > 0]
     )
     return spark.read.parquet(str(root / pointer.read_text()))
+
+
+def semi_join_converting_clicks(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join: clicks that CONVERTED
+    (some purchase by the same user within 30 minutes) — each click
+    emitted at most once, no purchase columns. Semi is the
+    deduplicating form of the funnel join: the inner variant
+    (interval_join_clicks_purchases) fans out per matching purchase.
+    Same bounded-state contract: both sides watermarked, so click state
+    older than (watermark - interval) is evicted; the semi output for a
+    click can be emitted only once its match window is closed by the
+    watermark, which one AvailableNow pass over complete data
+    guarantees."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+        "left_semi",
+    )

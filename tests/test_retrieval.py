@@ -132,3 +132,58 @@ def test_corpus_shuffle_is_map_side_plus_tiny_agg(spark, sf_dir):
     plan = _plan(_q("llm_corpus_shuffle", spark, sf_dir))
     assert plan.count("Exchange") == 1
     assert "], true, 0" not in plan and "SinglePartition" not in plan
+
+
+def test_bm25_index_scan_bucket_prunes(spark, sf_dir):
+    # The postings scan must read only the query terms' buckets — the
+    # sparse analog of IVF partition pruning.
+    import re
+
+    plan = _plan(_q("llm_bm25_index", spark, sf_dir))
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) <= int(m.group(2))
+    assert "Bucketed: true" in plan
+
+
+def test_bm25_index_matches_scan_everything(spark, sf_dir):
+    # build-once/search-many contract: index search == full-scan BM25.
+    idx = sorted(
+        tuple(r) for r in _q("llm_bm25_index", spark, sf_dir).collect()
+    )
+    scan = sorted(
+        tuple(r) for r in _q("llm_bm25_topk", spark, sf_dir).collect()
+    )
+    assert idx == scan
+
+
+def test_bm25_index_fingerprint_skip_and_stale_sweep(spark, sf_dir, tmp_path):
+    # A fingerprint hit skips the rebuild (the _PUBLISHED marker
+    # persists); a regenerated corpus gets a fresh tag and the stale
+    # sibling dir is swept.
+    import shutil
+
+    from distributed_query_engine_spark.operators import sparse as SP
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    d.toPandas().to_parquet(src / "documents.parquet")
+    docs = spark.read.parquet(str(src / "documents.parquet"))
+    tag1 = SP.build_bm25_index(spark, docs, str(src))
+    base1, _ = SP._stage(str(src))
+    marker = base1 / "_PUBLISHED"
+    mtime1 = marker.stat().st_mtime_ns
+    assert SP.build_bm25_index(spark, docs, str(src)) == tag1
+    assert marker.stat().st_mtime_ns == mtime1  # no rebuild on hit
+    # regenerate the corpus -> new fingerprint, old dir swept
+    d.limit(40).toPandas().to_parquet(src / "documents.parquet")
+    docs2 = spark.read.parquet(str(src / "documents.parquet"))
+    tag2 = SP.build_bm25_index(spark, docs2, str(src))
+    assert tag2 != tag1
+    assert not base1.exists()
+    base2, _ = SP._stage(str(src))
+    assert (base2 / "_PUBLISHED").exists()
+    shutil.rmtree(base2, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS bm25_postings_{tag1}")
+    spark.sql(f"DROP TABLE IF EXISTS bm25_postings_{tag2}")
