@@ -5029,3 +5029,64 @@ def llm_multimodal_frame_dedup(spark, sf_dir):
         F.min("f").alias("min_frame"),
         (F.count(F.lit(1)) > 1).alias("is_dup"),
     )
+
+
+@query(
+    "llm_curriculum_stages",
+    # Curriculum staging for training: FIXED quality thresholds (not
+    # ntile — thresholds are map-side, grow-stable, and mean the same
+    # thing at every corpus size), deterministic intra-stage order key
+    # (md5 of doc_id, the llm_corpus_shuffle discipline). Per-stage
+    # manifest: doc count, token mass, exact milli-quality mean (floor
+    # division, the established integer-mean contract).
+    oracle=lambda: f"""
+    WITH scored AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+             CAST(round({_QUALITY_SQL} * 1000) AS BIGINT) AS q_milli,
+             md5(CAST(doc_id AS VARCHAR) || '|curr') AS okey
+      FROM documents
+    ),
+    staged AS (
+      SELECT *, CASE WHEN q_milli >= 940 THEN 'easy'
+                     WHEN q_milli >= 900 THEN 'medium'
+                     ELSE 'hard' END AS stage
+      FROM scored
+    )
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(q_milli) AS BIGINT) // count(*) AS mean_q_milli,
+           min(okey) AS first_key, max(okey) AS last_key
+    FROM staged GROUP BY stage
+    """,
+)
+def llm_curriculum_stages(spark, sf_dir):
+    """Curriculum ordering manifest: docs staged easy→hard by fixed
+    quality-milli thresholds; within a stage the training order is the
+    deterministic md5 key (never a global sort — (stage, okey) defines
+    the total order, the llm_corpus_shuffle argument). Scale shape:
+    stage assignment is row-local, the manifest a 3-row aggregate; the
+    loader consumes (stage, okey)-ordered shards."""
+    d = Tables(spark, sf_dir).documents
+    staged = d.select(
+        "doc_id",
+        F.size(T.words(F.col("text"))).cast("long").alias("n_tok"),
+        F.round(T.quality_score(F.col("text")) * 1000)
+        .cast("bigint")
+        .alias("q_milli"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|curr"))).alias(
+            "okey"
+        ),
+    ).withColumn(
+        "stage",
+        F.when(F.col("q_milli") >= 940, "easy")
+        .when(F.col("q_milli") >= 900, "medium")
+        .otherwise("hard"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.expr("sum(q_milli) div count(*)").alias("mean_q_milli"),
+        F.min("okey").alias("first_key"),
+        F.max("okey").alias("last_key"),
+    )
