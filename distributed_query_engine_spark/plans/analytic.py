@@ -3900,3 +3900,99 @@ def privacy_k_anonymity(spark, sf_dir):
         (F.col("k") < 5).alias("k_risky"),
         (F.col("l_div") < 2).alias("l_risky"),
     )
+
+
+@query(
+    "dq_referential_integrity_report",
+    # Star-schema FK audit: orphan counts per relationship in ONE row
+    # per edge — the reconciliation report run before publishing a
+    # warehouse snapshot. Anti-join semantics exactly;
+    # the distinct-child counts make the report self-normalizing.
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+           CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem) AS BIGINT)
+             AS n_child_keys,
+           CAST((SELECT count(*) FROM
+                 (SELECT DISTINCT l_orderkey FROM lineitem) c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = c.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM
+                 (SELECT DISTINCT o_custkey FROM orders) c
+                 WHERE NOT EXISTS (SELECT 1 FROM customer k
+                                   WHERE k.c_custkey = c.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST((SELECT count(DISTINCT c_nationkey) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM
+                 (SELECT DISTINCT c_nationkey FROM customer) c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM
+                 (SELECT DISTINCT l_suppkey FROM lineitem) c
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = c.l_suppkey))
+                AS BIGINT)
+    """,
+)
+def dq_referential_integrity_report(spark, sf_dir):
+    """FK orphan audit across four star-schema edges. Scale shape: each
+    edge is one DISTINCT child-key aggregate (partial map-side) + one
+    LEFT ANTI join — dimension-sized parents broadcast; fact-fact
+    (lineitem→orders) shuffles once on the key; the report is 4 rows.
+    At 100 TB this is the shape you want: key-grain relations, never
+    row-grain fanout."""
+    t = Tables(spark, sf_dir)
+    edges = [
+        (
+            "lineitem.l_orderkey -> orders",
+            t.lineitem.select(F.col("l_orderkey").alias("k")),
+            t.orders.select(F.col("o_orderkey").alias("k")),
+            False,
+        ),
+        (
+            "orders.o_custkey -> customer",
+            t.orders.select(F.col("o_custkey").alias("k")),
+            t.customer.select(F.col("c_custkey").alias("k")),
+            True,
+        ),
+        (
+            "customer.c_nationkey -> nation",
+            t.customer.select(F.col("c_nationkey").alias("k")),
+            t.nation.select(F.col("n_nationkey").alias("k")),
+            True,
+        ),
+        (
+            "lineitem.l_suppkey -> supplier",
+            t.lineitem.select(F.col("l_suppkey").alias("k")),
+            t.supplier.select(F.col("s_suppkey").alias("k")),
+            True,
+        ),
+    ]
+    reports = []
+    for name, child, parent, bc in edges:
+        keys = child.distinct()
+        orphans = keys.join(
+            F.broadcast(parent) if bc else parent, "k", "left_anti"
+        )
+        reports.append(
+            keys.agg(F.count(F.lit(1)).cast("long").alias("n_child_keys"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            )
+            .select(
+                F.lit(name).alias("fk_edge"), "n_child_keys", "n_orphans"
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -5090,3 +5090,125 @@ def llm_curriculum_stages(spark, sf_dir):
         F.min("okey").alias("first_key"),
         F.max("okey").alias("last_key"),
     )
+
+
+_MATRYOSHKA_DIMS = [32, 16]
+_MATRYOSHKA_DIMS_SQL = ", ".join(str(d) for d in _MATRYOSHKA_DIMS)
+
+
+@query(
+    "llm_similarity_matryoshka_recall",
+    # Prefix-truncation (Matryoshka, Kusupati et al. 2022) recall rung:
+    # exact top-5 on the 32-dim and 16-dim PREFIXES of the fixed-point
+    # vectors vs the full-64-dim exact top-5, over the stable 25-query
+    # panel. Same exact-arithmetic recipe as every ladder rung: integer
+    # dots/norms on the sliced vectors, hits counted by intersection.
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    dims AS (SELECT unnest([{_MATRYOSHKA_DIMS_SQL}]) AS dims),
+    qs AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
+           FROM nv WHERE vec_id IN ({_RECALL_IDS_SQL})),
+    exact_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 {_COS.format(a='q.q_ivec', b='c.ivec', na='q.q_nsq', nb='c.nsq')} DESC,
+                 c.vec_id) AS rn
+        FROM qs q, nv c WHERE c.vec_id != q.q_id) WHERE rn <= 5
+    ),
+    trunc AS (
+      SELECT d.dims, nv.vec_id, nv.ivec[1:d.dims] AS tvec,
+             list_dot_product(nv.ivec[1:d.dims], nv.ivec[1:d.dims]) AS tnsq
+      FROM nv, dims d
+    ),
+    tq AS (SELECT dims, vec_id AS q_id, tvec AS q_tvec, tnsq AS q_tnsq
+           FROM trunc WHERE vec_id IN ({_RECALL_IDS_SQL})),
+    trunc_top AS (
+      SELECT dims, q_id, vec_id FROM (
+        SELECT q.dims, q.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.dims, q.q_id ORDER BY
+                 list_dot_product(q.q_tvec, c.tvec)
+                   / (sqrt(CAST(q.q_tnsq AS DOUBLE)) * sqrt(CAST(c.tnsq AS DOUBLE)))
+                 DESC, c.vec_id) AS rn
+        FROM tq q JOIN trunc c ON c.dims = q.dims AND c.vec_id != q.q_id)
+      WHERE rn <= 5
+    )
+    SELECT t.dims AS trunc_dims, t.q_id,
+           CAST(count(e.vec_id) AS BIGINT) AS n_hits
+    FROM trunc_top t
+    LEFT JOIN exact_top e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+    GROUP BY t.dims, t.q_id
+    """,
+)
+def llm_similarity_matryoshka_recall(spark, sf_dir):
+    """Matryoshka prefix-truncation recall@5 at 32 and 16 dims vs the
+    full 64-dim exact search — the storage/quality rung that prices
+    "keep only the first d dims" against the PQ ladder's "keep m×k
+    codes" (PLANS.md records both). Scale shape: truncation is a
+    row-local slice (re-embedding nothing); each rung is the same
+    brute-force panel search as llm_similarity_topk, so cost scales
+    with dims kept — the ladder's cheapest rung to serve."""
+    from distributed_query_engine_spark.functions.vectors import (
+        cosine_from_ints,
+        dot_long,
+    )
+    from distributed_query_engine_spark.operators.similarity import with_int_vec
+    from pyspark.sql.window import Window
+
+    e = Tables(spark, sf_dir).embeddings
+    base = with_int_vec(e).select("vec_id", "ivec", "nsq")
+
+    def top5(rel, vec_col, nsq_col, extra_part):
+        q = rel.filter(F.col("vec_id").isin(_RECALL_QUERY_IDS)).select(
+            *[F.col(c).alias(f"q_{c}") for c in extra_part],
+            F.col("vec_id").alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(nsq_col).alias("q_nsq"),
+        )
+        join_cond = F.col("vec_id") != F.col("q_id")
+        for c in extra_part:
+            join_cond = join_cond & (F.col(f"q_{c}") == F.col(c))
+        scored = rel.join(F.broadcast(q), join_cond).select(
+            *[F.col(f"q_{c}").alias(c) for c in extra_part],
+            "q_id",
+            "vec_id",
+            cosine_from_ints(
+                dot_long(F.col("q_vec"), F.col(vec_col)),
+                F.col("q_nsq"),
+                F.col(nsq_col),
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy(*extra_part, "q_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .drop("cosine", "rn")
+        )
+
+    exact = top5(base, "ivec", "nsq", [])
+    dims_df = spark.range(0).sparkSession.createDataFrame(
+        [(d,) for d in _MATRYOSHKA_DIMS], "dims int"
+    )
+    trunc = base.crossJoin(F.broadcast(dims_df)).select(
+        "dims",
+        "vec_id",
+        F.slice("ivec", 1, F.col("dims")).alias("tvec"),
+    )
+    trunc = trunc.withColumn("tnsq", dot_long(F.col("tvec"), F.col("tvec")))
+    t_top = top5(trunc, "tvec", "tnsq", ["dims"])
+    hits = (
+        t_top.alias("t")
+        .join(
+            exact.alias("e"),
+            (F.col("e.q_id") == F.col("t.q_id"))
+            & (F.col("e.vec_id") == F.col("t.vec_id")),
+            "left",
+        )
+        .groupBy(
+            F.col("t.dims").alias("trunc_dims"), F.col("t.q_id").alias("q_id")
+        )
+        .agg(F.count(F.col("e.vec_id")).cast("long").alias("n_hits"))
+    )
+    return hits
