@@ -874,3 +874,88 @@ def join_null_safe_eq(spark, sf_dir):
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@query(
+    "join_asof_nearest",
+    # pandas merge_asof(direction='nearest', tolerance=1h): the purchase
+    # with MINIMUM |Δts| within ±1 hour; ties broken backward-first
+    # (the asof convention), then by purchase ts. The oracle brute-
+    # forces candidates inside the bounded ±1h window — bounded, so the
+    # theta join stays linear-ish in matches.
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT c.event_id, c.user_id,
+             c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value,
+             row_number() OVER (PARTITION BY c.event_id ORDER BY
+                abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END,
+                p.ts) AS rn
+      FROM c JOIN p ON p.user_id = c.user_id
+       AND p.ts >= c.ts - INTERVAL 1 HOUR
+       AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT event_id, user_id,
+           CAST(click_ts AS TIMESTAMP) AS click_ts,
+           CAST(purchase_ts AS TIMESTAMP) AS purchase_ts,
+           purchase_value
+    FROM cand WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join with tolerance (the third asof
+    flavor after backward and backward+tolerance): one union + window
+    pass computes BOTH the latest-predecessor and earliest-successor
+    purchase per click, then a row-local chooser picks the nearer one
+    inside ±1 hour (tie → backward). Same single user_id shuffle as
+    join_asof_event — never the O(clicks × purchases) theta join the
+    oracle uses (the oracle can afford it: its window is bounded)."""
+    e = Tables(spark, sf_dir).events
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_click"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.lit(0).alias("is_click"),
+        F.col("ts").alias("p_ts"), F.col("value").alias("p_value"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "event_id", "user_id", "ts", "is_click",
+        F.last("p_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.last("p_value", ignorenulls=True).over(wb).alias("b_value"),
+        F.first("p_ts", ignorenulls=True).over(wf).alias("f_ts"),
+        F.first("p_value", ignorenulls=True).over(wf).alias("f_value"),
+    ).filter(F.col("is_click") == 1)
+    us = F.unix_micros
+    tol = 3_600_000_000  # 1 hour in microseconds
+    diff_b = us(F.col("ts")) - us(F.col("b_ts"))
+    diff_f = us(F.col("f_ts")) - us(F.col("ts"))
+    valid_b = F.col("b_ts").isNotNull() & (diff_b <= tol)
+    valid_f = F.col("f_ts").isNotNull() & (diff_f <= tol)
+    pick_b = valid_b & (~valid_f | (diff_b <= diff_f))
+    out = merged.select(
+        "event_id", "user_id", F.col("ts").alias("click_ts"),
+        F.when(pick_b, F.col("b_ts"))
+        .when(valid_f, F.col("f_ts"))
+        .alias("purchase_ts"),
+        F.when(pick_b, F.col("b_value"))
+        .when(valid_f, F.col("f_value"))
+        .alias("purchase_value"),
+    )
+    return out.filter(F.col("purchase_ts").isNotNull())

@@ -436,3 +436,43 @@ def scalar_regex_family(spark, sf_dir):
         F.regexp_extract("text", pat, 0).alias("first_match"),
         F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
     )
+
+
+@query(
+    "scalar_collation",
+    # Spark 4 collations: UTF8_LCASE comparisons/aggregation — the
+    # declarative alternative to sprinkling lower() everywhere (and the
+    # collation-aware path Catalyst can optimize: the collation is part
+    # of the type, so GROUP BY / = / startswith are collation-native).
+    # DuckDB has no collated types here, so the oracle lower()s — the
+    # cross-engine definition of UTF8_LCASE equality.
+    oracle="""
+    SELECT lower(p_brand) AS brand_lc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
+    FROM part
+    WHERE lower(p_type) LIKE 'sm%'
+    GROUP BY lower(p_brand)
+    """,
+)
+def scalar_collation(spark, sf_dir):
+    """Case-insensitive filter + grouping via a COLLATE UTF8_LCASE cast
+    (not lower()): the collation travels with the column, so the plan's
+    comparison, LIKE, and grouping are collation-aware natively. The
+    projected group key lower()s only for the cross-engine result
+    contract (a collated string renders with its original case — the
+    oracle needs a deterministic representative)."""
+    p = Tables(spark, sf_dir).part
+    coll = p.select(
+        F.expr("p_brand COLLATE UTF8_LCASE").alias("brand"),
+        F.expr("p_type COLLATE UTF8_LCASE").alias("ptype"),
+        "p_name",
+    )
+    return (
+        coll.filter(F.col("ptype").startswith("sm"))
+        .groupBy(F.lower(F.col("brand")).alias("brand_lc"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.countDistinct("p_name").cast("long").alias("n_names"),
+        )
+    )
