@@ -1014,3 +1014,104 @@ def test_exact_ntile_matches_sparks_ntile(spark, n, k):
         ).collect()
     }
     assert got == want, (n, k, got, want)
+
+
+@SET
+@given(docs=docs_st)
+def test_bm25_scores_match_python_model(spark, docs):
+    """r12: the exact-integer BM25 pipeline (tf/dl/df/corpus relations +
+    the div-per-term milli expression) equals a literal Python
+    re-implementation of the same formula for every (query, candidate)
+    pair on random micro-corpora."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.plans.retrieval import _BM25_MILLI_SQL
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("a_tok")
+    )
+    q_id = 0
+    qterms = tf.filter(F.col("doc_id") == q_id).select(
+        F.col("doc_id").alias("q_id"), "tok"
+    )
+    got = {
+        (r["q_id"], r["doc_id"]): r["s"]
+        for r in (
+            tf.join(qterms, "tok")
+            .filter(F.col("doc_id") != F.col("q_id"))
+            .join(dfreq, "tok")
+            .join(dl, "doc_id")
+            .crossJoin(corpus)
+            .groupBy("q_id", "doc_id")
+            .agg(
+                F.sum(F.expr(_BM25_MILLI_SQL.replace("//", " div ")))
+                .cast("long")
+                .alias("s")
+            )
+            .collect()
+        )
+    }
+    # pure-python model
+    n_docs = len(docs)
+    a_tok = sum(len(d) for d in docs)
+    dfs = Counter()
+    for d in docs:
+        for t in set(d):
+            dfs[t] += 1
+    expect = {}
+    qset = set(docs[q_id])
+    for cand in range(1, n_docs):
+        s = 0
+        c = Counter(docs[cand])
+        for t in qset & set(docs[cand]):
+            tf_ = c[t]
+            dl_ = len(docs[cand])
+            num = (2 * (n_docs - dfs[t]) + 1) * (22 * a_tok * tf_) * 1000
+            den = (2 * dfs[t] + 1) * (
+                10 * a_tok * tf_ + 3 * a_tok + 9 * dl_ * n_docs
+            )
+            s += num // den
+        if s:
+            expect[(q_id, cand)] = s
+    assert got == expect
+
+
+@SET
+@given(edges=edges_st)
+def test_bfs_hop_distance_matches_python_bfs(spark, edges):
+    """r12: bfs_hop_distance equals a textbook queue BFS (symmetrized
+    edges, landmark node 0, 3-hop bound) on random micro-graphs."""
+    from collections import deque
+
+    from distributed_query_engine_spark.operators.graph import bfs_hop_distance
+
+    sym = list({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    adj: dict[int, list] = {}
+    for a, b in sym:
+        adj.setdefault(a, []).append(b)
+    expect = {0: 0}
+    qd = deque([(0, 0)])
+    while qd:
+        node, d = qd.popleft()
+        if d == 3:
+            continue
+        for nb in adj.get(node, []):
+            if nb not in expect:
+                expect[nb] = d + 1
+                qd.append((nb, d + 1))
+    edf = spark.createDataFrame(
+        sym or [(99, 98)], "src long, dst long"
+    )  # placeholder edge keeps the schema when sym is empty
+    if not sym:
+        expect = {0: 0}
+    src = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_hop_distance(edf, src, 3).collect()}
+    assert got == expect
