@@ -112,7 +112,8 @@ def _tf_dl(spark, sf_dir):
     oracle=f"""
     WITH {_TOKS_CTE},
     heads AS (
-      SELECT tok, list(doc_id ORDER BY doc_id) AS postings_head FROM (
+      SELECT tok, array_to_string(list(doc_id ORDER BY doc_id), ',')
+               AS postings_head FROM (
         SELECT tok, doc_id,
                row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
         FROM tf) WHERE rn <= {_POSTINGS_HEAD}
@@ -144,7 +145,15 @@ def llm_inverted_index(spark, sf_dir):
         tf.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _POSTINGS_HEAD)
         .groupBy("tok")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings_head"))
+        .agg(
+            # serialized to a scalar: a top-level ARRAY column is not
+            # driver-canonicalizable (pandas sort_values factorize dies
+            # on unhashable cells — the round-4 agg_collect_nested
+            # lesson, enforced by tests/oracle_diff.assert_driver_sortable)
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id"))
+            ).alias("postings_head")
+        )
     )
     return stats.join(heads, "tok")
 

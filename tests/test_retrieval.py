@@ -23,9 +23,12 @@ def test_inverted_index_postings_sorted_and_bounded(spark, sf_dir):
     rows = _q("llm_inverted_index", spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert 1 <= len(r.postings_head) <= 8
-        assert r.postings_head == sorted(r.postings_head)
-        assert len(r.postings_head) == min(r.df, 8)
+        # postings_head is SERIALIZED (comma-joined) — a top-level array
+        # column would not survive the driver's pandas canonicalizer.
+        head = [int(x) for x in r.postings_head.split(",")]
+        assert 1 <= len(head) <= 8
+        assert head == sorted(head)
+        assert len(head) == min(r.df, 8)
         assert r.cf >= r.df  # every posting contributes >= 1 occurrence
 
 
