@@ -21,6 +21,14 @@ import __spark_entry__ as E
 import duckdb
 SF = sys.argv[1] if len(sys.argv) > 1 else str(Path(__file__).resolve().parents[1] / ".tmp" / "sf1")
 con = duckdb.connect()
+# Cap + spill: sharing the box with a 32-thread Spark JVM, DuckDB's
+# default (80% of RAM, no temp dir) bad_alloc'd on the two heaviest
+# recall-ladder oracles in the r12 sweep; with an explicit limit and a
+# spill directory both replay green (re-verified standalone, r12).
+con.execute("SET memory_limit='48GB'")
+_spill = Path(__file__).resolve().parents[1] / ".tmp" / "duckspill"
+_spill.mkdir(parents=True, exist_ok=True)
+con.execute(f"SET temp_directory='{_spill}'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 qs, os_ = E.queries(), E.oracle_sql()
