@@ -3996,3 +3996,50 @@ def dq_referential_integrity_report(spark, sf_dir):
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "agg_bitmap_distinct",
+    # Exact distinct via Spark's bitmap aggregate family
+    # (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg
+    # / bitmap_or_agg / bitmap_count): the MERGEABLE exact-distinct
+    # state — unlike a raw COUNT(DISTINCT), daily bitmap states OR
+    # together, which is why warehouse rollups store bitmaps. Built
+    # here as daily states merged to per-type totals; the oracle is the
+    # plain distinct the bitmaps must equal exactly.
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """Scale shape: the per-(type, day, bucket) bitmap build is one
+    map-side-combined aggregate whose state is a fixed-width bitmap
+    (not a growing hash set); the daily→total merge is bitmap_or_agg
+    over (type, bucket) — re-aggregation reads the SMALL state
+    relation, never the fact table, which is the whole point at
+    100 TB (same algebra as mv_incremental_refresh, exact instead of
+    approximate unlike HLL)."""
+    from distributed_query_engine_spark.catalog import Tables as _T
+
+    ev = _T(spark, sf_dir).events
+    ev.createOrReplaceTempView("ev_bitmap")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 bitmap_bucket_number(user_id) AS bucket,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          FROM ev_bitmap
+          GROUP BY event_type, CAST(ts AS DATE), bitmap_bucket_number(user_id)
+        ),
+        merged AS (
+          SELECT event_type, bucket, bitmap_or_agg(bm) AS bm
+          FROM daily GROUP BY event_type, bucket
+        )
+        SELECT event_type,
+               CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_users
+        FROM merged GROUP BY event_type
+        """
+    )

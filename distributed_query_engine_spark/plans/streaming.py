@@ -565,3 +565,37 @@ def stream_stream_semi_join(spark, sf_dir):
     return ops.run_to_memory(
         ops.semi_join_converting_clicks(ev), "mem_semi_join", "append"
     )
+
+
+@query(
+    "stream_stream_anti_join",
+    # DERIVED-EMISSION oracle (the stream_watermark_late_data
+    # discipline): an unmatched click emits only once the FINAL
+    # watermark (max event time − 1h delay) proves its 30-minute match
+    # window empty — clicks in the trailing 1.5h of the stream are
+    # correctly withheld (state, not output), so the oracle derives the
+    # emission cutoff instead of pretending the batch NOT EXISTS.
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      )
+      AND c.ts + INTERVAL 30 MINUTE
+            <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def stream_stream_anti_join(spark, sf_dir):
+    # ANTI-semantics stream-stream interval join (abandoned clicks):
+    # LEFT OUTER + IS NULL (Spark supports no streaming left_anti) — a
+    # click emits exactly once, null-padded, when the watermark closes
+    # its window unmatched. Complement of stream_stream_semi_join over
+    # the watermark-closed region.
+    ev = ops.read_events_stream(spark, sf_dir)
+    return ops.run_to_memory(
+        ops.anti_join_unconverted_clicks(ev), "mem_anti_join", "append"
+    )

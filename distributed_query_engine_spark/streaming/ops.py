@@ -1040,3 +1040,42 @@ def semi_join_converting_clicks(events: DataFrame) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
         "left_semi",
     )
+
+
+def anti_join_unconverted_clicks(events: DataFrame) -> DataFrame:
+    """Stream-stream ANTI-semantics interval join: clicks with NO
+    purchase by the same user within 30 minutes — the abandonment side
+    of semi_join_converting_clicks. Spark does not support left_anti
+    with a streaming right side, so this is the canonical rewrite:
+    LEFT OUTER interval join + IS NULL filter — an unmatched click
+    emits exactly ONE null-padded row once the watermark proves its
+    window empty (matched clicks emit only non-null rows, all
+    filtered), which is exactly NOT EXISTS. One AvailableNow pass over
+    complete data closes every window."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+        "left_outer",
+    )
+    return joined.filter(F.col("purchase_ts").isNull()).select(
+        "click_id", "user_id", "click_ts"
+    )
