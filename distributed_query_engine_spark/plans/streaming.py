@@ -571,13 +571,22 @@ def stream_stream_semi_join(spark, sf_dir):
     "stream_stream_anti_join",
     # DERIVED-EMISSION oracle (the stream_watermark_late_data
     # discipline): an unmatched click emits only once the FINAL
-    # watermark (max event time − 1h delay) proves its 30-minute match
-    # window empty — clicks in the trailing 1.5h of the stream are
-    # correctly withheld (state, not output), so the oracle derives the
-    # emission cutoff instead of pretending the batch NOT EXISTS.
+    # watermark proves its 30-minute window empty. The global watermark
+    # is the MIN across the two withWatermark nodes — each computes
+    # max(ts) over ITS OWN filtered stream (clicks / purchases), minus
+    # the 1h delay, floored to Spark's millisecond watermark precision
+    # (empirically pinned: at sf0.001 the clicks-side max is hours
+    # behind the purchases-side max and the emission frontier follows
+    # the MIN, not the global max).
     oracle="""
+    WITH wm AS (
+      SELECT date_trunc('milliseconds',
+               LEAST((SELECT max(ts) FROM events WHERE event_type = 'click'),
+                     (SELECT max(ts) FROM events WHERE event_type = 'purchase')))
+             - INTERVAL 1 HOUR AS w
+    )
     SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts
-    FROM events c
+    FROM events c, wm
     WHERE c.event_type = 'click'
       AND NOT EXISTS (
         SELECT 1 FROM events p
@@ -585,8 +594,7 @@ def stream_stream_semi_join(spark, sf_dir):
           AND p.user_id = c.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       )
-      AND c.ts + INTERVAL 30 MINUTE
-            <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+      AND c.ts + INTERVAL 30 MINUTE <= wm.w
     """,
 )
 def stream_stream_anti_join(spark, sf_dir):
