@@ -99,7 +99,10 @@ def bfs_hop_distance(
     scale: ``checkpoint``). Unlike an unbounded fixpoint there is no
     convergence test — the hop bound is the contract, so the oracle can
     replay it as a depth-bounded recursion."""
-    dist = sources.select("node", F.lit(0).alias("dist")).localCheckpoint()
+    # Dedup the seed set: a duplicated landmark would otherwise ride the
+    # settled union as duplicate (node, dist) rows (r12 ADVICE) — the
+    # per-hop left_anti guard only protects NEW nodes, never the seeds.
+    dist = sources.select("node", F.lit(0).alias("dist")).distinct().localCheckpoint()
     frontier = dist
     for _hop in range(1, max_hops + 1):
         expanded = (

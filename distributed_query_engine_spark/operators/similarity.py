@@ -1823,3 +1823,186 @@ def project_vectors(emb: DataFrame, k: int = RP_DIMS) -> DataFrame:
     )
     out = with_int_vec(emb).select("vec_id", ys.alias("yvec"))
     return out.withColumn("ynsq", norm_sq_long(F.col("yvec")))
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph refinement (VERDICT r12 item 6): the graph-based rung of the
+# ANN ladder, re-expressed as BUCKETED JOINS (no HNSW pointer chasing —
+# a distributed engine can't chase pointers; it can join bounded
+# relations).
+# ---------------------------------------------------------------------------
+
+KNN_G = 8  # stored out-degree (g=8 measured best recall-per-candidate at sf0.01: 0.968 vs 0.944 IVF-only on the 25-query panel; see llm_similarity_graph_recall + BASELINE.md r13)
+GRAPH_SEEDS = 10  # IVF candidates seeding the neighbor expansion
+
+
+def knn_graph(
+    emb: DataFrame,
+    g: int = KNN_G,
+    n_cells: int | None = N_CELLS,
+    n_planes: int = N_PLANES,
+    strategy: str = "lowest_id",
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """Bounded-degree kNN graph over the corpus: per vector, its top-``g``
+    exact-cosine neighbors among vectors sharing its IVF cell OR its
+    LSH bucket — (src_id, dst_id, g_cosine), ``g`` rows per src.
+
+    WHY two groupings: a graph built from one space partition can only
+    connect vectors the partition already co-locates, so expanding IVF
+    candidates through it would never escape the probed cells. The LSH
+    bucketing CROSSCUTS the cell structure (sign pattern vs nearest
+    centroid), so its edges bridge cells — that bridge is where the
+    refinement's recall gain comes from (measured:
+    llm_similarity_graph_recall).
+
+    Scale shape: two salted bounded self-joins (the semdedup/
+    candidate_pairs discipline — side A salt-tagged, side B replicated
+    over SALT_GROUPS so one popular cell/bucket spreads across tasks),
+    then ONE per-src top-g window (WindowGroupLimit: partial limit
+    before the shuffle). Group populations are bounded the same way
+    semdedup's are — cells/buckets grow with the corpus. In production
+    the graph is a build-once artifact maintained beside the IVF index;
+    here it is derived in-plan so the oracle can replay it."""
+    from distributed_query_engine_spark.operators.dedup import SALT_GROUPS
+
+    assigned = ivf_assign(
+        emb, n_cells=n_cells, strategy=strategy, lloyd_iters=lloyd_iters
+    ).select("vec_id", F.col("cell_id").alias("grp"), "ivec", "nsq")
+    # bucket ids live in [0, 2^n_planes); offset them past any cell id
+    # (cell ids are centroid vec_ids) so the two groupings stay disjoint
+    bucketed = lsh_bucket(with_int_vec(emb), n_planes).select(
+        "vec_id",
+        (F.col("bucket") + F.lit(1_000_000_000)).alias("grp"),
+        "ivec",
+        "nsq",
+    )
+    grouped = assigned.unionByName(bucketed)
+    a = grouped.select(
+        F.col("vec_id").alias("src_id"), "grp",
+        F.col("ivec").alias("ivec_a"), F.col("nsq").alias("nsq_a"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(SALT_GROUPS)).alias("salt"),
+    )
+    b = grouped.select(
+        F.col("vec_id").alias("dst_id"), "grp",
+        F.col("ivec").alias("ivec_b"), F.col("nsq").alias("nsq_b"),
+        F.explode(F.array(*[F.lit(s) for s in range(SALT_GROUPS)])).alias("salt"),
+    )
+    pairs = (
+        a.join(b, ["grp", "salt"])
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            cosine_from_ints(
+                dot_long(F.col("ivec_a"), F.col("ivec_b")),
+                F.col("nsq_a"),
+                F.col("nsq_b"),
+            ).alias("g_cosine"),
+        )
+        # a pair sharing both its cell AND its bucket arrives twice
+        # (identical cosine — the arithmetic is exact); dedup before
+        # the top-g window
+        .distinct()
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("g_cosine").desc(), F.col("dst_id")
+    )
+    return (
+        pairs.withColumn("grn", F.row_number().over(w))
+        .filter(F.col("grn") <= g)
+        .select("src_id", "dst_id", "g_cosine")
+    )
+
+
+def topk_cosine_ivf_graph(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int | None = 5,
+    n_probe: int = N_PROBE,
+    seeds: int = GRAPH_SEEDS,
+    g: int = KNN_G,
+    n_cells: int | None = N_CELLS,
+    n_planes: int = N_PLANES,
+    strategy: str = "lowest_id",
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """IVF + one-hop kNN-graph refinement: probe ``n_probe`` cells, take
+    the top-``seeds`` IVF candidates per query, EXPAND each seed to its
+    ``g`` graph neighbors (one join against the bounded-degree graph —
+    neighbors may live in unprobed cells), then exact-rerank the union
+    to top-``k``. Deterministic end to end, so the oracle replays it.
+
+    Scale shape: the expansion joins a (queries × seeds)-sized relation
+    against a (corpus × g)-sized one on vec_id — a plain equi-join both
+    sides of which are bounded; the rerank joins the candidate ids back
+    to the corpus relation for their vectors (index lookup shape) with
+    the query panel broadcast. No stage touches more than
+    |seeds|·(1+g) candidates per query after the probe stage."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    if n_cells is None:
+        n_cells = suggest_n_cells(base.count())
+    cents = ivf_centroids(base, n_cells, strategy=strategy, lloyd_iters=lloyd_iters)
+    assigned = _assign_to(base, cents)
+    cand = _ivf_search(cents, assigned, query_ids, None, n_probe)
+    sw = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    seed_rel = (
+        cand.withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= seeds)
+        .select("q_id", "vec_id")
+    )
+    graph = knn_graph(
+        emb, g=g, n_cells=n_cells, n_planes=n_planes,
+        strategy=strategy, lloyd_iters=lloyd_iters,
+    ).select("src_id", "dst_id")
+    expanded = seed_rel.join(
+        graph, seed_rel["vec_id"] == graph["src_id"]
+    ).select("q_id", F.col("dst_id").alias("vec_id"))
+    allc = seed_rel.unionByName(expanded).distinct()
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ivec").alias("q_ivec"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    scored = (
+        allc.join(base, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_from_ints(
+                dot_long(F.col("q_ivec"), F.col("ivec")),
+                F.col("q_nsq"),
+                F.col("nsq"),
+            ).alias("cosine"),
+        )
+    )
+    if k is None:
+        # recall/cost instrumentation path: the raw candidate relation
+        return scored
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )
+
+
+def ivf_graph_scored(
+    emb: DataFrame,
+    query_ids: list[int],
+    n_probe: int = N_PROBE,
+    seeds: int = GRAPH_SEEDS,
+    g: int = KNN_G,
+    n_cells: int | None = N_CELLS,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """The graph-refined candidate relation (q_id, vec_id, cosine) —
+    cost/recall instrumentation twin of :func:`topk_cosine_ivf_graph`
+    (same construction, no final top-k), mirroring ivf_scored /
+    lsh_scored so the recall ladder can count candidates."""
+    return topk_cosine_ivf_graph(
+        emb, query_ids, k=None, n_probe=n_probe, seeds=seeds, g=g,
+        n_cells=n_cells, n_planes=n_planes,
+    )

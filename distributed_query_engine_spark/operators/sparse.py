@@ -43,12 +43,13 @@ N_BUCKETS = 32
 _TMP = Path(__file__).resolve().parents[2] / ".tmp"
 
 
-def _stage(sf_dir: str) -> tuple[Path, str]:
-    """Content-addressed staging dir + catalog tag for the corpus at
+def _stage(sf_dir: str) -> tuple[Path, str, str]:
+    """Content-addressed staging dir + (key, tag) for the corpus at
     ``sf_dir`` (fingerprint = documents.parquet path+mtime+size — the
     bucketed-staging discipline of plans/analytic.py::_bucket_stage).
-    Stale same-corpus siblings are swept; sweeping is race-benign
-    because their source no longer exists in that form."""
+    READ-ONLY: no sweeping here (r12 ADVICE) — the search path must
+    never rmtree a sibling a concurrent process may still be scanning;
+    stale-generation cleanup belongs to the writer, build_bm25_index."""
     from distributed_query_engine_spark.catalog import staging_key
 
     key = staging_key(sf_dir).replace(".", "_").replace("-", "_")
@@ -56,11 +57,21 @@ def _stage(sf_dir: str) -> tuple[Path, str]:
     st = f.stat()
     fp = hashlib.md5(f"{f}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
     tag = f"{key}_{fp}"
-    current = _TMP / f"bm25_index_{tag}"
+    return _TMP / f"bm25_index_{tag}", key, tag
+
+
+def _sweep_stale(spark: SparkSession, key: str, current: Path) -> None:
+    """Writer-side cleanup of superseded same-corpus generations: drop
+    the catalog entry FIRST (so no dangling table ever points at a
+    deleted path), then remove the directory. Race-benign for the
+    builder only — a fingerprint that differs from ``current`` means the
+    source parquet no longer exists in that form, so nothing can be
+    mid-scan on it through THIS builder's catalog."""
     for d in _TMP.glob(f"bm25_index_{key}_*"):
         if d != current:
+            stale_tag = d.name.removeprefix("bm25_index_")
+            spark.sql(f"DROP TABLE IF EXISTS bm25_postings_{stale_tag}")
             shutil.rmtree(d, ignore_errors=True)
-    return current, tag
 
 
 def tf_dl_relation(docs: DataFrame) -> DataFrame:
@@ -72,18 +83,15 @@ def tf_dl_relation(docs: DataFrame) -> DataFrame:
     return tf.join(dl, "doc_id")
 
 
-def build_bm25_index(
-    spark: SparkSession, docs: DataFrame, sf_dir: str, n_buckets: int = N_BUCKETS
-) -> str:
-    """Materialize the index; returns the catalog tag of the postings
-    table. Idempotent per corpus fingerprint: a fingerprint hit skips
-    the build entirely (same skip discipline as the content-addressed
-    ANN indexes)."""
-    base, tag = _stage(sf_dir)
-    tbl = f"bm25_postings_{tag}"
-    done = base / "_PUBLISHED"
-    if done.exists() and spark.catalog.tableExists(tbl):
-        return tag
+def write_bm25_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    base: Path,
+    tbl: str,
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Overwrite-build the three index relations for ``docs`` into
+    ``base`` and register the bucketed postings table as ``tbl``."""
     rel = tf_dl_relation(docs)
     (
         rel.select("tok", "doc_id", "tf", "dl")
@@ -101,6 +109,62 @@ def build_bm25_index(
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("tf").alias("a_tok"),
     ).write.mode("overwrite").parquet(str(base / "corpus"))
+
+
+def append_to_bm25_index(
+    spark: SparkSession, docs_new: DataFrame, base: Path, tbl: str
+) -> None:
+    """Ingest a NEW document batch into an EXISTING index WITHOUT a
+    rebuild — the sparse sibling of similarity.append_to_ivf_index
+    (VERDICT r12 item 2): the index artifact is APPEND-ONLY.
+
+    - ``postings``: the batch's (tok, doc_id, tf, dl) rows append as new
+      part-files into the SAME bucket layout (saveAsTable validates the
+      bucket spec), so query-time bucket pruning keeps working — the
+      scan reads old+new files of only the query terms' buckets.
+    - ``stats`` / ``corpus``: per-batch PARTIALS append; document sets
+      of batches are disjoint, so df / n_docs / a_tok merge by SUM at
+      read time (bm25_search_index aggregates the vocabulary-sized
+      relation before broadcasting — pennies). No read-modify-write
+      cycle anywhere: ingest cost is ONE scan of the BATCH, never a
+      rewrite of existing index files.
+
+    Doc lengths (dl) are per-document, so batch-local computation is
+    exact; idf/avgdl come from the SUMMED stats, hence search over an
+    incrementally-ingested index is bit-identical to a full rebuild."""
+    rel = tf_dl_relation(docs_new)
+    (
+        rel.select("tok", "doc_id", "tf", "dl")
+        .write.format("parquet")
+        .bucketBy(N_BUCKETS, "tok")
+        .sortBy("tok")
+        .option("path", str(base / "postings"))
+        .mode("append")
+        .saveAsTable(tbl)
+    )
+    rel.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "append"
+    ).parquet(str(base / "stats"))
+    rel.groupBy().agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("a_tok"),
+    ).write.mode("append").parquet(str(base / "corpus"))
+
+
+def build_bm25_index(
+    spark: SparkSession, docs: DataFrame, sf_dir: str, n_buckets: int = N_BUCKETS
+) -> str:
+    """Materialize the index; returns the catalog tag of the postings
+    table. Idempotent per corpus fingerprint: a fingerprint hit skips
+    the build entirely (same skip discipline as the content-addressed
+    ANN indexes)."""
+    base, key, tag = _stage(sf_dir)
+    tbl = f"bm25_postings_{tag}"
+    done = base / "_PUBLISHED"
+    if done.exists() and spark.catalog.tableExists(tbl):
+        return tag
+    _sweep_stale(spark, key, base)
+    write_bm25_index(spark, docs, base, tbl, n_buckets)
     done.touch()
     return tag
 
@@ -111,23 +175,37 @@ def bm25_search_index(
     qterms: list[tuple[int, str]],
     k: int = 5,
     milli_sql: str | None = None,
+    base: Path | None = None,
+    tbl: str | None = None,
 ) -> DataFrame:
     """BM25 top-k against the materialized index. ``qterms`` is the
     tokenized query panel as (q_id, term) literals — request metadata,
     so the ``tok IN`` predicate is literal and the postings scan bucket-
     prunes. ``milli_sql`` is the per-term integer score expression
-    (defaults to the shared plans/retrieval.py fragment)."""
+    (defaults to the shared plans/retrieval.py fragment). ``base``/
+    ``tbl`` override the content-addressed staging (the incremental
+    query searches its pid-keyed, append-mutated index).
+
+    stats/corpus may hold per-ingest-batch PARTIALS (append_to_bm25_
+    index): df / n_docs / a_tok are summed here — a vocabulary-sized
+    aggregate feeding a broadcast, so merge-at-read costs nothing at
+    any scale and keeps the index artifact append-only."""
     if milli_sql is None:
         from distributed_query_engine_spark.plans.retrieval import _BM25_MILLI_SQL
 
         milli_sql = _BM25_MILLI_SQL.replace("//", " div ")
-    base, tag = _stage(sf_dir)
-    # Bucketed scans (and hence bucket pruning) stay enabled even when
-    # no join needs the distribution — scan-level pruning is the point.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    postings = spark.table(f"bm25_postings_{tag}")
-    stats = spark.read.parquet(str(base / "stats"))
-    corpus = spark.read.parquet(str(base / "corpus"))
+    if base is None or tbl is None:
+        base, _key, tag = _stage(sf_dir)
+        tbl = f"bm25_postings_{tag}"
+    postings = spark.table(tbl)
+    stats = (
+        spark.read.parquet(str(base / "stats"))
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+    )
+    corpus = spark.read.parquet(str(base / "corpus")).agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("a_tok").alias("a_tok")
+    )
     terms = sorted({t for _, t in qterms})
     q = spark.createDataFrame(qterms, "q_id long, tok string")
     scored = (
@@ -142,7 +220,26 @@ def bm25_search_index(
     w = Window.partitionBy("q_id").orderBy(
         F.col("score_milli").desc(), F.col("doc_id")
     )
-    return (
+    out = (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+    # Bucketed scans (and hence bucket pruning) must stay enabled even
+    # though no join needs the bucket distribution — scan-level pruning
+    # is the point. The flag is a SESSION conf, so set it only for the
+    # duration of PHYSICAL PLANNING (forced here via executedPlan —
+    # QueryExecution caches it, so later actions reuse the pruned plan)
+    # and restore the prior value in finally: leaking planner config
+    # into subsequent queries made their plans order-dependent
+    # (r12 ADVICE).
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "false")
+    try:
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
+    return out

@@ -894,7 +894,8 @@ def join_null_safe_eq(spark, sf_dir):
              row_number() OVER (PARTITION BY c.event_id ORDER BY
                 abs(epoch_us(c.ts) - epoch_us(p.ts)),
                 CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END,
-                p.ts) AS rn
+                p.ts,
+                CASE WHEN p.ts <= c.ts THEN -p.value ELSE p.value END) AS rn
       FROM c JOIN p ON p.user_id = c.user_id
        AND p.ts >= c.ts - INTERVAL 1 HOUR
        AND p.ts <= c.ts + INTERVAL 1 HOUR
@@ -925,14 +926,19 @@ def join_asof_nearest(spark, sf_dir):
         F.lit(0).alias("is_click"),
         F.col("ts").alias("p_ts"), F.col("value").alias("p_value"),
     )
+    # p_value is a deterministic FINAL tie-breaker for two purchases at
+    # the identical (user_id, ts) (r12 ADVICE): with one shared asc
+    # ordering, last() (backward) picks the max value and first()
+    # (forward) the min — the oracle mirrors that with its direction-
+    # signed CASE key. One ordering for both frames keeps a single sort.
     wb = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_click")
+        .orderBy("ts", "is_click", "p_value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_click")
+        .orderBy("ts", "is_click", "p_value")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     merged = clicks.unionByName(purchases).select(

@@ -390,3 +390,73 @@ def llm_bm25_index(spark, sf_dir):
         .collect()
     ]
     return SP.bm25_search_index(spark, sf_dir, qterms, k=_BM25_K)
+
+
+# llm_bm25_index_incremental's ingest split: documents with
+# doc_id % _BM25_NEW_MOD == _BM25_NEW_ID are the "new batch" (10% of
+# the corpus); the rest is the already-indexed corpus. The query panel
+# (_Q_IDS = 0-4) falls entirely in the existing side, so the panel's
+# qterms are identical either way — which makes "incremental ingest
+# reproduces the full-rebuild search exactly" the checkable contract.
+_BM25_NEW_MOD = 10
+_BM25_NEW_ID = 9
+
+
+@query(
+    "llm_bm25_index_incremental",
+    # Identical BM25 replay to llm_bm25_index over the FULL corpus —
+    # batch-disjoint df/n_docs/a_tok partials sum to exactly the
+    # whole-corpus stats — plus the is_new ingest-batch flag per hit.
+    oracle=f"""
+    WITH {_BM25_CTE}
+    SELECT q_id, doc_id, score_milli, rn,
+           (doc_id % {_BM25_NEW_MOD} = {_BM25_NEW_ID}) AS is_new
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rn
+      FROM bm25) WHERE rn <= {_BM25_K}
+    """,
+)
+def llm_bm25_index_incremental(spark, sf_dir):
+    """BM25 index LIFECYCLE — ingest a new document batch WITHOUT
+    rebuilding (VERDICT r12 item 2, the sparse sibling of
+    llm_similarity_ivf_incremental): build the index from the existing
+    90% of the corpus (operators/sparse.py::write_bm25_index), APPEND
+    the new 10% batch (::append_to_bm25_index — postings part-files
+    land in the same token-bucket layout; stats/corpus gain per-batch
+    partials that sum exactly), then search the updated index. The
+    is_new column marks hits served from the freshly ingested batch,
+    proving new documents are immediately searchable.
+
+    100 TB: the r12 A/B showed index search winning 2.51x/query over
+    scan-everything with crossover at ~7 queries — that arithmetic only
+    holds in production if ingest does NOT pay a corpus-sized rebuild.
+    Here each batch costs one scan of the BATCH (tokenize + two partial
+    aggs) plus bucket-layout appends; existing index files are never
+    rewritten, and query-time bucket pruning is preserved across
+    appends (plan-asserted in tests/test_retrieval.py)."""
+    import os as _os
+
+    from distributed_query_engine_spark.catalog import staging_key
+    from distributed_query_engine_spark.operators import sparse as SP
+    from distributed_query_engine_spark.streaming.ops import _pid_run_dir
+
+    d = Tables(spark, sf_dir).documents
+    is_new = F.pmod(F.col("doc_id"), F.lit(_BM25_NEW_MOD)) == _BM25_NEW_ID
+    base = _pid_run_dir("bm25_index_incr", staging_key(sf_dir))
+    key = staging_key(sf_dir).replace(".", "_").replace("-", "_")
+    tbl = f"bm25_incr_{key}_{_os.getpid()}"
+    SP.write_bm25_index(spark, d.filter(~is_new), base, tbl)
+    SP.append_to_bm25_index(spark, d.filter(is_new), base, tbl)
+    qterms = [
+        (r["q_id"], r["tok"])
+        for r in SP.tf_dl_relation(d.filter(F.col("doc_id").isin(_Q_IDS)))
+        .select(F.col("doc_id").alias("q_id"), "tok")
+        .collect()
+    ]
+    res = SP.bm25_search_index(
+        spark, sf_dir, qterms, k=_BM25_K, base=base, tbl=tbl
+    )
+    return res.withColumn(
+        "is_new", F.pmod(F.col("doc_id"), F.lit(_BM25_NEW_MOD)) == _BM25_NEW_ID
+    )

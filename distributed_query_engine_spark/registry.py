@@ -203,6 +203,18 @@ _CHANGED: dict[str, int] = {
     "llm_similarity_ivf_index": 12,
     "llm_similarity_ivfpq_index": 12,
     "llm_similarity_pq_recall_clustered": 12,
+    # r13 ADVICE fixes — all VALUE-PRESERVING on current testdata,
+    # locally re-verified oracle-exact at sf0.01 (driver_sim):
+    # join_asof_nearest gained a deterministic p_value tie-breaker in
+    # BOTH window orderings and the oracle's ORDER BY (no duplicate
+    # (user_id, ts) purchase pairs exist today, so results unchanged);
+    # graph_shortest_paths dedups the landmark seed set (already
+    # distinct today); llm_bm25_index now restores the autoBucketedScan
+    # planner flag after forcing the pruned physical plan (plan-lifecycle
+    # change only) and the read path no longer sweeps staging dirs.
+    "join_asof_nearest": 13,
+    "graph_shortest_paths": 13,
+    "llm_bm25_index": 13,
 }
 
 # Checked first within the unverified group (ordering hint only — a

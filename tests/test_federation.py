@@ -392,3 +392,86 @@ def test_user_scoped_registry_resolves_to_live_per_user_derby(spark, tmp_path):
     # the frozen empty view for an unknown user cannot reach either db
     with pytest.raises(KeyError):
         FED.federated_scan(spark, users.for_user("carol"), "wh", "ITEMS")
+
+
+@pytest.mark.parametrize(
+    "url,flavor,q,expected",
+    [
+        # ANSI family (Postgres / Oracle / Derby): embedded double
+        # quotes double, backticks pass through literally.
+        ("jdbc:postgresql://h:5432/d", None, 'we"ird', '"we""ird"'),
+        ("jdbc:postgresql://h:5432/d", None, "with`tick", '"with`tick"'),
+        ("jdbc:oracle:thin:@h:1521/X", None, 'a"b"c', '"a""b""c"'),
+        ("jdbc:derby:/tmp/x", None, 'we"ird', '"we""ird"'),
+        # backtick family (Hive / MySQL / Spark-Thrift): embedded
+        # backticks double, double quotes pass through literally.
+        ("jdbc:hive2://h:10000/d", None, "we`ird", "`we``ird`"),
+        ("jdbc:mysql://h:3306/d", None, "we`ird", "`we``ird`"),
+        ("jdbc:mysql://h:3306/d", None, 'with"quote', '`with"quote`'),
+        ("jdbc:hive2://h:10000/d", "spark", "we`ird", "`we``ird`"),
+    ],
+)
+def test_identifier_quoting_edge_cases_per_vendor(url, flavor, q, expected):
+    """VERDICT r12 item 4: the exact surface the reference hand-rolls at
+    diff:58-66 — embedded quote characters must DOUBLE inside the
+    vendor's own quote style and pass through literally inside the
+    other style, so a hostile/unlucky identifier can never break out of
+    its quoting."""
+    assert FED.dialect_for(url, flavor=flavor).quote(q) == expected
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        (
+            "jdbc:postgresql://h:5432/d",
+            'SELECT "select", "order" FROM "public"."group" '
+            "WHERE (x > 1) AND (y < 2) "
+            'ORDER BY "order" OFFSET 4 ROWS FETCH NEXT 2 ROWS ONLY',
+        ),
+        (
+            "jdbc:oracle:thin:@h:1521/X",
+            'SELECT "select", "order" FROM "public"."group" '
+            "WHERE (x > 1) AND (y < 2) "
+            'ORDER BY "order" OFFSET 4 ROWS FETCH NEXT 2 ROWS ONLY',
+        ),
+        (
+            "jdbc:mysql://h:3306/d",
+            "SELECT `select`, `order` FROM `public`.`group` "
+            "WHERE (x > 1) AND (y < 2) "
+            "ORDER BY `order` LIMIT 4, 2",
+        ),
+        (
+            "jdbc:hive2://h:10000/d",
+            "SELECT `select`, `order` FROM `public`.`group` "
+            "WHERE (x > 1) AND (y < 2) "
+            "ORDER BY `order` LIMIT 4, 2",
+        ),
+    ],
+)
+def test_select_sql_golden_reserved_words_per_vendor(url, expected):
+    """Reserved words used as schema/table/column names must come out
+    quoted in every clause (SELECT list, FROM target, ORDER BY), with
+    the vendor's full paging grammar appended — one golden string per
+    vendor so any quoting/paging regression diffs loudly."""
+    sql = FED.dialect_for(url).select_sql(
+        "group",
+        columns=["select", "order"],
+        predicates=["x > 1", "y < 2"],
+        schema="public",
+        limit=2,
+        offset=4,
+        order_by=["order"],
+    )
+    assert sql == expected
+
+
+def test_select_sql_spark_flavor_golden():
+    sql = FED.dialect_for("jdbc:hive2://h:10000/d", flavor="spark").select_sql(
+        "group", columns=["select"], schema="public", limit=2, offset=4,
+        order_by=["order"],
+    )
+    assert sql == (
+        "SELECT `select` FROM `public`.`group` "
+        "ORDER BY `order` LIMIT 2 OFFSET 4"
+    )

@@ -1446,3 +1446,95 @@ def test_frame_fingerprints_match_arithmetic(spark, sf_dir):
             for p in range(M.VID_W * M.VID_H)
         )
         assert r["fhash"] == expect, r
+
+
+def test_asof_nearest_duplicate_ts_deterministic_and_oracle_exact(spark, tmp_path):
+    """r12 ADVICE (relational.py join_asof_nearest): two purchases at
+    the IDENTICAL (user_id, ts) previously resolved nondeterministically
+    in both engine and oracle. With the p_value tie-breaker, the engine
+    must pick max-value backward / min-value forward, and the oracle's
+    direction-signed CASE key must replay the same choice."""
+    import duckdb
+    import pandas as pd
+
+    from distributed_query_engine_spark.registry import _ORACLES, _QUERIES
+    import distributed_query_engine_spark.plans  # noqa: F401
+
+    t0 = pd.Timestamp("2024-06-01 12:00:00")
+    m = pd.Timedelta(minutes=10)
+    rows = [
+        # user 1: duplicate-ts purchases BEHIND the click -> backward max (9.0)
+        (1, t0, 1, "click", None, None),
+        (101, t0 - m, 1, "purchase", 5.0, None),
+        (102, t0 - m, 1, "purchase", 9.0, None),
+        # user 2: duplicate-ts purchases AHEAD of the click -> forward min (5.0)
+        (2, t0, 2, "click", None, None),
+        (201, t0 + m, 2, "purchase", 5.0, None),
+        (202, t0 + m, 2, "purchase", 9.0, None),
+        # user 3: equal |delta| both sides -> backward-first convention (3.0)
+        (3, t0, 3, "click", None, None),
+        (301, t0 - m, 3, "purchase", 3.0, None),
+        (302, t0 + m, 3, "purchase", 7.0, None),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["props"] = pdf["props"].astype("string")
+    pdf.to_parquet(tmp_path / "events.parquet")
+
+    got = {
+        r["event_id"]: r["purchase_value"]
+        for r in _QUERIES["join_asof_nearest"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 9.0, 2: 5.0, 3: 3.0}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = {
+        r[0]: r[4] for r in con.execute(_ORACLES["join_asof_nearest"]).fetchall()
+    }
+    con.close()
+    assert oracle == got
+
+
+def test_knn_graph_degree_bounded_and_directed(spark, sf_dir):
+    from distributed_query_engine_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = 3
+    edges = S.knn_graph(e, g=g).collect()
+    assert edges
+    from collections import Counter
+
+    deg = Counter(r.src_id for r in edges)
+    assert max(deg.values()) <= g
+    for r in edges:
+        assert r.src_id != r.dst_id
+    # no duplicate directed edge survives the two-grouping union
+    assert len({(r.src_id, r.dst_id) for r in edges}) == len(edges)
+
+
+def test_graph_refine_recall_dominates_plain_ivf(spark, sf_dir):
+    """Provable invariant, not a data accident: IVF's top-5 is a subset
+    of the refinement's candidate set (seeds = IVF top-10), and the
+    rerank uses the SAME exact cosine — so a true top-5 neighbor found
+    by IVF can only be displaced by another true top-5 neighbor. Graph
+    recall must therefore dominate per query."""
+    from distributed_query_engine_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    panel = list(range(10))
+    k = 5
+    exact = {(r.q_id, r.vec_id) for r in S.topk_cosine(e, panel, k=k).collect()}
+    ivf = {(r.q_id, r.vec_id) for r in S.topk_cosine_ivf(e, panel, k=k).collect()}
+    ref = {
+        (r.q_id, r.vec_id)
+        for r in S.topk_cosine_ivf_graph(e, panel, k=k).collect()
+    }
+    for q in panel:
+        ivf_hits = sum(1 for p in ivf & exact if p[0] == q)
+        ref_hits = sum(1 for p in ref & exact if p[0] == q)
+        assert ref_hits >= ivf_hits, (q, ivf_hits, ref_hits)

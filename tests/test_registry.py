@@ -202,3 +202,24 @@ def test_changed_stamp_invalidates_old_green_rows(monkeypatch):
     assert order == [other, target], (
         "post-stamp green row must demote the query again"
     )
+
+
+def test_stalest_rows_fit_inside_driver_window():
+    """VERDICT r12 item 1: no query's latest driver row should be
+    allowed to age out indefinitely. The driver samples ~50 names per
+    round in all_queries() order, so every name whose latest counting
+    row is >=6 rounds old (or re-fronted by a _CHANGED stamp) MUST sit
+    inside the first 50 positions — if this fails, this round added too
+    many new/changed queries and displaced the stale-refresh cohort."""
+    names = list(registry.all_queries())
+    rows = registry._latest_driver_rows()
+    latest = max((rnd for rnd, _ in rows.values()), default=0)
+    window = set(names[:50])
+    stale = [
+        n
+        for n in names
+        if registry._verified_green(n, rows)
+        and rows.get(n, (0, None))[0] <= latest - 6
+    ]
+    out = [n for n in stale if n not in window]
+    assert not out, f"stale-green queries displaced from driver window: {out}"

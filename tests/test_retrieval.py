@@ -174,7 +174,7 @@ def test_bm25_index_fingerprint_skip_and_stale_sweep(spark, sf_dir, tmp_path):
     d.toPandas().to_parquet(src / "documents.parquet")
     docs = spark.read.parquet(str(src / "documents.parquet"))
     tag1 = SP.build_bm25_index(spark, docs, str(src))
-    base1, _ = SP._stage(str(src))
+    base1, _, _ = SP._stage(str(src))
     marker = base1 / "_PUBLISHED"
     mtime1 = marker.stat().st_mtime_ns
     assert SP.build_bm25_index(spark, docs, str(src)) == tag1
@@ -185,8 +185,97 @@ def test_bm25_index_fingerprint_skip_and_stale_sweep(spark, sf_dir, tmp_path):
     tag2 = SP.build_bm25_index(spark, docs2, str(src))
     assert tag2 != tag1
     assert not base1.exists()
-    base2, _ = SP._stage(str(src))
+    # r13: the sweep also DROPs the stale catalog entry, so no table can
+    # dangle on a deleted path (r12 ADVICE)
+    assert not spark.catalog.tableExists(f"bm25_postings_{tag1}")
+    base2, _, _ = SP._stage(str(src))
     assert (base2 / "_PUBLISHED").exists()
     shutil.rmtree(base2, ignore_errors=True)
     spark.sql(f"DROP TABLE IF EXISTS bm25_postings_{tag1}")
     spark.sql(f"DROP TABLE IF EXISTS bm25_postings_{tag2}")
+
+
+def test_bm25_search_restores_planner_conf(spark, sf_dir):
+    """r12 ADVICE: bm25_search_index must not leak the
+    autoBucketedScan planner flag into the shared session — the pruned
+    physical plan is forced (and cached on QueryExecution) while the
+    flag is set, then the prior value is restored."""
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior = spark.conf.get(key)
+    df = _q("llm_bm25_index", spark, sf_dir)
+    assert spark.conf.get(key) == prior
+    # the cached physical plan still bucket-prunes after the restore
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan
+    assert df.count() > 0
+
+
+def test_bm25_incremental_matches_full_rebuild(spark, sf_dir):
+    # Incremental-ingest contract: search over the append-mutated index
+    # == search over the one-shot full build, bit-identical (modulo the
+    # is_new ingest-batch flag).
+    incr = sorted(
+        (r.q_id, r.doc_id, r.score_milli, r.rn)
+        for r in _q("llm_bm25_index_incremental", spark, sf_dir).collect()
+    )
+    full = sorted(
+        tuple(r) for r in _q("llm_bm25_index", spark, sf_dir).collect()
+    )
+    assert incr == full
+
+
+def test_bm25_incremental_scan_still_bucket_prunes(spark, sf_dir):
+    # Appended part-files land in the SAME token-bucket layout, so the
+    # postings scan keeps pruning to the query terms' buckets.
+    import re
+
+    plan = _plan(_q("llm_bm25_index_incremental", spark, sf_dir))
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) <= int(m.group(2))
+
+
+def test_bm25_append_is_batch_only_and_appends_partials(spark, sf_dir, tmp_path):
+    # append_to_bm25_index must never rewrite existing index files
+    # (ingest cost is the BATCH scan only), and stats/corpus gain
+    # per-batch partial files whose SUM equals the full-corpus stats.
+    from distributed_query_engine_spark.operators import sparse as SP
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    old, new = d.filter("doc_id % 3 != 0"), d.filter("doc_id % 3 = 0")
+    base, tbl = tmp_path / "idx", "bm25_incr_unit_test"
+    try:
+        SP.write_bm25_index(spark, old, base, tbl)
+        before = {
+            p: p.stat().st_mtime_ns for p in (base / "postings").rglob("*.parquet")
+        }
+        SP.append_to_bm25_index(spark, new, base, tbl)
+        after = {
+            p: p.stat().st_mtime_ns for p in (base / "postings").rglob("*.parquet")
+        }
+        for p, m in before.items():
+            assert after[p] == m, f"existing index file rewritten: {p}"
+        assert len(after) > len(before)
+        # summed partials == full-corpus stats
+        from pyspark.sql import functions as F
+
+        got = (
+            spark.read.parquet(str(base / "corpus"))
+            .agg(F.sum("n_docs"), F.sum("a_tok"))
+            .first()
+        )
+        rel = SP.tf_dl_relation(d)
+        want = rel.agg(
+            F.countDistinct("doc_id"), F.sum("tf")
+        ).first()
+        assert tuple(got) == tuple(want)
+        merged_df = (
+            spark.read.parquet(str(base / "stats"))
+            .groupBy("tok").agg(F.sum("df").alias("df"))
+        )
+        full_df = rel.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        assert sorted(map(tuple, merged_df.collect())) == sorted(
+            map(tuple, full_df.collect())
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
