@@ -607,3 +607,39 @@ def stream_stream_anti_join(spark, sf_dir):
     return ops.run_to_memory(
         ops.anti_join_unconverted_clicks(ev), "mem_anti_join", "append"
     )
+
+
+@query(
+    "stream_mv_refresh",
+    # The maintained MV holds every (hour window, event_type) group's
+    # complete aggregate over the NON-straggler rows: update mode
+    # upserts open and closed windows alike (no append-mode HAVING),
+    # while the straggler batch's rows land in watermark-closed windows
+    # and are dropped before they can dirty the view — so the oracle is
+    # the full recompute over the kept rows, with no emission clause.
+    oracle=lambda: f"""
+    WITH kept AS (
+      SELECT * FROM events
+      WHERE NOT (ts < TIMESTAMP '{ops.STRAGGLER_CUTOFF}'
+                 AND event_id % {ops.STRAGGLER_MOD} = 0)
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM kept
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_mv_refresh(spark, sf_dir):
+    """STREAMING MV MAINTENANCE (the streaming sibling of
+    mv_incremental_refresh): watermarked UPDATE-mode windowed aggregate
+    whose foreachBatch body MERGEs each batch's updated rows into a
+    persistent MV table — key upsert, exactly-once via checkpoint +
+    idempotent per-batch-id generational writes. The straggler batch
+    proves the watermark's maintenance role: late rows past the SLA are
+    dropped from state and never regress the published view
+    (streaming/ops.stream_mv_refresh has the full mechanics)."""
+    return ops.stream_mv_refresh(spark, sf_dir)

@@ -1079,3 +1079,90 @@ def anti_join_unconverted_clicks(events: DataFrame) -> DataFrame:
     return joined.filter(F.col("purchase_ts").isNull()).select(
         "click_id", "user_id", "click_ts"
     )
+
+
+def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATERIALIZED-VIEW MAINTENANCE (VERDICT r12 item 8) —
+    the streaming sibling of plans/analytic.py::mv_incremental_refresh:
+    a watermarked UPDATE-mode windowed aggregate whose ``foreachBatch``
+    body MERGEs each batch's updated rows into a persistent MV table,
+    exactly-once via the checkpoint + idempotent generational writes.
+
+    Mechanics per micro-batch (deterministic 3-slice straggler staging,
+    same as stream_late_data_drops): update mode hands the body the
+    COMPLETE new aggregate row for every (window, event_type) key the
+    batch touched — Spark's state store is the delta computer — and the
+    MERGE is a key upsert: previous MV rows whose key was not updated
+    carry over (left_anti), updated keys take the new row. Each batch
+    writes the full merged MV to ``gen=<batch_id>`` with overwrite: a
+    replayed batch (restart between sink write and checkpoint commit —
+    the classic at-least-once window of foreachBatch) recomputes the
+    SAME generation from the SAME predecessor gens (strictly < its
+    batch_id), so retries are idempotent and the final MV is
+    exactly-once. The straggler batch demonstrates the watermark's role
+    IN MAINTENANCE: its rows land in windows the watermark already
+    closed, are dropped from the aggregate state, and therefore never
+    dirty the MV — late data past the SLA cannot regress a published
+    view.
+
+    100 TB: per batch the work is |batch| (agg delta) + |updated keys|
+    (MERGE); the MV is never recomputed from the base stream. The
+    generational full-copy is the local-parquet stand-in for a sink
+    with native row upserts (Delta/Iceberg MERGE INTO, a key-value
+    store); the update-rows + idempotence contract is identical."""
+    d = _stage_events_stragglers(spark, sf_dir)
+    ev = _events_stream(spark, str(d / "flat"), "us", maxFilesPerTrigger="1")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "value_cents",
+        )
+    )
+    name = "mv_refresh"
+    run_key = f"{name}-{_staging_key(sf_dir)}"
+    mv_dir = _pid_run_dir("mv_state", run_key)
+    ckpt = _pid_run_dir("checkpoints", run_key)
+    keys = ["window_start", "event_type"]
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        prev_gens = sorted(
+            int(p.name.split("=", 1)[1])
+            for p in Path(mv_dir).glob("gen=*")
+            if int(p.name.split("=", 1)[1]) < batch_id
+        )
+        merged = batch_df
+        if prev_gens:
+            prev = spark.read.parquet(str(Path(mv_dir) / f"gen={prev_gens[-1]}"))
+            carried = prev.join(batch_df.select(*keys), keys, "left_anti")
+            merged = carried.unionByName(batch_df)
+        merged.write.mode("overwrite").parquet(
+            str(Path(mv_dir) / f"gen={batch_id}")
+        )
+
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(merge)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    LAST_RUN_BATCHES[name] = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    gens = sorted(
+        int(p.name.split("=", 1)[1]) for p in Path(mv_dir).glob("gen=*")
+    )
+    return spark.read.parquet(str(Path(mv_dir) / f"gen={gens[-1]}"))

@@ -1538,3 +1538,45 @@ def test_graph_refine_recall_dominates_plain_ivf(spark, sf_dir):
         ivf_hits = sum(1 for p in ivf & exact if p[0] == q)
         ref_hits = sum(1 for p in ref & exact if p[0] == q)
         assert ref_hits >= ivf_hits, (q, ivf_hits, ref_hits)
+
+
+def test_stream_mv_refresh_multibatch_merge_and_drop(spark, sf_dir):
+    """stream_mv_refresh must (1) actually run multi-batch (3 staged
+    slices -> 3 data batches), (2) persist a generation per data batch
+    whose row set GROWS monotonically under key-upsert merge, and
+    (3) keep the straggler batch's late rows out of the final MV."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.registry import all_queries
+    from distributed_query_engine_spark.streaming import ops
+
+    mv = all_queries()["stream_mv_refresh"](spark, sf_dir)
+    assert ops.LAST_RUN_BATCHES.get("mv_refresh") == 3
+    run_key = f"mv_refresh-{ops._staging_key(sf_dir)}"
+    import os
+
+    mv_dir = ops._TMP / "mv_state" / f"{run_key}-{os.getpid()}"
+    gens = sorted(
+        int(p.name.split("=", 1)[1]) for p in Path(mv_dir).glob("gen=*")
+    )
+    assert len(gens) >= 3
+    sizes = [
+        spark.read.parquet(str(mv_dir / f"gen={g}")).count() for g in gens
+    ]
+    assert sizes == sorted(sizes), sizes  # upsert never loses a key
+    # straggler batch (batch id 2 — slices are bulk/tick/stragglers in
+    # mtime order; a trailing no-data batch may add gen 3) contributed
+    # NOTHING: its generation equals the tick batch's as a row set
+    last, prev = (
+        spark.read.parquet(str(mv_dir / f"gen={gens[2]}")),
+        spark.read.parquet(str(mv_dir / f"gen={gens[1]}")),
+    )
+    assert sorted(map(tuple, last.collect())) == sorted(
+        map(tuple, prev.collect())
+    )
+    # and the final MV counts strictly fewer rows than a no-drop rerun
+    total = mv.agg(F.sum("cnt")).first()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert total < ev.count()
