@@ -60,13 +60,31 @@ BENCH_QUERIES = [
 _POST_BASELINE_LINES = {"llm_similarity_ivfpq", "stream_ingest_dedup"}
 
 
-def run_once(fn, spark, sf_dir) -> float:
+# Multi-batch STREAMING lines: walltime carries micro-batch scheduling
+# and checkpoint-commit idle gaps on top of the actual work — measured
+# +-20% run-to-run at sf0.1 (BASELINE.md r12), which blinded regression
+# detection on the heaviest line. For these, the timing is the sum of
+# per-batch triggerExecution durations reported by the engine
+# (ops.LAST_RUN_EXEC_MS) — the deterministic work component; the
+# protocol change and its measured band are documented in BASELINE.md
+# r13. Maps bench name -> ops sink name.
+_EXEC_MS_LINES = {"stream_ingest_dedup": "ingest_dedup"}
+
+
+def run_once(fn, spark, sf_dir, name: str | None = None) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     # Force full execution without shipping the whole result to the driver.
     n = df.count()
     assert n >= 0
-    return time.perf_counter() - t0
+    wall = time.perf_counter() - t0
+    if name in _EXEC_MS_LINES:
+        from distributed_query_engine_spark.streaming import ops
+
+        exec_ms = ops.LAST_RUN_EXEC_MS.get(_EXEC_MS_LINES[name])
+        if exec_ms:
+            return exec_ms / 1000.0
+    return wall
 
 
 def main() -> None:
@@ -82,8 +100,10 @@ def main() -> None:
         # BEFORE the runs so an abort's last line names the query that
         # died, and again after with its timing
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
-        run_once(fn, spark, sf_dir)  # discarded warm-up
-        timings[name] = round(statistics.median(run_once(fn, spark, sf_dir) for _ in range(3)), 4)
+        run_once(fn, spark, sf_dir, name)  # discarded warm-up
+        timings[name] = round(
+            statistics.median(run_once(fn, spark, sf_dir, name) for _ in range(3)), 4
+        )
         print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
     total = round(sum(timings.values()), 4)
     print(

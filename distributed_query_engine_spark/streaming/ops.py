@@ -227,6 +227,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the query's return contract (a DataFrame).
 LAST_RUN_BATCHES: dict[str, int] = {}
 
+# Sum of per-batch triggerExecution durations (ms) for the last run,
+# per sink name: the DETERMINISTIC work component of a multi-batch
+# streaming run. Wall time additionally carries micro-batch scheduling
+# and checkpoint-commit idle gaps, which made the stream_ingest_dedup
+# bench line a +-20% noise band (VERDICT r12 item 5) — the bench
+# referees this metric instead (BASELINE.md r13 documents the band).
+LAST_RUN_EXEC_MS: dict[str, float] = {}
+
 # Total numRowsDroppedByWatermark across the last run's progress events,
 # per sink name — lets tests assert the watermark REALLY discarded rows
 # (the metric, not just a smaller emitted set).
@@ -268,8 +276,37 @@ def _state_partitions(spark: SparkSession, n: int = 0):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+# Whether the last run_to_memory call for a sink name took the
+# flush-retry path (diagnosis surface for tests/logs).
+LAST_RUN_RETRIED: dict[str, bool] = {}
+
+
+def _needs_flush_retry(progress: list, output_mode: str) -> bool:
+    """True when an AvailableNow run's progress log proves it stopped
+    BEFORE the final no-data batch a watermarked stateful query needs:
+    state operators present, an event-time watermark being tracked, yet
+    no zero-input batch ran. In append mode such a run WITHHOLDS every
+    watermark-gated emission (the anti join's entire output rides that
+    batch — observed once as 0 of 589 410 rows in the r13 sf3 sweep
+    under heavy box load). A resume can't help: a restarted AvailableNow
+    query with no new data never executes a batch (verified — the
+    no-data batch is only triggered by a batch executed in the SAME
+    run), so the remedy is one rerun from a fresh checkpoint.
+    Complete mode needs no guard (every batch re-emits full state);
+    non-watermarked stateful queries (plain dropDuplicates) legitimately
+    end without a no-data batch and must not retry."""
+    stateful = any(p.get("stateOperators") for p in progress)
+    watermarked = any(
+        (p.get("eventTime") or {}).get("watermark") for p in progress
+    )
+    ran_nodata = any(p["numInputRows"] == 0 for p in progress)
+    return (
+        stateful and watermarked and not ran_nodata and output_mode != "complete"
+    )
+
+
 def run_to_memory(
-    result: DataFrame, name: str, output_mode: str
+    result: DataFrame, name: str, output_mode: str, _retry: bool = True
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into a
     memory sink and return the sink table. Fresh checkpoint per run so
@@ -278,7 +315,14 @@ def run_to_memory(
     (test suite next to the grading driver) must not rmtree this one's
     live checkpoint or serve it foreign state — consumers that read the
     checkpoint back (stream_state_store_read) take the exact path from
-    LAST_RUN_CKPT instead of reconstructing it."""
+    LAST_RUN_CKPT instead of reconstructing it.
+
+    FLUSH GUARD (r13): when :func:`_needs_flush_retry` proves the run
+    stopped before its final no-data batch (a load-dependent
+    AvailableNow race that withholds every watermark-gated emission),
+    rerun ONCE from a fresh checkpoint — a fresh deterministic run is
+    the only reliable remedy, since a checkpoint resume with no new
+    data executes no batch at all."""
     spark = result.sparkSession
     ckpt = _pid_run_dir("checkpoints", name)
     LAST_RUN_CKPT[name] = str(ckpt)
@@ -292,12 +336,18 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+    progress = list(q.recentProgress)
+    LAST_RUN_RETRIED[name] = False
+    if _retry and _needs_flush_retry(progress, output_mode):
+        out = run_to_memory(result, name, output_mode, _retry=False)
+        LAST_RUN_RETRIED[name] = True
+        return out
     LAST_RUN_BATCHES[name] = len(
-        [p for p in q.recentProgress if p["numInputRows"] > 0]
+        [p for p in progress if p["numInputRows"] > 0]
     )
     LAST_RUN_DROPPED[name] = sum(
         op.get("numRowsDroppedByWatermark", 0)
-        for p in q.recentProgress
+        for p in progress
         for op in p.get("stateOperators", [])
     )
     return spark.table(name)
@@ -476,6 +526,9 @@ def stream_ingest_dedup(
     q.awaitTermination()
     LAST_RUN_BATCHES[name] = len(
         [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    LAST_RUN_EXEC_MS[name] = float(
+        sum(p["durationMs"].get("triggerExecution", 0) for p in q.recentProgress)
     )
     return spark.read.parquet(str(sink))
 

@@ -7,7 +7,10 @@ corpus (scored-pairs dedup, all-pairs recall, recursive CC walks).
 This is the sweep that caught the r7 int64-overflow /
 decimal-cast-rounding / recursion-row-limit scale bugs (BASELINE.md).
 
-Usage: python scripts/verify_at_scale.py [SF_DIR]
+Usage: python scripts/verify_at_scale.py [SF_DIR] [name ...]
+Optional trailing names restrict the sweep to that subset (the r13
+"newest surfaces at sf3" slice — each 10x step has found a new
+structural bug class, so new families get a 30x check of their own).
 """
 import sys
 from pathlib import Path
@@ -32,6 +35,12 @@ con.execute(f"SET temp_directory='{_spill}'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 qs, os_ = E.queries(), E.oracle_sql()
+ONLY = set(sys.argv[2:])
+if ONLY:
+    unknown = ONLY - set(qs)
+    if unknown:
+        raise SystemExit(f"unknown query names: {sorted(unknown)}")
+    qs = {n: qs[n] for n in ONLY}
 SKIP = {
  "llm_dedup_minhash","llm_dedup_minhash_dict","llm_dedup_simhash",
  "llm_dedup_simhash_multiband","llm_dedup_containment","llm_dedup_ngram",

@@ -1580,3 +1580,58 @@ def test_stream_mv_refresh_multibatch_merge_and_drop(spark, sf_dir):
     total = mv.agg(F.sum("cnt")).first()[0]
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert total < ev.count()
+
+
+def test_flush_retry_guard_detects_withheld_stateful_output(spark, sf_dir):
+    """r13 sf3-sweep regression: an AvailableNow run that stops BEFORE
+    the final no-data batch withholds every watermark-gated emission
+    (the anti join's entire output rides that batch). The guard must
+    (a) detect that progress shape, (b) NOT fire on healthy runs or on
+    legitimately flush-free ones (complete mode; stateful-but-
+    unwatermarked dedup), and (c) when fired, rerun once from a fresh
+    checkpoint — proven end-to-end by reproducing the anomaly with
+    no-data micro-batches disabled and observing the retry."""
+    from distributed_query_engine_spark.streaming import ops
+
+    # healthy run: no retry, full output
+    healthy = ops.run_to_memory(
+        ops.anti_join_unconverted_clicks(ops.read_events_stream(spark, sf_dir)),
+        "mem_anti_healthy",
+        "append",
+    )
+    assert healthy.count() > 0
+    assert ops.LAST_RUN_RETRIED["mem_anti_healthy"] is False
+
+    # detector unit: the anomaly's exact progress shape fires; healthy /
+    # unwatermarked / complete-mode shapes do not
+    wm = {"watermark": "2024-01-30T23:47:12.194Z"}
+    data = {"numInputRows": 100, "stateOperators": [{}], "eventTime": wm}
+    nodata = {"numInputRows": 0, "stateOperators": [{}], "eventTime": wm}
+    plain_dedup = {"numInputRows": 100, "stateOperators": [{}], "eventTime": {}}
+    stateless = {"numInputRows": 100, "stateOperators": [], "eventTime": {}}
+    assert ops._needs_flush_retry([data], "append") is True
+    assert ops._needs_flush_retry([data, nodata], "append") is False
+    assert ops._needs_flush_retry([data], "complete") is False
+    assert ops._needs_flush_retry([plain_dedup], "append") is False
+    assert ops._needs_flush_retry([stateless], "append") is False
+
+    # end-to-end: disabling no-data micro-batches reproduces the
+    # withheld-output anomaly deterministically; the guard must detect
+    # it and take the one-shot retry path (the retry inherits the
+    # disabled conf here, so output stays withheld — the assertion is
+    # that the guard FIRED and the run stays bounded at one retry).
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prior = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        res = ops.run_to_memory(
+            ops.anti_join_unconverted_clicks(
+                ops.read_events_stream(spark, sf_dir)
+            ),
+            "mem_anti_withheld",
+            "append",
+        )
+        assert ops.LAST_RUN_RETRIED["mem_anti_withheld"] is True
+        assert res.count() == 0  # both runs withheld under the conf
+    finally:
+        spark.conf.set(key, prior)
