@@ -2006,3 +2006,98 @@ def ivf_graph_scored(
         emb, query_ids, k=None, n_probe=n_probe, seeds=seeds, g=g,
         n_cells=n_cells, n_planes=n_planes,
     )
+
+
+def build_graph_index(
+    emb: DataFrame,
+    index_path: str,
+    g: int = KNN_G,
+    n_cells: int | None = N_CELLS,
+    n_planes: int = N_PLANES,
+    strategy: str = "lowest_id",
+    lloyd_iters: int = 0,
+) -> None:
+    """Materialize the graph-refinement index — the production artifact
+    for :func:`topk_cosine_ivf_graph`'s search: ``centroids/`` +
+    ``assignments/`` (cell-partitioned, byte-identical layout to
+    :func:`build_ivf_index`) plus ``edges/`` (the bounded-degree
+    (src_id, dst_id) kNN graph, corpus x g rows). The graph build is
+    the expensive stage (two salted within-group self-joins) — exactly
+    what build-once/search-many amortizes; searches then pay index
+    reads only."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    if n_cells is None:
+        n_cells = suggest_n_cells(base.count())
+    cents = ivf_centroids(base, n_cells, strategy=strategy, lloyd_iters=lloyd_iters)
+    assigned = _assign_to(base, cents)
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{index_path}/assignments"
+    )
+    knn_graph(
+        emb, g=g, n_cells=n_cells, n_planes=n_planes,
+        strategy=strategy, lloyd_iters=lloyd_iters,
+    ).select("src_id", "dst_id").write.mode("overwrite").parquet(
+        f"{index_path}/edges"
+    )
+
+
+def topk_cosine_graph_index(
+    spark,
+    index_path: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = N_PROBE,
+    seeds: int = GRAPH_SEEDS,
+) -> DataFrame:
+    """Graph-refined ANN search against a :func:`build_graph_index`
+    artifact — identical results to :func:`topk_cosine_ivf_graph` for
+    the same corpus and knobs (the index stores exactly the relations
+    that function derives). Query vectors resolve from the assignment
+    relation (index lookups); the probe stage partition-prunes the
+    cell-partitioned assignments; the expansion joins the broadcast
+    seed set against the bounded edge relation; the rerank joins the
+    candidate ids back to the index for their vectors. Nothing touches
+    the embeddings table."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    assigned = spark.read.parquet(f"{index_path}/assignments").withColumn(
+        "cell_id", F.col("cell_id").cast("long")
+    )
+    edges = spark.read.parquet(f"{index_path}/edges")
+    cand = _ivf_search(cents, assigned, query_ids, None, n_probe)
+    sw = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    seed_rel = (
+        cand.withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= seeds)
+        .select("q_id", "vec_id")
+    )
+    expanded = seed_rel.join(
+        edges, seed_rel["vec_id"] == edges["src_id"]
+    ).select("q_id", F.col("dst_id").alias("vec_id"))
+    allc = seed_rel.unionByName(expanded).distinct()
+    base = assigned.select("vec_id", "ivec", "nsq")
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ivec").alias("q_ivec"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    scored = (
+        allc.join(base, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_from_ints(
+                dot_long(F.col("q_ivec"), F.col("ivec")),
+                F.col("q_nsq"),
+                F.col("nsq"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )

@@ -5420,3 +5420,40 @@ def llm_similarity_graph_recall(spark, sf_dir):
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@query(
+    "llm_similarity_graph_index",
+    # Identical replay to llm_similarity_graph_refine: the index stores
+    # exactly the relations that query derives, so search-from-index is
+    # bit-identical — the build-once/search-many contract, third time
+    # (IVF, BM25, now the graph rung).
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    {_LSH_BUCKET_CTES},
+    {_graph_ctes("0,1,2,3,4", S.GRAPH_SEEDS, S.KNN_G)}
+    SELECT q_id, vec_id, cosine, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM g_rer) WHERE rn <= 5
+    """,
+)
+def llm_similarity_graph_index(spark, sf_dir):
+    """Graph-refined ANN against a PERSISTED index artifact
+    (operators/similarity.py::build_graph_index /
+    topk_cosine_graph_index): centroids + cell-partitioned assignments
+    + the bounded-degree edge relation materialized once
+    (content-addressed, atomically published — fingerprint hit skips
+    the build), then searched without touching the embeddings table.
+    The graph build's two salted self-joins are the expensive stage;
+    amortizing them across queries is what makes the refinement rung
+    production-viable — same build-once/search-many economics the BM25
+    index measured at 2.51x/query (BASELINE.md r12)."""
+    e = Tables(spark, sf_dir).embeddings
+    index = _content_addressed_index(
+        sf_dir,
+        "graph_index",
+        f"graph:{S.KNN_G}:{S.N_CELLS}:{S.N_PLANES}:lowest_id:0",
+        lambda p: S.build_graph_index(e, p),
+    )
+    return S.topk_cosine_graph_index(spark, index, _QUERY_IDS, k=5)

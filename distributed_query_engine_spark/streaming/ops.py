@@ -120,7 +120,12 @@ def _source_fingerprint(src: Path) -> str:
     """Content fingerprint of a parquet source file/dir: (path, mtime_ns,
     size) per data file. Regenerating the parquet changes mtime/size, so
     staged derivatives keyed on this string self-invalidate (ADVICE r3:
-    a basename-keyed marker never noticed a rewritten source)."""
+    a basename-keyed marker never noticed a rewritten source). Paths are
+    RESOLVED first (r13): staging_key already resolves, so a relative
+    and an absolute spelling of the same sf_dir share one staging dir —
+    an unresolved fingerprint made them thrash each other's ``_STAGED``
+    marker and restage on every alternation."""
+    src = src.resolve()
     files = sorted(src.rglob("*")) if src.is_dir() else [src]
     parts = []
     for f in files:
@@ -212,8 +217,18 @@ def _stage_dir(sf_dir: str) -> str:
     if not marker.exists() or marker.read_text() != fp:
         shutil.rmtree(d, ignore_errors=True)
         d.mkdir(parents=True, exist_ok=True)
-        (d / "events.parquet").symlink_to(src)
+        # RESOLVED target (r13 sf3-sweep root cause): a relative sf_dir
+        # used to produce a relative symlink TARGET, which the OS
+        # resolves against the SYMLINK'S directory — a broken link the
+        # file stream source read as silently-zero rows (the anti join
+        # "emitted" 0 of 589 410 rows with no error anywhere).
+        (d / "events.parquet").symlink_to(src.resolve())
         marker.write_text(fp)
+    link = d / "events.parquet"
+    if not link.exists():  # exists() follows the link — loud, not 0 rows
+        raise FileNotFoundError(
+            f"staged events symlink is broken: {link} -> {os.readlink(link)}"
+        )
     return str(d)
 
 

@@ -50,6 +50,15 @@ SKIP = {
  "llm_dedup_minhash_recall",
  "llm_dedup_signature_store","llm_similarity_recall",
  "llm_similarity_projected_recall","stream_ingest_dedup",
+ # kNN-graph rung: n_cells/n_planes are PINNED (32/32) for oracle
+ # determinism, so at a 10-30x slice the per-group population grows
+ # linearly and the within-group pair relation quadratically — on BOTH
+ # engines (the production knob is suggest_n_cells ~ sqrt(corpus),
+ # which keeps the build linear-ish; the pinned-knob query is the
+ # oracle-replayable rung, not the scaled deployment). Spark-side
+ # latency/recall at sf0.1/sf1 measured in scripts/r13_referee.py.
+ "llm_similarity_graph_refine","llm_similarity_graph_recall",
+ "llm_similarity_graph_index",
  "graph_pagerank","graph_triangle_count",
  # recursive min-label CC oracles: the walk CTE's working set is
  # quadratic in cluster size; the 10x-twin corpus makes the giant

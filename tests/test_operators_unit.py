@@ -1635,3 +1635,65 @@ def test_flush_retry_guard_detects_withheld_stateful_output(spark, sf_dir):
         assert res.count() == 0  # both runs withheld under the conf
     finally:
         spark.conf.set(key, prior)
+
+
+def test_graph_index_matches_inplan_search_and_skips_rebuild(spark, sf_dir):
+    from distributed_query_engine_spark.operators import similarity as S
+    from distributed_query_engine_spark.registry import all_queries
+
+    idx = sorted(
+        tuple(r)
+        for r in all_queries()["llm_similarity_graph_index"](
+            spark, sf_dir
+        ).collect()
+    )
+    inplan = sorted(
+        tuple(r)
+        for r in all_queries()["llm_similarity_graph_refine"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert idx == inplan
+    # fingerprint hit: second call serves the published generation
+    from distributed_query_engine_spark.plans.llm import (
+        _content_addressed_index,
+    )
+
+    calls = []
+    p = _content_addressed_index(
+        sf_dir, "graph_index",
+        f"graph:{S.KNN_G}:{S.N_CELLS}:{S.N_PLANES}:lowest_id:0",
+        lambda path: calls.append(path),
+    )
+    assert calls == []  # build skipped on hit
+    import pathlib
+
+    assert (pathlib.Path(p) / "_BUILT").is_file()
+
+
+def test_stage_dir_relative_sf_dir_stages_working_symlink(spark, sf_dir):
+    """r13 sf3-sweep TRUE root cause: a RELATIVE sf_dir produced a
+    relative symlink target (resolved against the symlink's own dir =
+    broken), which the file stream source read as silently-zero rows.
+    The staged link must resolve for relative and absolute spellings,
+    both must share ONE staging dir (resolved fingerprint), and the
+    streamed row count must match the source either way."""
+    import os
+
+    from distributed_query_engine_spark.streaming import ops
+
+    rel = os.path.relpath(sf_dir)
+    assert not os.path.isabs(rel)
+    d_abs = ops._stage_dir(sf_dir)
+    d_rel = ops._stage_dir(rel)
+    assert d_abs == d_rel  # one staging dir for both spellings
+    link = os.path.join(d_rel, "events.parquet")
+    assert os.path.islink(link) and os.path.exists(link)
+    assert os.path.isabs(os.readlink(link))
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    got = ops.run_to_memory(
+        ops.read_events_stream(spark, rel).select("event_id"),
+        "mem_relpath_stage",
+        "append",
+    )
+    assert got.count() == n_src
