@@ -177,6 +177,7 @@ def bm25_search_index(
     milli_sql: str | None = None,
     base: Path | None = None,
     tbl: str | None = None,
+    compacted: bool = False,
 ) -> DataFrame:
     """BM25 top-k against the materialized index. ``qterms`` is the
     tokenized query panel as (q_id, term) literals — request metadata,
@@ -198,12 +199,16 @@ def bm25_search_index(
         base, _key, tag = _stage(sf_dir)
         tbl = f"bm25_postings_{tag}"
     postings = spark.table(tbl)
+    # compacted=True reads the folded single-relation stats a
+    # compact_bm25_index pass produced (the SUM below is then a no-op
+    # over one partial — kept for one uniform plan shape).
+    sfx = "_compact" if compacted else ""
     stats = (
-        spark.read.parquet(str(base / "stats"))
+        spark.read.parquet(str(base / f"stats{sfx}"))
         .groupBy("tok")
         .agg(F.sum("df").alias("df"))
     )
-    corpus = spark.read.parquet(str(base / "corpus")).agg(
+    corpus = spark.read.parquet(str(base / f"corpus{sfx}")).agg(
         F.sum("n_docs").alias("n_docs"), F.sum("a_tok").alias("a_tok")
     )
     terms = sorted({t for _, t in qterms})
@@ -243,3 +248,60 @@ def bm25_search_index(
         else:
             spark.conf.set(conf_key, prior)
     return out
+
+
+def compact_bm25_index(
+    spark: SparkSession, base: Path, tbl: str, n_buckets: int = N_BUCKETS
+) -> str:
+    """COMPACT an append-accumulated index: rewrite the postings into
+    exactly one file per token bucket and fold the per-ingest
+    stats/corpus partials into single relations — the background half
+    of the ingest lifecycle (LSM-style: appends keep ingest cheap,
+    compaction restores read efficiency), sparse sibling of
+    similarity.ivf_compaction_report's rewrite phase.
+
+    Mechanics: rows are repartitioned ON THE BUCKET ID itself
+    (``pmod(hash(tok), n)`` — the writer's own bucket function), which
+    makes every shuffle partition bucket-atomic, so the bucketed writer
+    emits ONE file per non-empty bucket (each append had added a file
+    per bucket per writing task; plain ``repartition(n, tok)`` does NOT
+    align with the bucket-id layout — measured 47 files for 32
+    buckets); stats/corpus merge by the same SUM the search path
+    applies at read, so post-compaction reads skip the merge. The
+    compacted table is registered as ``<tbl>_compact`` beside new
+    ``postings_compact`` / ``stats_compact`` / ``corpus_compact`` dirs —
+    a search against it is bit-identical to one against the appended
+    layout (same rows, same stats totals). Returns the compacted table
+    name.
+
+    100 TB: only file COUNT changes, never content — the rewrite is one
+    corpus-index-sized shuffle scheduled off-peak, and bucket pruning
+    serves queries identically before and after."""
+    rel = spark.table(tbl).repartition(
+        n_buckets, F.pmod(F.hash("tok"), F.lit(n_buckets))
+    )
+    ctbl = f"{tbl}_compact"
+    (
+        rel.write.format("parquet")
+        .bucketBy(n_buckets, "tok")
+        .sortBy("tok")
+        .option("path", str(base / "postings_compact"))
+        .mode("overwrite")
+        .saveAsTable(ctbl)
+    )
+    (
+        spark.read.parquet(str(base / "stats"))
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(base / "stats_compact"))
+    )
+    (
+        spark.read.parquet(str(base / "corpus"))
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("a_tok").alias("a_tok"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(base / "corpus_compact"))
+    )
+    return ctbl

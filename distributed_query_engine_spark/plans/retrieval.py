@@ -460,3 +460,60 @@ def llm_bm25_index_incremental(spark, sf_dir):
     return res.withColumn(
         "is_new", F.pmod(F.col("doc_id"), F.lit(_BM25_NEW_MOD)) == _BM25_NEW_ID
     )
+
+
+@query(
+    "llm_bm25_index_compact",
+    # Compaction changes file COUNT, never content: searching the
+    # compacted index replays the identical full-corpus BM25 (+ the
+    # is_new ingest flag), so this shares the incremental query's
+    # oracle text verbatim.
+    oracle=f"""
+    WITH {_BM25_CTE}
+    SELECT q_id, doc_id, score_milli, rn,
+           (doc_id % {_BM25_NEW_MOD} = {_BM25_NEW_ID}) AS is_new
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rn
+      FROM bm25) WHERE rn <= {_BM25_K}
+    """,
+)
+def llm_bm25_index_compact(spark, sf_dir):
+    """BM25 index COMPACTION — the third leg of the sparse-index
+    lifecycle (build -> incremental ingest -> compact), LSM-style:
+    appends keep ingest cheap but accumulate a part-file per bucket per
+    batch; operators/sparse.py::compact_bm25_index rewrites the
+    postings into exactly ONE file per token bucket
+    (repartition(n, tok) aligned with the bucket function) and folds
+    the per-batch stats/corpus partials into single relations. Search
+    against the compacted table is bit-identical to the appended layout
+    (the oracle is the incremental query's, verbatim) and still
+    bucket-prunes (plan-asserted); only file count changes — the
+    rewrite is one index-sized shuffle a deployment schedules
+    off-peak, exactly the economics of ivf_compact's cell rewrites."""
+    import os as _os
+
+    from distributed_query_engine_spark.catalog import staging_key
+    from distributed_query_engine_spark.operators import sparse as SP
+    from distributed_query_engine_spark.streaming.ops import _pid_run_dir
+
+    d = Tables(spark, sf_dir).documents
+    is_new = F.pmod(F.col("doc_id"), F.lit(_BM25_NEW_MOD)) == _BM25_NEW_ID
+    base = _pid_run_dir("bm25_index_compact", staging_key(sf_dir))
+    key = staging_key(sf_dir).replace(".", "_").replace("-", "_")
+    tbl = f"bm25_cmp_{key}_{_os.getpid()}"
+    SP.write_bm25_index(spark, d.filter(~is_new), base, tbl)
+    SP.append_to_bm25_index(spark, d.filter(is_new), base, tbl)
+    ctbl = SP.compact_bm25_index(spark, base, tbl)
+    qterms = [
+        (r["q_id"], r["tok"])
+        for r in SP.tf_dl_relation(d.filter(F.col("doc_id").isin(_Q_IDS)))
+        .select(F.col("doc_id").alias("q_id"), "tok")
+        .collect()
+    ]
+    res = SP.bm25_search_index(
+        spark, sf_dir, qterms, k=_BM25_K, base=base, tbl=ctbl, compacted=True
+    )
+    return res.withColumn(
+        "is_new", F.pmod(F.col("doc_id"), F.lit(_BM25_NEW_MOD)) == _BM25_NEW_ID
+    )

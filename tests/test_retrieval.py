@@ -279,3 +279,78 @@ def test_bm25_append_is_batch_only_and_appends_partials(spark, sf_dir, tmp_path)
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_bm25_compaction_one_file_per_bucket_same_results(spark, sf_dir, tmp_path):
+    """Compaction contract: post-compact postings hold exactly one file
+    per non-empty bucket (appends had accumulated one per bucket per
+    batch), search results are bit-identical, and the compacted stats
+    fold to single-partial relations with unchanged totals."""
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.operators import sparse as SP
+    from distributed_query_engine_spark.plans.retrieval import _Q_IDS, _BM25_K
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    old, new = d.filter("doc_id % 4 != 0"), d.filter("doc_id % 4 = 0")
+    base, tbl = tmp_path / "idx", "bm25_cmp_unit_test"
+    try:
+        SP.write_bm25_index(spark, old, base, tbl)
+        SP.append_to_bm25_index(spark, new, base, tbl)
+        files_before = len(list((base / "postings").glob("part-*.parquet")))
+        ctbl = SP.compact_bm25_index(spark, base, tbl)
+        files_after = len(
+            list((base / "postings_compact").glob("part-*.parquet"))
+        )
+        assert files_after < files_before
+        assert files_after <= SP.N_BUCKETS
+        # one file per bucket id present (bucket id = the _NNNNN suffix
+        # of a bucketed part file, not the leading task id)
+        import re
+
+        buckets = [
+            re.search(r"_(\d{5})\.c", p.name).group(1)
+            for p in (base / "postings_compact").glob("part-*.parquet")
+        ]
+        assert len(buckets) == len(set(buckets))
+        qterms = [
+            (r["q_id"], r["tok"])
+            for r in SP.tf_dl_relation(d.filter(F.col("doc_id").isin(_Q_IDS)))
+            .select(F.col("doc_id").alias("q_id"), "tok")
+            .collect()
+        ]
+        before = sorted(
+            tuple(r)
+            for r in SP.bm25_search_index(
+                spark, sf_dir, qterms, k=_BM25_K, base=base, tbl=tbl
+            ).collect()
+        )
+        after = sorted(
+            tuple(r)
+            for r in SP.bm25_search_index(
+                spark, sf_dir, qterms, k=_BM25_K, base=base, tbl=ctbl,
+                compacted=True,
+            ).collect()
+        )
+        assert before == after
+        # folded stats: single partial, same totals
+        assert len(list((base / "stats_compact").glob("part-*.parquet"))) == 1
+        tot = spark.read.parquet(str(base / "corpus_compact")).collect()
+        assert len(tot) == 1
+        raw = (
+            spark.read.parquet(str(base / "corpus"))
+            .agg(F.sum("n_docs"), F.sum("a_tok"))
+            .first()
+        )
+        assert (tot[0]["n_docs"], tot[0]["a_tok"]) == tuple(raw)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_compact")
+
+
+def test_bm25_compact_search_still_bucket_prunes(spark, sf_dir):
+    import re
+
+    plan = _plan(_q("llm_bm25_index_compact", spark, sf_dir))
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
