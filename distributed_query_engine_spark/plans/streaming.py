@@ -643,3 +643,38 @@ def stream_mv_refresh(spark, sf_dir):
     dropped from state and never regress the published view
     (streaming/ops.stream_mv_refresh has the full mechanics)."""
     return ops.stream_mv_refresh(spark, sf_dir)
+
+
+@query(
+    "stream_bm25_ingest",
+    # The index content is append-order-independent (postings are
+    # per-(doc,tok) facts; stats merge by SUM), so the post-run panel
+    # search over the incrementally built index replays the full-corpus
+    # BM25 exactly — llm_bm25_topk's oracle, verbatim.
+    oracle=lambda: _bm25_ingest_oracle(),
+)
+def stream_bm25_ingest(spark, sf_dir):
+    """STREAMING SEARCH-INDEX INGESTION: document micro-batches append
+    postings + stats partials into the bucketed BM25 index as they
+    arrive (foreachBatch, checkpointed) — the production loop of a
+    search deployment, mirroring stream_ingest_dedup's store-append
+    discipline for the sparse index. Genuinely multi-batch (4 slices,
+    maxFilesPerTrigger=1; batch count asserted in tests); the final
+    search is bit-identical to scan-everything BM25 over the whole
+    corpus (streaming/ops.stream_bm25_ingest)."""
+    return ops.stream_bm25_ingest(spark, sf_dir)
+
+
+def _bm25_ingest_oracle() -> str:
+    from distributed_query_engine_spark.plans.retrieval import (
+        _BM25_CTE,
+        _BM25_K,
+    )
+
+    return f"""
+    WITH {_BM25_CTE}
+    SELECT q_id, doc_id, score_milli, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rn
+      FROM bm25) WHERE rn <= {_BM25_K}
+    """

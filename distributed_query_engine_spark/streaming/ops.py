@@ -159,6 +159,12 @@ _PID_KEYED_PARENTS = (
     # indexes are pid-keyed like every other mutable run store)
     "ivf_index_incr",
     "ivfpq_index_incr",
+    # streaming BM25 ingest's append-mutated index + the batch-compact
+    # staging (r13)
+    "bm25_index_stream",
+    "bm25_index_compact",
+    "bm25_index_incr",
+    "mv_state",
 )
 _SWEPT = False
 
@@ -1234,3 +1240,100 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(p.name.split("=", 1)[1]) for p in Path(mv_dir).glob("gen=*")
     )
     return spark.read.parquet(str(Path(mv_dir) / f"gen={gens[-1]}"))
+
+
+def _stage_all_docs_sliced(
+    spark: SparkSession, sf_dir: str, n_slices: int
+) -> Path:
+    """Stage the WHOLE documents table as ``n_slices`` single-file
+    parquet slices (doc_id mod n) — the full-corpus streaming source
+    for index-ingest loops (vs _stage_docs_sliced, which slices only
+    the incoming 20% batch for the dedup-against-store loop)."""
+    src = Path(sf_dir) / "documents.parquet"
+    d = _TMP / "stream_docs_all_sliced" / _staging_key(sf_dir)
+    done = d / "_STAGED"
+    fp = f"{n_slices}\n{_source_fingerprint(src)}"
+    if not done.exists() or done.read_text() != fp:
+        shutil.rmtree(d, ignore_errors=True)
+        raw = spark.read.parquet(str(src))
+        for i in range(n_slices):
+            (
+                raw.filter(F.col("doc_id") % n_slices == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(d / f"slice_{i}"))
+            )
+        flat = d / "flat"
+        flat.mkdir(parents=True, exist_ok=True)
+        for i in range(n_slices):
+            part = next((d / f"slice_{i}").glob("part-*.parquet"))
+            (flat / f"slice_{i}.parquet").symlink_to(part.resolve())
+        done.write_text(fp)
+    return d
+
+
+def stream_bm25_ingest(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4, k: int = 5
+) -> DataFrame:
+    """STREAMING SEARCH-INDEX INGESTION — the production loop of a
+    search deployment, end-to-end: document batches arrive as
+    micro-batches (maxFilesPerTrigger=1 over doc_id-mod slices of the
+    FULL corpus), and each ``foreachBatch`` body tokenizes ONLY the
+    batch and appends its postings into the shared token-bucket layout
+    plus its stats/corpus partials (operators/sparse.py::
+    write_bm25_index for batch 0, ::append_to_bm25_index after) — the
+    same batch-sized ingest cost the batch-incremental query pays, now
+    driven by the streaming engine with checkpointed offsets.
+
+    The INDEX CONTENT is append-order-independent (postings rows are
+    per-(doc,tok) facts; stats merge by SUM), so the post-run search
+    over the query panel is bit-identical to scan-everything BM25 on
+    the whole corpus — which is what makes an exact oracle possible
+    for a genuinely incremental multi-batch build, exactly the
+    stream_ingest_dedup discipline. Returns the search result."""
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.operators import sparse as SP
+    from distributed_query_engine_spark.plans.retrieval import _BM25_K, _Q_IDS
+
+    slices = _stage_all_docs_sliced(spark, sf_dir, n_slices)
+    batches = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(slices / "flat"))
+    )
+    name = "bm25_ingest"
+    run_key = f"{name}-{_staging_key(sf_dir)}"
+    base = _pid_run_dir("bm25_index_stream", run_key)
+    ckpt = _pid_run_dir("checkpoints", run_key)
+    tbl = f"bm25_stream_{_staging_key(sf_dir).replace('.', '_').replace('-', '_')}_{os.getpid()}"
+    # the run dir was just cleared; a same-process rerun must not see
+    # the previous run's catalog entry and skip the batch-0 bootstrap
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not spark.catalog.tableExists(tbl):
+            SP.write_bm25_index(spark, batch_df, base, tbl)
+        else:
+            SP.append_to_bm25_index(spark, batch_df, base, tbl)
+
+    q = (
+        batches.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES[name] = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    d = Tables(spark, sf_dir).documents
+    qterms = [
+        (r["q_id"], r["tok"])
+        for r in SP.tf_dl_relation(d.filter(F.col("doc_id").isin(_Q_IDS)))
+        .select(F.col("doc_id").alias("q_id"), "tok")
+        .collect()
+    ]
+    return SP.bm25_search_index(
+        spark, sf_dir, qterms, k=_BM25_K, base=base, tbl=tbl
+    )

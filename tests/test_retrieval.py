@@ -354,3 +354,19 @@ def test_bm25_compact_search_still_bucket_prunes(spark, sf_dir):
     plan = _plan(_q("llm_bm25_index_compact", spark, sf_dir))
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m, plan
+
+
+def test_stream_bm25_ingest_multibatch_and_matches_batch_index(spark, sf_dir):
+    """The streaming ingest must run genuinely multi-batch (4 slices)
+    and its final index search must equal the batch scan-everything
+    BM25 — the append-order-independence contract."""
+    from distributed_query_engine_spark.streaming import ops
+
+    got = sorted(
+        tuple(r) for r in _q("stream_bm25_ingest", spark, sf_dir).collect()
+    )
+    assert ops.LAST_RUN_BATCHES.get("bm25_ingest") == 4
+    want = sorted(
+        tuple(r) for r in _q("llm_bm25_topk", spark, sf_dir).collect()
+    )
+    assert got == want
