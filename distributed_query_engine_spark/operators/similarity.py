@@ -2101,3 +2101,100 @@ def topk_cosine_graph_index(
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "cosine", "rn")
     )
+
+
+SQ_LEVELS = 255  # 8-bit scalar quantization: codes in [0, 255]
+
+
+def sq8_quantized(emb: DataFrame) -> DataFrame:
+    """SCALAR QUANTIZATION (SQ8) — the simplest rung of the vector-
+    compression ladder (beside PQ's trained codebooks, matryoshka's
+    prefixes, and the random projection): each DIMENSION is affinely
+    mapped to an 8-bit code against the corpus' per-dimension min/max,
+    q_d = floor((x_d − mn_d)·255 / (mx_d − mn_d)) — 4× smaller than
+    float32 storage with no training step.
+
+    Exact-arithmetic discipline: everything stays in int64 so the
+    oracle replays bit-identically. The search-side value is
+    u_d = mn_d·255 + q_d·(mx_d − mn_d) = 255·dequant_d, an integer;
+    cosines over u are cosines over the dequantized vectors (the 255
+    factors cancel in the ratio). Overflow bound: |ivec| < 2^20 ⇒
+    |u| < 2^28 ⇒ 64-dim dot < 2^62 — inside int64 with headroom
+    (corpus |x| ≤ 0.58 measured; re-scale SCALE if a future corpus
+    widens).
+
+    Returns (vec_id, codes array<long> in [0,255], uvec, unsq) plus the
+    broadcastable per-dim stats riding as columns. 100 TB shape: the
+    per-dim min/max is ONE map-combined aggregate producing a 1-row
+    relation (broadcast); encode is a row-local zip — no shuffle of the
+    corpus at all."""
+    base = with_int_vec(emb).select("vec_id", "ivec")
+    ex = base.select("vec_id", F.posexplode("ivec").alias("pos", "x"))
+    stats = (
+        ex.groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mn", "mx"))
+            ).alias("dims")
+        )
+        .select(
+            F.transform("dims", lambda s: s["mn"]).alias("mn_arr"),
+            F.transform("dims", lambda s: s["mx"]).alias("mx_arr"),
+        )
+    )
+    z = base.crossJoin(F.broadcast(stats))
+    spans = F.zip_with("mx_arr", "mn_arr", lambda a, b: a - b)
+    withc = z.select(
+        "vec_id",
+        "mn_arr",
+        spans.alias("span_arr"),
+        F.zip_with(
+            "ivec",
+            F.arrays_zip("mn_arr", F.zip_with("mx_arr", "mn_arr", lambda a, b: a - b).alias("span")),
+            lambda x, s: F.when(
+                s["span"] > 0,
+                F.floor(((x - s["mn_arr"]) * SQ_LEVELS) / s["span"]).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ).alias("codes"),
+    )
+    u = F.zip_with(
+        "codes",
+        F.arrays_zip("mn_arr", "span_arr"),
+        lambda q, s: s["mn_arr"] * SQ_LEVELS + q * s["span_arr"],
+    )
+    out = withc.select("vec_id", "codes", u.alias("uvec"))
+    return out.withColumn("unsq", dot_long(F.col("uvec"), F.col("uvec")))
+
+
+def topk_cosine_sq8(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Brute-force top-k by SQ8-quantized cosine: the storage-compressed
+    twin of topk_cosine (same broadcast-panel scan shape, 4x smaller
+    vectors at rest). Approximate in VALUES (quantization error), exact
+    in ARITHMETIC — fully oracle-replayable."""
+    qz = sq8_quantized(emb)
+    q = qz.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("uvec").alias("q_uvec"),
+        F.col("unsq").alias("q_unsq"),
+    )
+    scored = (
+        qz.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_from_ints(
+                dot_long(F.col("q_uvec"), F.col("uvec")),
+                F.col("q_unsq"),
+                F.col("unsq"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )

@@ -5457,3 +5457,65 @@ def llm_similarity_graph_index(spark, sf_dir):
         lambda p: S.build_graph_index(e, p),
     )
     return S.topk_cosine_graph_index(spark, index, _QUERY_IDS, k=5)
+
+
+@query(
+    "llm_similarity_sq8",
+    # Full replay in EXACT integers. Unlike the other ANN oracles the
+    # dots here can exceed 2^53 (u ≈ 255·2^20-scale), so the oracle
+    # computes them RELATIONALLY (per-dimension join + BIGINT sum) —
+    # list_dot_product's double-internal accumulation would round.
+    # floor(a*255 / span) is the same IEEE double division on both
+    # engines (a*255 < 2^53, exactly representable).
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    ex AS (SELECT vec_id, unnest(range(len(ivec))) AS pos,
+                  unnest(ivec) AS x FROM nv),
+    ds AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+    u AS (
+      SELECT e.vec_id, e.pos,
+             d.mn * {S.SQ_LEVELS}
+             + (CASE WHEN d.mx > d.mn
+                     THEN CAST(floor(((e.x - d.mn) * {S.SQ_LEVELS})
+                                     / (d.mx - d.mn)) AS BIGINT)
+                     ELSE 0 END) * (d.mx - d.mn) AS u
+      FROM ex e JOIN ds d USING (pos)
+    ),
+    n AS (SELECT vec_id, CAST(sum(u*u) AS BIGINT) AS unsq
+          FROM u GROUP BY vec_id),
+    dots AS (
+      SELECT qu.vec_id AS q_id, cu.vec_id,
+             CAST(sum(qu.u * cu.u) AS BIGINT) AS dotv
+      FROM u qu JOIN u cu ON cu.pos = qu.pos AND cu.vec_id != qu.vec_id
+      WHERE qu.vec_id IN (0,1,2,3,4)
+      GROUP BY qu.vec_id, cu.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id,
+             CAST(d.dotv AS DOUBLE)
+               / (sqrt(CAST(nq.unsq AS DOUBLE)) * sqrt(CAST(nc.unsq AS DOUBLE)))
+               AS cosine
+      FROM dots d
+      JOIN n nq ON nq.vec_id = d.q_id
+      JOIN n nc ON nc.vec_id = d.vec_id
+    )
+    SELECT q_id, vec_id, cosine, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def llm_similarity_sq8(spark, sf_dir):
+    """SCALAR-QUANTIZED (SQ8) similarity search — the training-free rung
+    of the compression ladder (operators/similarity.py::sq8_quantized /
+    topk_cosine_sq8): per-dimension 8-bit affine codes against corpus
+    min/max, 4x smaller than float32 at rest, searched with exact
+    integer arithmetic over the dequantized values. Measured recall@5
+    vs exact cosine: 0.992 at sf0.001, 0.976 at sf0.01 — far above
+    equal-bytes PQ on this isotropic corpus and without PQ's training
+    step (the ladder's full comparison lives in PLANS.md r13). Scale
+    shape: per-dim min/max is one map-combined aggregate broadcast as a
+    1-row relation; encoding is a row-local zip; search is the same
+    broadcast-panel scan as llm_similarity_topk."""
+    e = Tables(spark, sf_dir).embeddings
+    return S.topk_cosine_sq8(e, _QUERY_IDS, k=5)

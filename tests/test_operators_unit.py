@@ -1697,3 +1697,20 @@ def test_stage_dir_relative_sf_dir_stages_working_symlink(spark, sf_dir):
         "append",
     )
     assert got.count() == n_src
+
+
+def test_sq8_codes_bounded_and_recall_high(spark, sf_dir):
+    from distributed_query_engine_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qz = S.sq8_quantized(e).collect()
+    assert qz
+    for r in qz:
+        assert all(0 <= c <= S.SQ_LEVELS for c in r.codes)
+        assert len(r.codes) == len(r.uvec)
+    panel = list(range(10))
+    exact = {(r.q_id, r.vec_id) for r in S.topk_cosine(e, panel, k=5).collect()}
+    sq = {(r.q_id, r.vec_id) for r in S.topk_cosine_sq8(e, panel, k=5).collect()}
+    # 8-bit quantization of 64-dim vectors loses little: empirically
+    # 0.99+ here; 0.9 is the regression floor, not the measurement
+    assert len(sq & exact) / len(exact) >= 0.9
