@@ -2198,3 +2198,100 @@ def topk_cosine_sq8(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFra
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "cosine", "rn")
     )
+
+
+SQ_RERANK_C = 25  # SQ8 shortlist size handed to the exact rerank
+
+
+def topk_cosine_ivf_sq8(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = N_PROBE,
+    c: int = SQ_RERANK_C,
+    n_cells: int | None = N_CELLS,
+    strategy: str = "lowest_id",
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """IVF + SQ8 + EXACT RERANK — the training-light production config
+    (FAISS's "IVF,SQ8"): coarse cells prune the scan to n_probe/n_cells
+    of the corpus, the probed candidates are ranked by the 4x-compressed
+    SQ8 representation (what a deployment keeps in memory), and only the
+    per-query shortlist of ``c`` ids re-reads full-precision vectors for
+    the exact final top-k. Compositional twin of topk_l2_ivfpq_rerank
+    with the trained PQ codebooks swapped for the training-free scalar
+    grid — same three-stage plan shape: broadcast probe, pruned
+    compressed scan, id-join rerank."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    if n_cells is None:
+        n_cells = suggest_n_cells(base.count())
+    cents = ivf_centroids(base, n_cells, strategy=strategy, lloyd_iters=lloyd_iters)
+    assigned = _assign_to(base, cents)
+    qz = sq8_quantized(emb).join(
+        assigned.select("vec_id", "cell_id"), "vec_id"
+    )
+    q_full = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ivec").alias("q_ivec"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    pw = Window.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cell_id"))
+    probes = (
+        q_full.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "cell_id",
+            cosine_from_ints(
+                dot_long(F.col("q_ivec"), F.col("c_ivec")),
+                F.col("q_nsq"),
+                F.col("c_nsq"),
+            ).alias("p_cos"),
+        )
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= n_probe)
+        .select("q_id", "cell_id")
+    )
+    qq = qz.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("uvec").alias("q_uvec"),
+        F.col("unsq").alias("q_unsq"),
+    )
+    sq_scored = (
+        qz.join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(qq), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_from_ints(
+                dot_long(F.col("q_uvec"), F.col("uvec")),
+                F.col("q_unsq"),
+                F.col("unsq"),
+            ).alias("sq_cos"),
+        )
+    )
+    cw = Window.partitionBy("q_id").orderBy(F.col("sq_cos").desc(), F.col("vec_id"))
+    shortlist = (
+        sq_scored.withColumn("crn", F.row_number().over(cw))
+        .filter(F.col("crn") <= c)
+        .select("q_id", "vec_id")
+    )
+    rer = (
+        shortlist.join(base, "vec_id")
+        .join(F.broadcast(q_full), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_from_ints(
+                dot_long(F.col("q_ivec"), F.col("ivec")),
+                F.col("q_nsq"),
+                F.col("nsq"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )

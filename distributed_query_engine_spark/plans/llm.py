@@ -5519,3 +5519,91 @@ def llm_similarity_sq8(spark, sf_dir):
     broadcast-panel scan as llm_similarity_topk."""
     e = Tables(spark, sf_dir).embeddings
     return S.topk_cosine_sq8(e, _QUERY_IDS, k=5)
+
+
+@query(
+    "llm_similarity_ivf_sq8",
+    # IVF probe CTEs (llm_similarity_ivf's, verbatim) + the SQ8 u-value
+    # chain (llm_similarity_sq8's relational-dot discipline) + shortlist
+    # + exact rerank — every stage exact integers / shared-IEEE floors.
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    cents AS (SELECT vec_id AS cell_id, ivec AS c_ivec, nsq AS c_nsq
+              FROM nv WHERE vec_id < {S.N_CELLS}),
+    assigned AS (
+      SELECT vec_id, ivec, nsq, cell_id FROM (
+        SELECT n.vec_id, n.ivec, n.nsq, c.cell_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {_COS.format(a='n.ivec', b='c.c_ivec', na='n.nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS crn
+        FROM nv n, cents c) WHERE crn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
+          FROM nv WHERE vec_id IN (0,1,2,3,4)),
+    probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT q.q_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 {_COS.format(a='q.q_ivec', b='c.c_ivec', na='q.q_nsq', nb='c.c_nsq')} DESC,
+                 c.cell_id) AS prn
+        FROM q, cents c) WHERE prn <= {S.N_PROBE}
+    ),
+    ex AS (SELECT vec_id, unnest(range(len(ivec))) AS pos,
+                  unnest(ivec) AS x FROM nv),
+    ds AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+    uv AS (
+      SELECT e.vec_id, e.pos,
+             d.mn * {S.SQ_LEVELS}
+             + (CASE WHEN d.mx > d.mn
+                     THEN CAST(floor(((e.x - d.mn) * {S.SQ_LEVELS})
+                                     / (d.mx - d.mn)) AS BIGINT)
+                     ELSE 0 END) * (d.mx - d.mn) AS u
+      FROM ex e JOIN ds d USING (pos)
+    ),
+    un AS (SELECT vec_id, CAST(sum(u*u) AS BIGINT) AS unsq
+           FROM uv GROUP BY vec_id),
+    sq_dots AS (
+      SELECT p.q_id, a.vec_id,
+             CAST(sum(qu.u * cu.u) AS BIGINT) AS dotv
+      FROM probes p
+      JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id != p.q_id
+      JOIN uv cu ON cu.vec_id = a.vec_id
+      JOIN uv qu ON qu.vec_id = p.q_id AND qu.pos = cu.pos
+      GROUP BY p.q_id, a.vec_id
+    ),
+    shortlist AS (
+      SELECT q_id, vec_id FROM (
+        SELECT d.q_id, d.vec_id,
+               row_number() OVER (PARTITION BY d.q_id ORDER BY
+                 CAST(d.dotv AS DOUBLE)
+                   / (sqrt(CAST(nq.unsq AS DOUBLE)) * sqrt(CAST(nc.unsq AS DOUBLE)))
+                 DESC, d.vec_id) AS crn
+        FROM sq_dots d
+        JOIN un nq ON nq.vec_id = d.q_id
+        JOIN un nc ON nc.vec_id = d.vec_id) WHERE crn <= {S.SQ_RERANK_C}
+    ),
+    rer AS (
+      SELECT s.q_id, s.vec_id,
+             {_COS.format(a='q.q_ivec', b='n.ivec', na='q.q_nsq', nb='n.nsq')} AS cosine
+      FROM shortlist s
+      JOIN nv n ON n.vec_id = s.vec_id
+      JOIN q ON q.q_id = s.q_id
+    )
+    SELECT q_id, vec_id, cosine, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM rer) WHERE rn <= 5
+    """,
+)
+def llm_similarity_ivf_sq8(spark, sf_dir):
+    """IVF + SQ8 + EXACT RERANK (operators/similarity.py::
+    topk_cosine_ivf_sq8) — the training-light production ANN config
+    (FAISS "IVF,SQ8"): cells prune the scan, the probed candidates rank
+    by the 4x-compressed scalar codes, and only a 25-id shortlist
+    re-reads full-precision vectors. Same three-stage shape as
+    llm_similarity_ivfpq_rerank with the trained codebooks swapped for
+    the training-free affine grid — on this isotropic corpus the SQ8
+    stage loses so little that the rerank recovers IVF's own recall
+    exactly (llm_similarity_graph_recall's frontier has the numbers)."""
+    e = Tables(spark, sf_dir).embeddings
+    return S.topk_cosine_ivf_sq8(e, _QUERY_IDS, k=5)

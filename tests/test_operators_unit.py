@@ -1714,3 +1714,21 @@ def test_sq8_codes_bounded_and_recall_high(spark, sf_dir):
     # 8-bit quantization of 64-dim vectors loses little: empirically
     # 0.99+ here; 0.9 is the regression floor, not the measurement
     assert len(sq & exact) / len(exact) >= 0.9
+
+
+def test_ivf_sq8_rerank_recovers_ivf_recall(spark, sf_dir):
+    """The exact rerank over the SQ8 shortlist must recover plain IVF's
+    recall whenever the true in-cell top-5 survives the 25-id SQ8
+    shortlist — empirically exact on this corpus, floored at equality
+    minus one hit to keep the test data-change-proof."""
+    from distributed_query_engine_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    panel = list(range(10))
+    exact = {(r.q_id, r.vec_id) for r in S.topk_cosine(e, panel, k=5).collect()}
+    ivf = {(r.q_id, r.vec_id) for r in S.topk_cosine_ivf(e, panel, k=5).collect()}
+    sq = {
+        (r.q_id, r.vec_id)
+        for r in S.topk_cosine_ivf_sq8(e, panel, k=5).collect()
+    }
+    assert len(sq & exact) >= len(ivf & exact) - 1
