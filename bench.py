@@ -53,11 +53,21 @@ BENCH_QUERIES = [
     # dwarfs the batch lines; benched to catch regressions in the
     # foreachBatch/store design, compared per-line, not in the total.
     "stream_ingest_dedup",
+    # r13: the index-SERVING path — bucket-pruned BM25 search against
+    # the materialized postings (the content-addressed build is a
+    # fingerprint hit after the warm-up run, so the timed runs measure
+    # search, which is what a deployment pays per query). A regression
+    # here means bucket pruning or the broadcast-stats plan broke.
+    "llm_bm25_index",
 ]
 
 # Lines added after the r1 self-baseline (17 lines): excluded from the
 # like-for-like legacy17 subtotal.
-_POST_BASELINE_LINES = {"llm_similarity_ivfpq", "stream_ingest_dedup"}
+_POST_BASELINE_LINES = {
+    "llm_similarity_ivfpq",
+    "stream_ingest_dedup",
+    "llm_bm25_index",
+}
 
 
 # Multi-batch STREAMING lines: walltime carries micro-batch scheduling
