@@ -5607,3 +5607,64 @@ def llm_similarity_ivf_sq8(spark, sf_dir):
     exactly (llm_similarity_graph_recall's frontier has the numbers)."""
     e = Tables(spark, sf_dir).embeddings
     return S.topk_cosine_ivf_sq8(e, _QUERY_IDS, k=5)
+
+
+_WSAMPLE_K = 100
+
+
+@query(
+    "llm_weighted_sample",
+    # Priority sampling replay: u is the md5-derived 48-bit integer,
+    # w the doc's token count; priority = u/w as an IEEE double of two
+    # exact integers — identical division on both engines, so the
+    # top-k-by-priority sample is bit-reproducible.
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS u
+      FROM documents
+    )
+    SELECT doc_id, source, weight, priority, rk FROM (
+      SELECT *, CAST(u AS DOUBLE) / weight AS priority,
+             CAST(row_number() OVER (
+                 ORDER BY CAST(u AS DOUBLE) / weight, doc_id) AS BIGINT) AS rk
+      FROM pri) WHERE rk <= {_WSAMPLE_K}
+    """,
+)
+def llm_weighted_sample(spark, sf_dir):
+    """WEIGHT-PROPORTIONAL corpus sampling (priority sampling, Duffield
+    et al. 2007 — public): each doc draws a deterministic pseudo-uniform
+    u (md5 of its id) and gets priority u/weight; the k SMALLEST
+    priorities form a without-replacement sample where inclusion
+    probability grows with weight (here: token count — longer docs
+    sampled preferentially). The per-ITEM companion to the per-GROUP
+    samplers (llm_domain_mix_sample's rates, temperature_mix's
+    sqrt-smoothing): this is how a training pipeline subsamples a
+    corpus proportional to per-document quality/length scores.
+
+    Deterministic where randomSplit/rand() are not: u is a row-local
+    hash, so any engine, any partitioning, any corpus subset draws the
+    same sample — and the oracle replays it exactly (u/w is one IEEE
+    division of two exact integers). Scale shape: one scan + one
+    TakeOrdered top-k — no global sort materializes (the k-row heap is
+    per-partition then merged)."""
+    d = Tables(spark, sf_dir).documents
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    w = F.size(F.split("text", " ")).cast("long")
+    pri = d.select(
+        "doc_id",
+        "source",
+        w.alias("weight"),
+        (u.cast("double") / w).alias("priority"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    win = _W.orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= _WSAMPLE_K)
+    )

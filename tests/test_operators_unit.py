@@ -1732,3 +1732,23 @@ def test_ivf_sq8_rerank_recovers_ivf_recall(spark, sf_dir):
         for r in S.topk_cosine_ivf_sq8(e, panel, k=5).collect()
     }
     assert len(sq & exact) >= len(ivf & exact) - 1
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    """Priority sampling's defining property: inclusion probability
+    grows with weight, so the sample's mean token count must exceed the
+    corpus mean (a coarse, data-regeneration-proof bound)."""
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.registry import all_queries
+
+    samp = all_queries()["llm_weighted_sample"](spark, sf_dir)
+    rows = samp.collect()
+    assert len(rows) == 100
+    assert len({r.doc_id for r in rows}) == 100  # without replacement
+    mean_s = sum(r.weight for r in rows) / len(rows)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mean_c = (
+        d.select(F.avg(F.size(F.split("text", " ")))).first()[0]
+    )
+    assert mean_s > mean_c
