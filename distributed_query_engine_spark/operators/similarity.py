@@ -1843,6 +1843,7 @@ def knn_graph(
     n_planes: int = N_PLANES,
     strategy: str = "lowest_id",
     lloyd_iters: int = 0,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded-degree kNN graph over the corpus: per vector, its top-``g``
     exact-cosine neighbors among vectors sharing its IVF cell OR its
@@ -1866,18 +1867,24 @@ def knn_graph(
     here it is derived in-plan so the oracle can replay it."""
     from distributed_query_engine_spark.operators.dedup import SALT_GROUPS
 
-    assigned = ivf_assign(
-        emb, n_cells=n_cells, strategy=strategy, lloyd_iters=lloyd_iters
-    ).select("vec_id", F.col("cell_id").alias("grp"), "ivec", "nsq")
-    # bucket ids live in [0, 2^n_planes); offset them past any cell id
-    # (cell ids are centroid vec_ids) so the two groupings stay disjoint
+    if assigned is None:
+        assigned = ivf_assign(
+            emb, n_cells=n_cells, strategy=strategy, lloyd_iters=lloyd_iters
+        )
+    cell_grouped = assigned.select(
+        "vec_id", F.col("cell_id").alias("grp"), "ivec", "nsq"
+    )
+    # bucket group ids are NEGATIVE (-(bucket+1)) so the two groupings
+    # can never collide: cell ids are centroid vec_ids (non-negative,
+    # unbounded — a fixed additive offset silently merged groups once
+    # ids reached it; r13 review), negatives are reserved for buckets.
     bucketed = lsh_bucket(with_int_vec(emb), n_planes).select(
         "vec_id",
-        (F.col("bucket") + F.lit(1_000_000_000)).alias("grp"),
+        (-(F.col("bucket") + F.lit(1))).alias("grp"),
         "ivec",
         "nsq",
     )
-    grouped = assigned.unionByName(bucketed)
+    grouped = cell_grouped.unionByName(bucketed)
     a = grouped.select(
         F.col("vec_id").alias("src_id"), "grp",
         F.col("ivec").alias("ivec_a"), F.col("nsq").alias("nsq_a"),
@@ -1915,35 +1922,22 @@ def knn_graph(
     )
 
 
-def topk_cosine_ivf_graph(
-    emb: DataFrame,
+def _graph_search(
+    cents: DataFrame,
+    assigned: DataFrame,
+    edges: DataFrame,
     query_ids: list[int],
-    k: int | None = 5,
-    n_probe: int = N_PROBE,
-    seeds: int = GRAPH_SEEDS,
-    g: int = KNN_G,
-    n_cells: int | None = N_CELLS,
-    n_planes: int = N_PLANES,
-    strategy: str = "lowest_id",
-    lloyd_iters: int = 0,
+    k: int | None,
+    n_probe: int,
+    seeds: int,
 ) -> DataFrame:
-    """IVF + one-hop kNN-graph refinement: probe ``n_probe`` cells, take
-    the top-``seeds`` IVF candidates per query, EXPAND each seed to its
-    ``g`` graph neighbors (one join against the bounded-degree graph —
-    neighbors may live in unprobed cells), then exact-rerank the union
-    to top-``k``. Deterministic end to end, so the oracle replays it.
-
-    Scale shape: the expansion joins a (queries × seeds)-sized relation
-    against a (corpus × g)-sized one on vec_id — a plain equi-join both
-    sides of which are bounded; the rerank joins the candidate ids back
-    to the corpus relation for their vectors (index lookup shape) with
-    the query panel broadcast. No stage touches more than
-    |seeds|·(1+g) candidates per query after the probe stage."""
-    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
-    if n_cells is None:
-        n_cells = suggest_n_cells(base.count())
-    cents = ivf_centroids(base, n_cells, strategy=strategy, lloyd_iters=lloyd_iters)
-    assigned = _assign_to(base, cents)
+    """The graph-refined search given its three relations (shared by the
+    in-plan and index-reading paths exactly as _ivf_search serves the
+    IVF pair — 'identical results' is structural, not asserted): IVF
+    probe over broadcast centroids -> top-``seeds`` candidates -> one
+    hop over the bounded edge relation -> exact rerank to top-``k``
+    (``k=None`` returns the raw rerank candidate relation for
+    cost/recall instrumentation)."""
     cand = _ivf_search(cents, assigned, query_ids, None, n_probe)
     sw = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     seed_rel = (
@@ -1951,14 +1945,11 @@ def topk_cosine_ivf_graph(
         .filter(F.col("srn") <= seeds)
         .select("q_id", "vec_id")
     )
-    graph = knn_graph(
-        emb, g=g, n_cells=n_cells, n_planes=n_planes,
-        strategy=strategy, lloyd_iters=lloyd_iters,
-    ).select("src_id", "dst_id")
     expanded = seed_rel.join(
-        graph, seed_rel["vec_id"] == graph["src_id"]
+        edges.select("src_id", "dst_id"), seed_rel["vec_id"] == F.col("src_id")
     ).select("q_id", F.col("dst_id").alias("vec_id"))
     allc = seed_rel.unionByName(expanded).distinct()
+    base = assigned.select("vec_id", "ivec", "nsq")
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"),
         F.col("ivec").alias("q_ivec"),
@@ -1987,6 +1978,46 @@ def topk_cosine_ivf_graph(
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "cosine", "rn")
     )
+
+
+def topk_cosine_ivf_graph(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int | None = 5,
+    n_probe: int = N_PROBE,
+    seeds: int = GRAPH_SEEDS,
+    g: int = KNN_G,
+    n_cells: int | None = N_CELLS,
+    n_planes: int = N_PLANES,
+    strategy: str = "lowest_id",
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """IVF + one-hop kNN-graph refinement: probe ``n_probe`` cells, take
+    the top-``seeds`` IVF candidates per query, EXPAND each seed to its
+    ``g`` graph neighbors (one join against the bounded-degree graph —
+    neighbors may live in unprobed cells), then exact-rerank the union
+    to top-``k``. Deterministic end to end, so the oracle replays it.
+
+    The centroid/assignment relations are derived ONCE and shared by the
+    probe stage and the graph build (knn_graph takes them precomputed —
+    r13 review: the first cut paid the corpus x n_cells argmax twice).
+
+    Scale shape: the expansion joins a (queries x seeds)-sized relation
+    against a (corpus x g)-sized one on vec_id — a plain equi-join both
+    sides of which are bounded; the rerank joins the candidate ids back
+    to the corpus relation for their vectors (index lookup shape) with
+    the query panel broadcast. No stage touches more than
+    |seeds|*(1+g) candidates per query after the probe stage."""
+    base = with_int_vec(emb).select("vec_id", "ivec", "nsq")
+    if n_cells is None:
+        n_cells = suggest_n_cells(base.count())
+    cents = ivf_centroids(base, n_cells, strategy=strategy, lloyd_iters=lloyd_iters)
+    assigned = _assign_to(base, cents)
+    graph = knn_graph(
+        emb, g=g, n_cells=n_cells, n_planes=n_planes,
+        strategy=strategy, lloyd_iters=lloyd_iters, assigned=assigned,
+    )
+    return _graph_search(cents, assigned, graph, query_ids, k, n_probe, seeds)
 
 
 def ivf_graph_scored(
@@ -2036,7 +2067,7 @@ def build_graph_index(
     )
     knn_graph(
         emb, g=g, n_cells=n_cells, n_planes=n_planes,
-        strategy=strategy, lloyd_iters=lloyd_iters,
+        strategy=strategy, lloyd_iters=lloyd_iters, assigned=assigned,
     ).select("src_id", "dst_id").write.mode("overwrite").parquet(
         f"{index_path}/edges"
     )
@@ -2051,56 +2082,19 @@ def topk_cosine_graph_index(
     seeds: int = GRAPH_SEEDS,
 ) -> DataFrame:
     """Graph-refined ANN search against a :func:`build_graph_index`
-    artifact — identical results to :func:`topk_cosine_ivf_graph` for
-    the same corpus and knobs (the index stores exactly the relations
-    that function derives). Query vectors resolve from the assignment
+    artifact — structurally identical results to
+    :func:`topk_cosine_ivf_graph` for the same corpus and knobs: both
+    delegate to :func:`_graph_search`, this one feeding it the three
+    PERSISTED relations. Query vectors resolve from the assignment
     relation (index lookups); the probe stage partition-prunes the
-    cell-partitioned assignments; the expansion joins the broadcast
-    seed set against the bounded edge relation; the rerank joins the
-    candidate ids back to the index for their vectors. Nothing touches
-    the embeddings table."""
+    cell-partitioned assignments; nothing touches the embeddings
+    table."""
     cents = spark.read.parquet(f"{index_path}/centroids")
     assigned = spark.read.parquet(f"{index_path}/assignments").withColumn(
         "cell_id", F.col("cell_id").cast("long")
     )
     edges = spark.read.parquet(f"{index_path}/edges")
-    cand = _ivf_search(cents, assigned, query_ids, None, n_probe)
-    sw = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    seed_rel = (
-        cand.withColumn("srn", F.row_number().over(sw))
-        .filter(F.col("srn") <= seeds)
-        .select("q_id", "vec_id")
-    )
-    expanded = seed_rel.join(
-        edges, seed_rel["vec_id"] == edges["src_id"]
-    ).select("q_id", F.col("dst_id").alias("vec_id"))
-    allc = seed_rel.unionByName(expanded).distinct()
-    base = assigned.select("vec_id", "ivec", "nsq")
-    q = base.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("ivec").alias("q_ivec"),
-        F.col("nsq").alias("q_nsq"),
-    )
-    scored = (
-        allc.join(base, "vec_id")
-        .join(F.broadcast(q), "q_id")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            cosine_from_ints(
-                dot_long(F.col("q_ivec"), F.col("ivec")),
-                F.col("q_nsq"),
-                F.col("nsq"),
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "vec_id", "cosine", "rn")
-    )
+    return _graph_search(cents, assigned, edges, query_ids, k, n_probe, seeds)
 
 
 SQ_LEVELS = 255  # 8-bit scalar quantization: codes in [0, 255]

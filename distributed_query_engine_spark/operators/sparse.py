@@ -112,7 +112,11 @@ def write_bm25_index(
 
 
 def append_to_bm25_index(
-    spark: SparkSession, docs_new: DataFrame, base: Path, tbl: str
+    spark: SparkSession,
+    docs_new: DataFrame,
+    base: Path,
+    tbl: str,
+    n_buckets: int = N_BUCKETS,
 ) -> None:
     """Ingest a NEW document batch into an EXISTING index WITHOUT a
     rebuild — the sparse sibling of similarity.append_to_ivf_index
@@ -136,7 +140,7 @@ def append_to_bm25_index(
     (
         rel.select("tok", "doc_id", "tf", "dl")
         .write.format("parquet")
-        .bucketBy(N_BUCKETS, "tok")
+        .bucketBy(n_buckets, "tok")
         .sortBy("tok")
         .option("path", str(base / "postings"))
         .mode("append")
@@ -161,11 +165,28 @@ def build_bm25_index(
     base, key, tag = _stage(sf_dir)
     tbl = f"bm25_postings_{tag}"
     done = base / "_PUBLISHED"
-    if done.exists() and spark.catalog.tableExists(tbl):
+    if done.exists():
+        if not spark.catalog.tableExists(tbl):
+            # A DIFFERENT process published this fingerprint: REGISTER
+            # the bucketed table over the existing files instead of
+            # rebuilding — an overwrite rebuild here wipes the postings
+            # a concurrent reader (test suite beside the grading
+            # driver) is mid-scan on (observed r13: three py4j
+            # failures in a full-suite run concurrent with driver
+            # sims). The bucket count rides in the marker so the DDL
+            # restores the exact published spec.
+            n = int(done.read_text() or N_BUCKETS)
+            spark.sql(
+                f"CREATE TABLE {tbl} "
+                "(tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT) "
+                "USING PARQUET "
+                f"CLUSTERED BY (tok) SORTED BY (tok) INTO {n} BUCKETS "
+                f"LOCATION '{base / 'postings'}'"
+            )
         return tag
     _sweep_stale(spark, key, base)
     write_bm25_index(spark, docs, base, tbl, n_buckets)
-    done.touch()
+    done.write_text(str(n_buckets))
     return tag
 
 

@@ -5240,7 +5240,10 @@ def _graph_ctes(ids_sql: str, seeds: int, g: int) -> str:
     grouped AS (
       SELECT vec_id, CAST(cell_id AS BIGINT) AS grp FROM assigned
       UNION ALL
-      SELECT vec_id, bucket + 1000000000 AS grp FROM buckets
+      -- bucket groups carry NEGATIVE ids (-(bucket+1)): cell ids are
+      -- centroid vec_ids (non-negative, unbounded), so sign — not an
+      -- additive offset — keeps the two groupings disjoint
+      SELECT vec_id, -(bucket + 1) AS grp FROM buckets
     ),
     gpairs AS (
       SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id

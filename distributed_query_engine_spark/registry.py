@@ -215,6 +215,16 @@ _CHANGED: dict[str, int] = {
     "join_asof_nearest": 13,
     "graph_shortest_paths": 13,
     "llm_bm25_index": 13,
+    # r13 second-half review fixes — all locally re-verified
+    # oracle-exact at sf0.01 (driver_sim): the kNN-graph grouping moved
+    # to sign-disambiguated ids (-(bucket+1) vs the collision-prone
+    # +1e9 offset; identity mapping on current data) in engine AND
+    # oracle; stream_bm25_ingest gained the per-batch_id replay marker
+    # (no-op in normal runs).
+    "llm_similarity_graph_refine": 13,
+    "llm_similarity_graph_recall": 13,
+    "llm_similarity_graph_index": 13,
+    "stream_bm25_ingest": 13,
 }
 
 # Checked first within the unverified group (ordering hint only — a

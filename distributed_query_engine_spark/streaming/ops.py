@@ -321,8 +321,14 @@ def _needs_flush_retry(progress: list, output_mode: str) -> bool:
         (p.get("eventTime") or {}).get("watermark") for p in progress
     )
     ran_nodata = any(p["numInputRows"] == 0 for p in progress)
+    # APPEND mode only (r13 review): update mode emits every state
+    # change in its data batch — a skipped trailing no-data batch
+    # withholds nothing there (watermark advance only EVICTS state in
+    # update mode), so a retry would just double the run's cost under
+    # exactly the load that caused the skip; complete mode re-emits
+    # full state every batch.
     return (
-        stateful and watermarked and not ran_nodata and output_mode != "complete"
+        stateful and watermarked and not ran_nodata and output_mode == "append"
     )
 
 
@@ -1272,6 +1278,34 @@ def _stage_all_docs_sliced(
     return d
 
 
+def _bm25_ingest_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, base: Path, tbl: str
+) -> None:
+    """One idempotent ingest step for the streaming BM25 loop. A
+    foreachBatch body is at-least-once (a restart between the sink
+    write and the checkpoint commit re-delivers the batch under the
+    SAME batch_id), and a replayed append would double that batch's
+    postings and stats partials — silently corrupting every df /
+    n_docs / a_tok and hence every score (r13 review). The per-batch_id
+    marker makes replays no-ops; the residual window is a crash BETWEEN
+    the final append and the marker touch, which a transactional sink
+    (Delta/Iceberg MERGE keyed on batch_id) closes entirely — this is
+    the plain-parquet emulation of that discipline, same as
+    stream_mv_refresh's generational writes."""
+    applied = base / "_applied"
+    applied.mkdir(parents=True, exist_ok=True)
+    marker = applied / f"batch-{batch_id}"
+    if marker.exists():
+        return  # replayed batch: already fully applied
+    from distributed_query_engine_spark.operators import sparse as SP
+
+    if not spark.catalog.tableExists(tbl):
+        SP.write_bm25_index(spark, batch_df, base, tbl)
+    else:
+        SP.append_to_bm25_index(spark, batch_df, base, tbl)
+    marker.touch()
+
+
 def stream_bm25_ingest(
     spark: SparkSession, sf_dir: str, n_slices: int = 4, k: int = 5
 ) -> DataFrame:
@@ -1312,10 +1346,7 @@ def stream_bm25_ingest(
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        if not spark.catalog.tableExists(tbl):
-            SP.write_bm25_index(spark, batch_df, base, tbl)
-        else:
-            SP.append_to_bm25_index(spark, batch_df, base, tbl)
+        _bm25_ingest_batch(spark, batch_df, batch_id, base, tbl)
 
     q = (
         batches.writeStream.foreachBatch(ingest)

@@ -1612,6 +1612,9 @@ def test_flush_retry_guard_detects_withheld_stateful_output(spark, sf_dir):
     assert ops._needs_flush_retry([data], "append") is True
     assert ops._needs_flush_retry([data, nodata], "append") is False
     assert ops._needs_flush_retry([data], "complete") is False
+    # update mode emits per data batch — a skipped no-data batch
+    # withholds nothing, so no retry (r13 review)
+    assert ops._needs_flush_retry([data], "update") is False
     assert ops._needs_flush_retry([plain_dedup], "append") is False
     assert ops._needs_flush_retry([stateless], "append") is False
 

@@ -370,3 +370,29 @@ def test_stream_bm25_ingest_multibatch_and_matches_batch_index(spark, sf_dir):
         tuple(r) for r in _q("llm_bm25_topk", spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_bm25_ingest_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch under the same
+    batch_id must be a no-op (marker guard), never a double-append that
+    inflates df/n_docs/a_tok."""
+    from distributed_query_engine_spark.streaming.ops import _bm25_ingest_batch
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    b0, b1 = d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1")
+    base, tbl = tmp_path / "idx", "bm25_replay_unit_test"
+    try:
+        _bm25_ingest_batch(spark, b0, 0, base, tbl)
+        _bm25_ingest_batch(spark, b1, 1, base, tbl)
+        n_post = spark.table(tbl).count()
+        n_corpus = spark.read.parquet(str(base / "corpus")).count()
+        # replay both batches (same ids) — nothing may change
+        _bm25_ingest_batch(spark, b0, 0, base, tbl)
+        _bm25_ingest_batch(spark, b1, 1, base, tbl)
+        assert spark.table(tbl).count() == n_post
+        assert spark.read.parquet(str(base / "corpus")).count() == n_corpus
+        # a NEW batch id still applies
+        _bm25_ingest_batch(spark, b0.limit(3), 2, base, tbl)
+        assert spark.table(tbl).count() > n_post
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
