@@ -1865,32 +1865,52 @@ def knn_graph(
     semdedup's are — cells/buckets grow with the corpus. In production
     the graph is a build-once artifact maintained beside the IVF index;
     here it is derived in-plan so the oracle can replay it."""
-    from distributed_query_engine_spark.operators.dedup import SALT_GROUPS
-
     if assigned is None:
         assigned = ivf_assign(
             emb, n_cells=n_cells, strategy=strategy, lloyd_iters=lloyd_iters
         )
+    grouped = _two_groupings(assigned, n_planes)
+    return _knn_edges(grouped, grouped, g)
+
+
+def _two_groupings(assigned: DataFrame, n_planes: int) -> DataFrame:
+    """(vec_id, grp, ivec, nsq) under BOTH groupings — IVF cell AND LSH
+    bucket — derived from an assignment relation (vec_id, cell_id,
+    ivec, nsq); lsh_bucket operates on the ivec column directly, so no
+    embedding re-read is needed. Bucket group ids are NEGATIVE
+    (-(bucket+1)) so the two can never collide: cell ids are centroid
+    vec_ids (non-negative, unbounded — a fixed additive offset silently
+    merged groups once ids reached it; r13 review), negatives are
+    reserved for buckets."""
     cell_grouped = assigned.select(
-        "vec_id", F.col("cell_id").alias("grp"), "ivec", "nsq"
+        "vec_id", F.col("cell_id").cast("long").alias("grp"), "ivec", "nsq"
     )
-    # bucket group ids are NEGATIVE (-(bucket+1)) so the two groupings
-    # can never collide: cell ids are centroid vec_ids (non-negative,
-    # unbounded — a fixed additive offset silently merged groups once
-    # ids reached it; r13 review), negatives are reserved for buckets.
-    bucketed = lsh_bucket(with_int_vec(emb), n_planes).select(
+    bucketed = lsh_bucket(assigned, n_planes).select(
         "vec_id",
         (-(F.col("bucket") + F.lit(1))).alias("grp"),
         "ivec",
         "nsq",
     )
-    grouped = cell_grouped.unionByName(bucketed)
-    a = grouped.select(
+    return cell_grouped.unionByName(bucketed)
+
+
+def _knn_edges(srcs: DataFrame, dsts: DataFrame, g: int) -> DataFrame:
+    """Top-``g`` exact-cosine edges from every vector in ``srcs`` to its
+    group-mates in ``dsts`` (both (vec_id, grp, ivec, nsq) relations).
+    srcs == dsts gives the symmetric build; the incremental ingest
+    passes srcs = the new batch, dsts = the full corpus — new nodes get
+    full-quality edges while existing nodes' lists stay untouched (the
+    standard staleness tradeoff of incremental graph ingest, documented
+    at the query). Salted like semdedup's self-join so a popular
+    cell/bucket spreads over SALT_GROUPS tasks."""
+    from distributed_query_engine_spark.operators.dedup import SALT_GROUPS
+
+    a = srcs.select(
         F.col("vec_id").alias("src_id"), "grp",
         F.col("ivec").alias("ivec_a"), F.col("nsq").alias("nsq_a"),
         F.pmod(F.xxhash64("vec_id"), F.lit(SALT_GROUPS)).alias("salt"),
     )
-    b = grouped.select(
+    b = dsts.select(
         F.col("vec_id").alias("dst_id"), "grp",
         F.col("ivec").alias("ivec_b"), F.col("nsq").alias("nsq_b"),
         F.explode(F.array(*[F.lit(s) for s in range(SALT_GROUPS)])).alias("salt"),
@@ -2289,3 +2309,43 @@ def topk_cosine_ivf_sq8(
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "cosine", "rn")
     )
+
+
+def append_to_graph_index(
+    spark,
+    emb_new: DataFrame,
+    index_path: str,
+    g: int = KNN_G,
+    n_planes: int = N_PLANES,
+) -> None:
+    """Ingest a NEW vector batch into an EXISTING graph index WITHOUT a
+    rebuild — the graph leg of the incremental-ingest triangle (IVF,
+    BM25, now the kNN graph): (1) assign the batch to the STORED
+    centroids (broadcast — the quantizer is never retrained on ingest)
+    and append its part-files into the cell-partitioned assignments;
+    (2) compute edges for the BATCH SOURCES ONLY, against the full
+    (existing ∪ batch) corpus under both groupings, and append them.
+
+    Asymmetry is the documented tradeoff of incremental graph ingest:
+    new nodes get full-quality out-edges immediately (they are
+    reachable as EXPANSION TARGETS through any seed that lands on
+    them — seeds come from the IVF probe, which sees appended
+    assignments at once), while EXISTING nodes' edge lists do not gain
+    pointers to the new batch until the next periodic rebuild/compact.
+    Cost: one broadcast-centroid scan of the batch + one
+    batch-vs-corpus bounded group join — never a corpus x corpus
+    rebuild."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    batch = with_int_vec(emb_new).select("vec_id", "ivec", "nsq")
+    b_assigned = _assign_to(batch, cents)
+    b_assigned.write.mode("append").partitionBy("cell_id").parquet(
+        f"{index_path}/assignments"
+    )
+    full = spark.read.parquet(f"{index_path}/assignments").withColumn(
+        "cell_id", F.col("cell_id").cast("long")
+    )
+    full_grouped = _two_groupings(full, n_planes)
+    batch_grouped = _two_groupings(b_assigned, n_planes)
+    _knn_edges(batch_grouped, full_grouped, g).select(
+        "src_id", "dst_id"
+    ).write.mode("append").parquet(f"{index_path}/edges")

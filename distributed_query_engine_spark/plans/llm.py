@@ -5219,13 +5219,16 @@ def llm_similarity_matryoshka_recall(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _graph_ctes(ids_sql: str, seeds: int, g: int) -> str:
+def _graph_ctes(ids_sql: str, seeds: int, g: int, pair_pred: str = "") -> str:
     """The kNN-graph refinement CTE chain (requires _IVEC_CTE's ``nv``
     and _LSH_BUCKET_CTES's ``buckets``): cells/assignment identical to
     llm_similarity_ivf's, plus the two-grouping bounded-degree graph
     (operators/similarity.py::knn_graph replayed in SQL), IVF seed
     candidates, one-hop expansion, and the exact rerank relation
-    ``g_rer``."""
+    ``g_rer``. ``pair_pred`` (an extra AND clause over gpairs' a/b
+    aliases) restricts edge membership — the incremental-ingest oracle
+    uses it to model the asymmetric graph (existing srcs only know
+    existing dsts; batch srcs know everyone)."""
     return f"""
     cents AS (SELECT vec_id AS cell_id, ivec AS c_ivec, nsq AS c_nsq
               FROM nv WHERE vec_id < {S.N_CELLS}),
@@ -5249,6 +5252,7 @@ def _graph_ctes(ids_sql: str, seeds: int, g: int) -> str:
       SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
       FROM grouped a JOIN grouped b
         ON a.grp = b.grp AND a.vec_id != b.vec_id
+        {pair_pred}
     ),
     graph AS (
       SELECT src_id, dst_id FROM (
@@ -5670,4 +5674,60 @@ def llm_weighted_sample(spark, sf_dir):
     return (
         pri.withColumn("rk", F.row_number().over(win).cast("long"))
         .filter(F.col("rk") <= _WSAMPLE_K)
+    )
+
+
+@query(
+    "llm_similarity_graph_incremental",
+    # Same chain as llm_similarity_graph_refine with the ASYMMETRIC
+    # edge-membership predicate: an existing src (vec_id%100 < 90) only
+    # knows existing dsts (its edges were built before the batch); a
+    # batch src knows the full corpus (its edges were appended against
+    # existing ∪ batch). Centroid seeds (vec_id < N_CELLS) are all
+    # existing under the mod-100 split, so the quantizer — and hence
+    # cells, probes, and seed candidates — matches the stored index
+    # exactly (the llm_similarity_ivf_incremental contract).
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    {_LSH_BUCKET_CTES},
+    {_graph_ctes(
+        "0,1,2,3,4", S.GRAPH_SEEDS, S.KNN_G,
+        pair_pred=f"AND ((a.vec_id % {_IVF_NEW_MOD} >= {_IVF_NEW_LO}) "
+                  f"OR (b.vec_id % {_IVF_NEW_MOD} < {_IVF_NEW_LO}))",
+    )}
+    SELECT q_id, vec_id, cosine, rn,
+           (vec_id % {_IVF_NEW_MOD}) >= {_IVF_NEW_LO} AS is_new
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM g_rer) WHERE rn <= 5
+    """,
+)
+def llm_similarity_graph_incremental(spark, sf_dir):
+    """Graph-index LIFECYCLE — ingest a new vector batch WITHOUT
+    rebuilding (the graph leg of the incremental triangle after IVF and
+    BM25): build the index from the existing 90% (build_graph_index),
+    append the new 10% (append_to_graph_index — batch assigned to the
+    STORED centroids; batch-source edges computed against the full
+    corpus in one bounded group join), then search. is_new marks hits
+    served from the fresh batch — new vectors are immediately
+    reachable both as probe candidates (assignments appended) and as
+    expansion targets (any seed landing on them).
+
+    The honest asymmetry (documented, oracle-modeled): existing nodes'
+    edge lists don't gain pointers INTO the batch until the periodic
+    rebuild — the standard staleness tradeoff every incremental graph
+    store makes; the exact oracle encodes it with one membership
+    predicate rather than pretending ingest equals a rebuild."""
+    e = Tables(spark, sf_dir).embeddings
+    is_new = F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
+    from distributed_query_engine_spark.catalog import staging_key
+    from distributed_query_engine_spark.streaming.ops import _pid_run_dir
+
+    index = str(_pid_run_dir("graph_index_incr", staging_key(sf_dir)))
+    S.build_graph_index(e.filter(~is_new), index)
+    S.append_to_graph_index(spark, e.filter(is_new), index)
+    res = S.topk_cosine_graph_index(spark, index, _QUERY_IDS, k=5)
+    return res.withColumn(
+        "is_new", F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
     )

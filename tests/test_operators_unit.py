@@ -1755,3 +1755,34 @@ def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
         d.select(F.avg(F.size(F.split("text", " ")))).first()[0]
     )
     assert mean_s > mean_c
+
+
+def test_graph_incremental_new_vectors_reachable_and_asymmetric(spark, sf_dir, tmp_path):
+    """Incremental graph ingest contract: appended vectors appear in the
+    assignments AND as edge SOURCES with full-quality out-edges, while
+    existing sources gain no pointers into the batch (the documented
+    staleness asymmetry the oracle models)."""
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_new = F.pmod(F.col("vec_id"), F.lit(100)) >= 90
+    idx = str(tmp_path / "gidx")
+    S.build_graph_index(e.filter(~is_new), idx)
+    edges_before = spark.read.parquet(f"{idx}/edges").count()
+    S.append_to_graph_index(spark, e.filter(is_new), idx)
+    assigned = spark.read.parquet(f"{idx}/assignments")
+    new_ids = {r.vec_id for r in e.filter(is_new).select("vec_id").collect()}
+    assert new_ids <= {r.vec_id for r in assigned.select("vec_id").collect()}
+    edges = spark.read.parquet(f"{idx}/edges").collect()
+    assert len(edges) > edges_before
+    srcs_new = {r.src_id for r in edges if r.src_id in new_ids}
+    assert srcs_new == new_ids  # every batch vector got out-edges
+    # asymmetry: no EXISTING source points into the batch
+    for r in edges:
+        if r.src_id not in new_ids:
+            assert r.dst_id not in new_ids, (r.src_id, r.dst_id)
+    # and the search still runs end-to-end over the mutated index
+    hits = S.topk_cosine_graph_index(spark, idx, [0, 1, 2], k=5).collect()
+    assert len(hits) == 15
