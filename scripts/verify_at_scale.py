@@ -58,7 +58,7 @@ SKIP = {
  # oracle-replayable rung, not the scaled deployment). Spark-side
  # latency/recall at sf0.1/sf1 measured in scripts/r13_referee.py.
  "llm_similarity_graph_refine","llm_similarity_graph_recall",
- "llm_similarity_graph_index",
+ "llm_similarity_graph_index","llm_similarity_graph_incremental",
  "graph_pagerank","graph_triangle_count",
  # recursive min-label CC oracles: the walk CTE's working set is
  # quadratic in cluster size; the 10x-twin corpus makes the giant

@@ -223,3 +223,22 @@ def test_stalest_rows_fit_inside_driver_window():
     ]
     out = [n for n in stale if n not in window]
     assert not out, f"stale-green queries displaced from driver window: {out}"
+
+
+def test_scale_sweep_skip_list_names_are_registered():
+    """A typo'd name in scripts/verify_at_scale.py's quadratic-oracle
+    SKIP list silently un-skips the intended query (the sweep would
+    then hang on a quadratic replay) — same guard as the rotation
+    lists."""
+    import re
+    from pathlib import Path
+
+    src = (
+        Path(__file__).resolve().parents[1] / "scripts" / "verify_at_scale.py"
+    ).read_text()
+    body = re.search(r"SKIP = \{(.*?)\}", src, re.S).group(1)
+    names = set(re.findall(r'"([a-z0-9_]+)"', body))
+    assert len(names) >= 20
+    registered = set(registry.all_queries())
+    unknown = names - registered
+    assert not unknown, f"SKIP list references unknown queries: {unknown}"
