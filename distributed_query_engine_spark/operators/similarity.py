@@ -2349,3 +2349,36 @@ def append_to_graph_index(
     _knn_edges(batch_grouped, full_grouped, g).select(
         "src_id", "dst_id"
     ).write.mode("append").parquet(f"{index_path}/edges")
+
+
+def compact_graph_index(
+    spark,
+    index_path: str,
+    g: int = KNN_G,
+    n_planes: int = N_PLANES,
+) -> None:
+    """COMPACT a graph index after incremental ingests: recompute the
+    full symmetric edge relation over the CURRENT assignments (one
+    bounded group self-join — the same cost as the initial build's edge
+    stage) and overwrite ``edges/``. This is the periodic rebuild the
+    ingest path's documented staleness points at: after compaction,
+    existing nodes regain pointers into every ingested batch, and
+    search is bit-identical to a from-scratch build on the union corpus
+    (given the same stored quantizer) — the LSM economics of the BM25
+    and IVF compactors, applied to edges. Centroids and assignments are
+    untouched (the quantizer is a versioned artifact; retraining is the
+    separate, rarer event)."""
+    full = spark.read.parquet(f"{index_path}/assignments").withColumn(
+        "cell_id", F.col("cell_id").cast("long")
+    )
+    grouped = _two_groupings(full, n_planes)
+    # write to a scratch sibling then swap: the edge relation must never
+    # be half-overwritten under a concurrent reader
+    scratch = f"{index_path}/edges_compacting"
+    _knn_edges(grouped, grouped, g).select("src_id", "dst_id").write.mode(
+        "overwrite"
+    ).parquet(scratch)
+    import shutil as _sh
+
+    _sh.rmtree(f"{index_path}/edges", ignore_errors=True)
+    _sh.move(scratch, f"{index_path}/edges")

@@ -5731,3 +5731,49 @@ def llm_similarity_graph_incremental(spark, sf_dir):
     return res.withColumn(
         "is_new", F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
     )
+
+
+@query(
+    "llm_similarity_graph_compact",
+    # After compaction the edge relation is the SYMMETRIC full-corpus
+    # graph again — so the oracle is llm_similarity_graph_refine's
+    # replay (no membership predicate) + the is_new flag: compaction
+    # provably erased the ingest asymmetry.
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    {_LSH_BUCKET_CTES},
+    {_graph_ctes("0,1,2,3,4", S.GRAPH_SEEDS, S.KNN_G)}
+    SELECT q_id, vec_id, cosine, rn,
+           (vec_id % {_IVF_NEW_MOD}) >= {_IVF_NEW_LO} AS is_new
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM g_rer) WHERE rn <= 5
+    """,
+)
+def llm_similarity_graph_compact(spark, sf_dir):
+    """Graph-index COMPACTION — the closing leg of the graph lifecycle
+    (build -> incremental ingest -> compact -> search): after ingest,
+    existing nodes' edge lists are stale (no pointers into the batch);
+    compact_graph_index recomputes the full symmetric edge relation
+    over the current assignments and atomically swaps it in. The
+    CHECKABLE contract: post-compaction search is bit-identical to the
+    symmetric full-corpus graph (the refine query's oracle verbatim) —
+    the asymmetry the incremental oracle had to model is gone. One
+    caveat the oracle enforces implicitly: the stored quantizer is the
+    EXISTING-side one (centroid seeds all land existing under the
+    mod-100 split), exactly what a deployment that never retrains on
+    ingest serves."""
+    e = Tables(spark, sf_dir).embeddings
+    is_new = F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
+    from distributed_query_engine_spark.catalog import staging_key
+    from distributed_query_engine_spark.streaming.ops import _pid_run_dir
+
+    index = str(_pid_run_dir("graph_index_compact", staging_key(sf_dir)))
+    S.build_graph_index(e.filter(~is_new), index)
+    S.append_to_graph_index(spark, e.filter(is_new), index)
+    S.compact_graph_index(spark, index)
+    res = S.topk_cosine_graph_index(spark, index, _QUERY_IDS, k=5)
+    return res.withColumn(
+        "is_new", F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
+    )

@@ -166,8 +166,9 @@ _PID_KEYED_PARENTS = (
     "bm25_index_incr",
     "mv_state",
     # append-mode incremental graph index (r13, same rationale as
-    # ivf_index_incr)
+    # ivf_index_incr) + its compaction staging
     "graph_index_incr",
+    "graph_index_compact",
 )
 _SWEPT = False
 

@@ -59,6 +59,7 @@ SKIP = {
  # latency/recall at sf0.1/sf1 measured in scripts/r13_referee.py.
  "llm_similarity_graph_refine","llm_similarity_graph_recall",
  "llm_similarity_graph_index","llm_similarity_graph_incremental",
+ "llm_similarity_graph_compact",
  "graph_pagerank","graph_triangle_count",
  # recursive min-label CC oracles: the walk CTE's working set is
  # quadratic in cluster size; the 10x-twin corpus makes the giant

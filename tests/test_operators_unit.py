@@ -1786,3 +1786,40 @@ def test_graph_incremental_new_vectors_reachable_and_asymmetric(spark, sf_dir, t
     # and the search still runs end-to-end over the mutated index
     hits = S.topk_cosine_graph_index(spark, idx, [0, 1, 2], k=5).collect()
     assert len(hits) == 15
+
+
+def test_graph_compaction_erases_ingest_asymmetry(spark, sf_dir, tmp_path):
+    """After compact_graph_index, the edge relation must equal the
+    symmetric full-corpus graph under the stored quantizer — existing
+    sources regain pointers into the ingested batch."""
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_new = F.pmod(F.col("vec_id"), F.lit(100)) >= 90
+    idx = str(tmp_path / "gidx")
+    S.build_graph_index(e.filter(~is_new), idx)
+    S.append_to_graph_index(spark, e.filter(is_new), idx)
+    S.compact_graph_index(spark, idx)
+    got = sorted(
+        (r.src_id, r.dst_id)
+        for r in spark.read.parquet(f"{idx}/edges").collect()
+    )
+    # reference: symmetric edges over the SAME stored assignments
+    full = spark.read.parquet(f"{idx}/assignments").withColumn(
+        "cell_id", F.col("cell_id").cast("long")
+    )
+    want = sorted(
+        (r.src_id, r.dst_id)
+        for r in S._knn_edges(
+            S._two_groupings(full, S.N_PLANES),
+            S._two_groupings(full, S.N_PLANES),
+            S.KNN_G,
+        ).collect()
+    )
+    assert got == want
+    new_ids = {r.vec_id for r in e.filter(is_new).select("vec_id").collect()}
+    assert any(s not in new_ids and d in new_ids for s, d in got), (
+        "compaction must restore existing->batch pointers"
+    )
