@@ -2128,58 +2128,15 @@ def sq8_quantized(emb: DataFrame) -> DataFrame:
     q_d = floor((x_d − mn_d)·255 / (mx_d − mn_d)) — 4× smaller than
     float32 storage with no training step.
 
-    Exact-arithmetic discipline: everything stays in int64 so the
-    oracle replays bit-identically. The search-side value is
-    u_d = mn_d·255 + q_d·(mx_d − mn_d) = 255·dequant_d, an integer;
-    cosines over u are cosines over the dequantized vectors (the 255
-    factors cancel in the ratio). Overflow bound: |ivec| < 2^20 ⇒
-    |u| < 2^28 ⇒ 64-dim dot < 2^62 — inside int64 with headroom
-    (corpus |x| ≤ 0.58 measured; re-scale SCALE if a future corpus
-    widens).
-
-    Returns (vec_id, codes array<long> in [0,255], uvec, unsq) plus the
-    broadcastable per-dim stats riding as columns. 100 TB shape: the
-    per-dim min/max is ONE map-combined aggregate producing a 1-row
-    relation (broadcast); encode is a row-local zip — no shuffle of the
-    corpus at all."""
-    base = with_int_vec(emb).select("vec_id", "ivec")
-    ex = base.select("vec_id", F.posexplode("ivec").alias("pos", "x"))
-    stats = (
-        ex.groupBy("pos")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .groupBy()
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "mn", "mx"))
-            ).alias("dims")
-        )
-        .select(
-            F.transform("dims", lambda s: s["mn"]).alias("mn_arr"),
-            F.transform("dims", lambda s: s["mx"]).alias("mx_arr"),
-        )
-    )
-    z = base.crossJoin(F.broadcast(stats))
-    spans = F.zip_with("mx_arr", "mn_arr", lambda a, b: a - b)
-    withc = z.select(
-        "vec_id",
-        "mn_arr",
-        spans.alias("span_arr"),
-        F.zip_with(
-            "ivec",
-            F.arrays_zip("mn_arr", F.zip_with("mx_arr", "mn_arr", lambda a, b: a - b).alias("span")),
-            lambda x, s: F.when(
-                s["span"] > 0,
-                F.floor(((x - s["mn_arr"]) * SQ_LEVELS) / s["span"]).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        ).alias("codes"),
-    )
-    u = F.zip_with(
-        "codes",
-        F.arrays_zip("mn_arr", "span_arr"),
-        lambda q, s: s["mn_arr"] * SQ_LEVELS + q * s["span_arr"],
-    )
-    out = withc.select("vec_id", "codes", u.alias("uvec"))
-    return out.withColumn("unsq", dot_long(F.col("uvec"), F.col("uvec")))
+    Composition of :func:`sq8_dim_stats` (learn the quantizer) and
+    :func:`sq8_encode` (encode against it; the clamp is the identity on
+    the defining corpus). Exact-arithmetic discipline: everything stays
+    in int64 so the oracle replays bit-identically — u = 255·dequant;
+    overflow bound |ivec| < 2^20 ⇒ 64-dim dot < 2^62 (corpus |x| ≤ 0.58
+    measured). 100 TB shape: the per-dim min/max is ONE map-combined
+    aggregate producing a 1-row broadcast; encode is a row-local zip —
+    no corpus shuffle at all."""
+    return sq8_encode(emb, sq8_dim_stats(emb))
 
 
 def topk_cosine_sq8(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
@@ -2382,3 +2339,138 @@ def compact_graph_index(
 
     _sh.rmtree(f"{index_path}/edges", ignore_errors=True)
     _sh.move(scratch, f"{index_path}/edges")
+
+
+def sq8_dim_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension (mn, mx) of the integer-scaled corpus as a 1-row
+    relation with array columns — the SQ8 quantizer's learned
+    parameters (broadcastable; one map-combined aggregate)."""
+    base = with_int_vec(emb).select("vec_id", "ivec")
+    ex = base.select(F.posexplode("ivec").alias("pos", "x"))
+    return (
+        ex.groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mn", "mx"))
+            ).alias("dims")
+        )
+        .select(
+            F.transform("dims", lambda s: s["mn"]).alias("mn_arr"),
+            F.transform("dims", lambda s: s["mx"]).alias("mx_arr"),
+        )
+    )
+
+
+def sq8_encode(emb: DataFrame, stats: DataFrame) -> DataFrame:
+    """Encode vectors against GIVEN quantizer stats, CLAMPING each value
+    to the stored per-dimension range first: the quantizer is a
+    versioned artifact — an ingested batch may exceed the ranges the
+    corpus defined at build time, and clamping (not re-deriving) is
+    what keeps every previously stored code valid. For the defining
+    corpus the clamp is the identity. Returns (vec_id, codes, uvec,
+    unsq) — u = mn*255 + q*span = 255*dequant, exact int64."""
+    base = with_int_vec(emb).select("vec_id", "ivec")
+    z = base.crossJoin(F.broadcast(stats))
+    spans = F.zip_with("mx_arr", "mn_arr", lambda a, b: a - b)
+    clamped = F.zip_with(
+        "ivec",
+        F.arrays_zip("mn_arr", "mx_arr"),
+        lambda x, s: F.least(F.greatest(x, s["mn_arr"]), s["mx_arr"]),
+    )
+    withc = z.select(
+        "vec_id",
+        "mn_arr",
+        spans.alias("span_arr"),
+        F.zip_with(
+            clamped,
+            F.arrays_zip(
+                "mn_arr",
+                F.zip_with("mx_arr", "mn_arr", lambda a, b: a - b).alias("span"),
+            ),
+            lambda x, s: F.when(
+                s["span"] > 0,
+                F.floor(((x - s["mn_arr"]) * SQ_LEVELS) / s["span"]).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ).alias("codes"),
+    )
+    u = F.zip_with(
+        "codes",
+        F.arrays_zip("mn_arr", "span_arr"),
+        lambda q, s: s["mn_arr"] * SQ_LEVELS + q * s["span_arr"],
+    )
+    out = withc.select("vec_id", "codes", u.alias("uvec"))
+    return out.withColumn("unsq", dot_long(F.col("uvec"), F.col("uvec")))
+
+
+def build_sq8_index(emb: DataFrame, index_path: str) -> None:
+    """Materialize the SQ8 index: ``dims/`` (the 1-row quantizer
+    parameters) + ``codes/`` (vec_id, codes — the 4x-compressed
+    at-rest representation; u is reconstructed row-locally at read).
+    Build-once like every other index artifact."""
+    stats = sq8_dim_stats(emb)
+    stats.write.mode("overwrite").parquet(f"{index_path}/dims")
+    sq8_encode(emb, stats).select("vec_id", "codes").write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/codes")
+
+
+def append_to_sq8_index(spark, emb_new: DataFrame, index_path: str) -> None:
+    """Ingest a batch WITHOUT re-deriving the quantizer: encode against
+    the STORED dims (clamped — out-of-range batch values saturate at
+    the learned grid edge, the standard SQ ingest behavior) and append
+    the codes. Existing codes are never rewritten; re-deriving min/max
+    instead would invalidate every stored code — the same
+    versioned-artifact rule as IVF centroids and PQ codebooks."""
+    stats = spark.read.parquet(f"{index_path}/dims")
+    sq8_encode(emb_new, stats).select("vec_id", "codes").write.mode(
+        "append"
+    ).parquet(f"{index_path}/codes")
+
+
+def topk_cosine_sq8_index(
+    spark, index_path: str, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Brute-force SQ8 top-k served entirely FROM the index: codes +
+    the 1-row dims relation reconstruct u row-locally (one broadcast,
+    no shuffle); query vectors are index lookups. Same plan shape as
+    topk_cosine_sq8 reading 4x fewer bytes at rest."""
+    stats = spark.read.parquet(f"{index_path}/dims")
+    codes = spark.read.parquet(f"{index_path}/codes")
+    z = codes.crossJoin(F.broadcast(stats))
+    u = F.zip_with(
+        "codes",
+        F.arrays_zip(
+            "mn_arr",
+            F.zip_with("mx_arr", "mn_arr", lambda a, b: a - b).alias("span"),
+        ),
+        lambda q, s: s["mn_arr"] * SQ_LEVELS + q * s["span"],
+    )
+    qz = z.select("vec_id", u.alias("uvec")).withColumn(
+        "unsq", dot_long(F.col("uvec"), F.col("uvec"))
+    )
+    q = qz.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("uvec").alias("q_uvec"),
+        F.col("unsq").alias("q_unsq"),
+    )
+    scored = (
+        qz.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_from_ints(
+                dot_long(F.col("q_uvec"), F.col("uvec")),
+                F.col("q_unsq"),
+                F.col("unsq"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )

@@ -5777,3 +5777,80 @@ def llm_similarity_graph_compact(spark, sf_dir):
     return res.withColumn(
         "is_new", F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
     )
+
+
+@query(
+    "llm_similarity_sq8_incremental",
+    # SQ8's ingest contract: the quantizer (per-dim min/max) is learned
+    # from the EXISTING 90% and NEVER re-derived; batch values CLAMP to
+    # the stored ranges before encoding (saturating at the grid edge),
+    # so previously stored codes stay valid. The oracle derives ds from
+    # existing rows only and applies the same least/greatest clamp to
+    # every row (identity on the defining side) — relational BIGINT
+    # dots as in llm_similarity_sq8.
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    ex AS (SELECT vec_id, unnest(range(len(ivec))) AS pos,
+                  unnest(ivec) AS x FROM nv),
+    ds AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex
+           WHERE vec_id % {_IVF_NEW_MOD} < {_IVF_NEW_LO} GROUP BY pos),
+    u AS (
+      SELECT e.vec_id, e.pos,
+             d.mn * {S.SQ_LEVELS}
+             + (CASE WHEN d.mx > d.mn
+                     THEN CAST(floor(((least(greatest(e.x, d.mn), d.mx) - d.mn)
+                                      * {S.SQ_LEVELS})
+                                     / (d.mx - d.mn)) AS BIGINT)
+                     ELSE 0 END) * (d.mx - d.mn) AS u
+      FROM ex e JOIN ds d USING (pos)
+    ),
+    n AS (SELECT vec_id, CAST(sum(u*u) AS BIGINT) AS unsq
+          FROM u GROUP BY vec_id),
+    dots AS (
+      SELECT qu.vec_id AS q_id, cu.vec_id,
+             CAST(sum(qu.u * cu.u) AS BIGINT) AS dotv
+      FROM u qu JOIN u cu ON cu.pos = qu.pos AND cu.vec_id != qu.vec_id
+      WHERE qu.vec_id IN (0,1,2,3,4)
+      GROUP BY qu.vec_id, cu.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id,
+             CAST(d.dotv AS DOUBLE)
+               / (sqrt(CAST(nq.unsq AS DOUBLE)) * sqrt(CAST(nc.unsq AS DOUBLE)))
+               AS cosine
+      FROM dots d
+      JOIN n nq ON nq.vec_id = d.q_id
+      JOIN n nc ON nc.vec_id = d.vec_id
+    )
+    SELECT q_id, vec_id, cosine, rn,
+           (vec_id % {_IVF_NEW_MOD}) >= {_IVF_NEW_LO} AS is_new
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def llm_similarity_sq8_incremental(spark, sf_dir):
+    """SQ8 index LIFECYCLE — ingest a batch WITHOUT re-deriving the
+    quantizer (operators/similarity.py::build_sq8_index /
+    append_to_sq8_index / topk_cosine_sq8_index): per-dim min/max are
+    learned from the existing 90% and stored as the versioned ``dims``
+    artifact; the new 10% encodes against them with CLAMPING (an
+    out-of-range value saturates at the learned grid edge — the
+    standard scalar-quantizer ingest rule, same reason IVF never
+    retrains centroids on append: re-deriving ranges would invalidate
+    every stored code). Search serves entirely from codes + the 1-row
+    dims relation; is_new marks batch hits — ingested vectors are
+    immediately searchable at full SQ8 quality."""
+    e = Tables(spark, sf_dir).embeddings
+    is_new = F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
+    from distributed_query_engine_spark.catalog import staging_key
+    from distributed_query_engine_spark.streaming.ops import _pid_run_dir
+
+    index = str(_pid_run_dir("sq8_index_incr", staging_key(sf_dir)))
+    S.build_sq8_index(e.filter(~is_new), index)
+    S.append_to_sq8_index(spark, e.filter(is_new), index)
+    res = S.topk_cosine_sq8_index(spark, index, _QUERY_IDS, k=5)
+    return res.withColumn(
+        "is_new", F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
+    )

@@ -169,6 +169,7 @@ _PID_KEYED_PARENTS = (
     # ivf_index_incr) + its compaction staging
     "graph_index_incr",
     "graph_index_compact",
+    "sq8_index_incr",
 )
 _SWEPT = False
 

@@ -1823,3 +1823,46 @@ def test_graph_compaction_erases_ingest_asymmetry(spark, sf_dir, tmp_path):
     assert any(s not in new_ids and d in new_ids for s, d in got), (
         "compaction must restore existing->batch pointers"
     )
+
+
+def test_sq8_index_ingest_clamps_against_stored_dims(spark, sf_dir, tmp_path):
+    """The SQ8 quantizer is a versioned artifact: appending a batch must
+    encode against the STORED per-dim ranges (clamped — codes stay in
+    [0,255] even for out-of-range values) and never rewrite existing
+    codes or the dims relation."""
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_new = F.pmod(F.col("vec_id"), F.lit(100)) >= 90
+    idx = str(tmp_path / "sq8idx")
+    S.build_sq8_index(e.filter(~is_new), idx)
+    import pathlib
+
+    dims_before = {
+        p.name: p.stat().st_mtime_ns
+        for p in pathlib.Path(idx, "dims").glob("part-*.parquet")
+    }
+    codes_before = {
+        p.name: p.stat().st_mtime_ns
+        for p in pathlib.Path(idx, "codes").glob("part-*.parquet")
+    }
+    S.append_to_sq8_index(spark, e.filter(is_new), idx)
+    dims_after = {
+        p.name: p.stat().st_mtime_ns
+        for p in pathlib.Path(idx, "dims").glob("part-*.parquet")
+    }
+    assert dims_after == dims_before  # quantizer untouched
+    for name, m in codes_before.items():
+        assert (
+            pathlib.Path(idx, "codes", name).stat().st_mtime_ns == m
+        )  # existing codes never rewritten
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == e.count()
+    bad = codes.filter(
+        F.exists("codes", lambda c: (c < 0) | (c > S.SQ_LEVELS))
+    ).count()
+    assert bad == 0  # clamp keeps every code on the stored grid
+    hits = S.topk_cosine_sq8_index(spark, idx, [0, 1, 2], k=5).collect()
+    assert len(hits) == 15
