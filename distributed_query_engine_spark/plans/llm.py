@@ -5854,3 +5854,137 @@ def llm_similarity_sq8_incremental(spark, sf_dir):
     return res.withColumn(
         "is_new", F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
     )
+
+
+def _sq8_u_ctes(existing_only: bool = False) -> str:
+    """The SQ8 u-value chain (requires ``nv``): per-dim stats, clamped
+    8-bit encode, exact u = 255*dequant, norms — shared by the sq8
+    search, recall, and incremental oracles."""
+    where = (
+        f"WHERE vec_id % {_IVF_NEW_MOD} < {_IVF_NEW_LO} " if existing_only else ""
+    )
+    return f"""
+    ex AS (SELECT vec_id, unnest(range(len(ivec))) AS pos,
+                  unnest(ivec) AS x FROM nv),
+    ds AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex
+           {where}GROUP BY pos),
+    uq AS (
+      SELECT e.vec_id, e.pos,
+             d.mn * {S.SQ_LEVELS}
+             + (CASE WHEN d.mx > d.mn
+                     THEN CAST(floor(((least(greatest(e.x, d.mn), d.mx) - d.mn)
+                                      * {S.SQ_LEVELS})
+                                     / (d.mx - d.mn)) AS BIGINT)
+                     ELSE 0 END) * (d.mx - d.mn) AS u
+      FROM ex e JOIN ds d USING (pos)
+    ),
+    un AS (SELECT vec_id, CAST(sum(u*u) AS BIGINT) AS unsq
+           FROM uq GROUP BY vec_id)"""
+
+
+@query(
+    "llm_similarity_sq8_recall",
+    # recall@5 + candidate cost of the two SQ8 rungs vs exact cosine on
+    # the 25-query panel — the measured-frontier discipline applied to
+    # the training-free compression rung (clamp is the identity here:
+    # the whole corpus defines the grid).
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    {_sq8_u_ctes()},
+    q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
+          FROM nv WHERE vec_id IN ({_RECALL_IDS_SQL})),
+    exact_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, n.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 {_COS.format(a='q.q_ivec', b='n.ivec', na='q.q_nsq', nb='n.nsq')} DESC,
+                 n.vec_id) AS rn
+        FROM q, nv n WHERE n.vec_id != q.q_id) WHERE rn <= 5
+    ),
+    sq_scored AS (
+      SELECT qu.vec_id AS q_id, cu.vec_id,
+             CAST(sum(qu.u * cu.u) AS DOUBLE)
+               / (sqrt(CAST(nq.unsq AS DOUBLE)) * sqrt(CAST(nc.unsq AS DOUBLE)))
+               AS cosine
+      FROM uq qu
+      JOIN uq cu ON cu.pos = qu.pos AND cu.vec_id != qu.vec_id
+      JOIN un nq ON nq.vec_id = qu.vec_id
+      JOIN un nc ON nc.vec_id = cu.vec_id
+      WHERE qu.vec_id IN ({_RECALL_IDS_SQL})
+      GROUP BY qu.vec_id, cu.vec_id, nq.unsq, nc.unsq
+    ),
+    sq_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM sq_scored) WHERE rn <= 5
+    ),
+    sq_cand AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_candidates
+                FROM sq_scored GROUP BY q_id)
+    SELECT 'sq8' AS method, e.q_id,
+           CAST(count(l.vec_id) AS BIGINT) AS hits,
+           count(l.vec_id) / 5.0 AS recall,
+           any_value(c.n_candidates) AS n_candidates
+    FROM exact_top e
+    LEFT JOIN sq_top l USING (q_id, vec_id)
+    JOIN sq_cand c ON c.q_id = e.q_id
+    GROUP BY e.q_id
+    """,
+)
+def llm_similarity_sq8_recall(spark, sf_dir):
+    """recall@5 + candidate cost of the SQ8 rung vs exact cosine on the
+    25-query panel — the measured-frontier entry for the training-free
+    compression rung (sq8 is brute-force over the whole corpus, so
+    n_candidates = corpus−1: its cost story is BYTES at rest, not
+    candidate pruning; pair it with IVF for pruning —
+    llm_similarity_ivf_sq8). Measured: 0.992 recall@5 at sf0.001,
+    0.976 at sf0.01 — the isotropic-corpus winner at equal bytes (the
+    PQ ladder needs clustered structure to compete; PLANS.md r13)."""
+    e = Tables(spark, sf_dir).embeddings
+    k = 5
+    exact = S.topk_cosine(e, _RECALL_QUERY_IDS, k=k).select("q_id", "vec_id")
+    qz = S.sq8_quantized(e)
+    q = qz.filter(F.col("vec_id").isin(_RECALL_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("uvec").alias("q_uvec"),
+        F.col("unsq").alias("q_unsq"),
+    )
+    from distributed_query_engine_spark.functions.vectors import (
+        cosine_from_ints,
+        dot_long,
+    )
+
+    scored = (
+        qz.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_from_ints(
+                dot_long(F.col("q_uvec"), F.col("uvec")),
+                F.col("q_unsq"),
+                F.col("unsq"),
+            ).alias("cosine"),
+        )
+    )
+    ann = S.topk_with_count(scored, k)
+    j = exact.withColumn("ex", F.lit(1)).join(
+        ann.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "outer"
+    )
+    return (
+        j.groupBy("q_id")
+        .agg(
+            F.count(
+                F.when(F.col("ex").isNotNull() & F.col("hit").isNotNull(), 1)
+            ).alias("n_hits"),
+            F.max("n_candidates").alias("n_candidates"),
+        )
+        .filter(F.col("n_candidates").isNotNull())
+        .select(
+            F.lit("sq8").alias("method"),
+            "q_id",
+            F.col("n_hits").cast("long").alias("hits"),
+            (F.col("n_hits") / F.lit(float(k))).alias("recall"),
+            "n_candidates",
+        )
+    )

@@ -49,7 +49,8 @@ SKIP = {
  # twin-replicated corpus by design; run on a sample at scale
  "llm_dedup_minhash_recall",
  "llm_dedup_signature_store","llm_similarity_recall",
- "llm_similarity_projected_recall","stream_ingest_dedup",
+ "llm_similarity_projected_recall","llm_similarity_sq8_recall",
+ "stream_ingest_dedup",
  # kNN-graph rung: n_cells/n_planes are PINNED (32/32) for oracle
  # determinism, so at a 10-30x slice the per-group population grows
  # linearly and the within-group pair relation quadratically — on BOTH
