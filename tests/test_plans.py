@@ -902,3 +902,17 @@ def test_regression_family_single_partial_agg_shuffle(spark, sf_dir):
     plan = _plan(_q("agg_regression_family", spark, sf_dir))
     assert "partial_" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_weighted_sample_limit_pushed_through_ranking_window(spark, sf_dir):
+    """llm_weighted_sample's rk window is globally ordered, which LOOKS
+    like a single-task corpus sort — Catalyst's
+    LimitPushDownThroughWindow must rewrite it to TakeOrderedAndProject
+    (per-partition heaps) with the window running over only the k
+    surviving rows. Pin the rewrite so a regression (e.g. an added
+    column breaking the rule's pattern) fails loudly."""
+    plan = _plan(_q("llm_weighted_sample", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the corpus-wide relation must reach the window only AFTER the
+    # limit: TakeOrdered must appear BELOW the Window operator
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
