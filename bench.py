@@ -5,8 +5,30 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Protocol (BASELINE.md): one discarded warm-up run per query, then the
-median of 3 timed runs; results are fully consumed via a count+collect of
-a bounded head, never a full driver materialization.
+median of 3 timed runs; results are fully consumed via a count, never a
+full driver materialization.
+
+Self-adjudication (r14, VERDICT r13 item 1): the r13 official artifact
+was ~45% host-contention noise and only prose rescued it, so every
+timed pass now measures its OWN contention and the JSON carries enough
+signal to separate host steal from a real regression without textual
+adjudication:
+
+- per pass, external CPU is computed from /proc/stat busy jiffies minus
+  this process tree's own jiffies (python driver + py4j JVM + pyspark
+  worker daemons).  1-min loadavg alone cannot adjudicate: local[32]
+  pushes loadavg far past any fixed threshold by itself, so the load
+  numbers are recorded for diagnosis but the retry decision keys on
+  `ext_cpu_ratio` (fraction of machine CPU consumed by OTHER processes
+  during the pass) and `steal_ratio` (hypervisor steal — externally
+  caused by definition).
+- a timed pass with ext_cpu_ratio > 0.10 or steal_ratio > 0.05 is
+  CONTENDED and is re-run (up to 2 extra attempts per pass slot); if
+  contention persists the contended sample is kept and flagged.
+- per line the JSON reports the median (headline, comparable to every
+  prior round) AND the min-of-accepted-passes floor — the r13
+  adjudication showed the floor is the contention-robust statistic —
+  plus `legacy17_floor_sec` next to `legacy17_total_sec`.
 """
 
 from __future__ import annotations
@@ -80,30 +102,134 @@ _POST_BASELINE_LINES = {
 # r13. Maps bench name -> ops sink name.
 _EXEC_MS_LINES = {"stream_ingest_dedup": "ingest_dedup"}
 
+# Contention thresholds (fractions of total machine CPU during a pass).
+EXT_CPU_MAX = 0.10
+STEAL_MAX = 0.05
+MAX_RETRIES_PER_PASS = 2
 
-def run_once(fn, spark, sf_dir, name: str | None = None) -> float:
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def _proc_stat() -> tuple[int, int, int]:
+    """(total, idle+iowait, steal) jiffies from the aggregate cpu line."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:9]]  # user nice sys idle iowait irq sirq steal
+    idle = vals[3] + vals[4]
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals), idle, steal
+
+
+def _tree_pids() -> set[int]:
+    """This pid plus all /proc descendants (py4j JVM, pyspark daemons)."""
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    try:
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            pid = int(p)
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    s = f.read()
+                after = s[s.rindex(")") + 2 :].split()
+                ppid[pid] = int(after[1])
+            except (OSError, ValueError):
+                continue
+    except OSError:
+        return {me}
+    tree = {me}
+    changed = True
+    while changed:
+        changed = False
+        for pid, pp in ppid.items():
+            if pp in tree and pid not in tree:
+                tree.add(pid)
+                changed = True
+    return tree
+
+
+def _tree_cpu_jiffies() -> int:
+    """utime+stime jiffies of the current process tree (live pids)."""
+    total = 0
+    for pid in _tree_pids():
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                s = f.read()
+            after = s[s.rindex(")") + 2 :].split()
+            total += int(after[11]) + int(after[12])  # utime, stime
+        except (OSError, ValueError, IndexError):
+            continue
+    return total
+
+
+def run_once(fn, spark, sf_dir, name: str | None = None) -> dict:
+    """One measured pass: wall seconds + contention telemetry."""
+    load_start = os.getloadavg()[0]
+    total0, idle0, steal0 = _proc_stat()
+    self0 = _tree_cpu_jiffies()
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     # Force full execution without shipping the whole result to the driver.
     n = df.count()
     assert n >= 0
     wall = time.perf_counter() - t0
+    total1, idle1, steal1 = _proc_stat()
+    self1 = _tree_cpu_jiffies()
+    dtotal = max(1, total1 - total0)
+    busy = dtotal - (idle1 - idle0)
+    ext = max(0, busy - max(0, self1 - self0))
+    sample = {
+        "sec": wall,
+        "load_start": round(load_start, 2),
+        "load_end": round(os.getloadavg()[0], 2),
+        "ext_cpu_ratio": round(ext / dtotal, 4),
+        "steal_ratio": round((steal1 - steal0) / dtotal, 4),
+    }
     if name in _EXEC_MS_LINES:
         from distributed_query_engine_spark.streaming import ops
 
         exec_ms = ops.LAST_RUN_EXEC_MS.get(_EXEC_MS_LINES[name])
         if exec_ms:
-            return exec_ms / 1000.0
-    return wall
+            sample["sec"] = exec_ms / 1000.0
+            sample["wall_sec"] = wall
+    sample["contended"] = (
+        sample["ext_cpu_ratio"] > EXT_CPU_MAX or sample["steal_ratio"] > STEAL_MAX
+    )
+    return sample
+
+
+def timed_passes(fn, spark, sf_dir, name: str, n_passes: int = 3) -> list[dict]:
+    """n_passes accepted samples; contended passes re-run up to the cap."""
+    out = []
+    for _ in range(n_passes):
+        sample = run_once(fn, spark, sf_dir, name)
+        retries = 0
+        while sample["contended"] and retries < MAX_RETRIES_PER_PASS:
+            retries += 1
+            print(
+                f"bench: {name} pass contended "
+                f"(ext={sample['ext_cpu_ratio']}, steal={sample['steal_ratio']}) "
+                f"— retry {retries}/{MAX_RETRIES_PER_PASS}",
+                file=sys.stderr,
+                flush=True,
+            )
+            sample = run_once(fn, spark, sf_dir, name)
+        sample["retries"] = retries
+        out.append(sample)
+    return out
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    load_at_start = os.getloadavg()[0]
     spark = get_spark(app_name="dqe-bench")
     queries = all_queries()
     names = [n for n in BENCH_QUERIES if n in queries]
     timings: dict[str, float] = {}
+    floors: dict[str, float] = {}
+    passes: dict[str, list[dict]] = {}
     for name in names:
         fn = queries[name]
         # progress on stderr (stdout stays the one JSON line); printed
@@ -111,11 +237,23 @@ def main() -> None:
         # died, and again after with its timing
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
         run_once(fn, spark, sf_dir, name)  # discarded warm-up
-        timings[name] = round(
-            statistics.median(run_once(fn, spark, sf_dir, name) for _ in range(3)), 4
-        )
-        print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
+        samples = timed_passes(fn, spark, sf_dir, name)
+        secs = [s["sec"] for s in samples]
+        # Clean floor: min over uncontended passes when any exist —
+        # the contention-robust statistic (BASELINE.md r13 protocol).
+        clean = [s["sec"] for s in samples if not s["contended"]] or secs
+        timings[name] = round(statistics.median(secs), 4)
+        floors[name] = round(min(clean), 4)
+        passes[name] = [
+            {k: (round(v, 4) if isinstance(v, float) else v) for k, v in s.items()}
+            for s in samples
+        ]
+        print(f"bench: {name} {timings[name]}s (floor {floors[name]}s)", file=sys.stderr, flush=True)
     total = round(sum(timings.values()), 4)
+    legacy = {n: v for n, v in timings.items() if n not in _POST_BASELINE_LINES}
+    contended_lines = sorted(
+        n for n, ss in passes.items() if any(s["contended"] for s in ss)
+    )
     print(
         json.dumps(
             {
@@ -123,19 +261,25 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # min-of-uncontended-passes per line: the statistic the
+                # r13 adjudication showed survives host steal.
+                "floors": floors,
                 # the r1 self-baseline total covers the original 17
                 # lines; llm_similarity_ivfpq joined in r11 and
                 # stream_ingest_dedup in r12, so this subtotal is the
                 # like-for-like comparison against BASELINE.md (the
                 # full `value` includes the new lines by construction).
-                "legacy17_total_sec": round(
-                    sum(
-                        v
-                        for n, v in timings.items()
-                        if n not in _POST_BASELINE_LINES
-                    ),
-                    4,
+                "legacy17_total_sec": round(sum(legacy.values()), 4),
+                "legacy17_floor_sec": round(
+                    sum(v for n, v in floors.items() if n in legacy), 4
                 ),
+                # per-pass telemetry: wall sec, loadavg at start/end,
+                # external-CPU and hypervisor-steal fractions, retry
+                # count, contended flag — enough to adjudicate any
+                # line's spike without builder prose.
+                "passes": passes,
+                "load_at_start": round(load_at_start, 2),
+                "contended_lines": contended_lines,
                 "sf": sf,
             }
         )
