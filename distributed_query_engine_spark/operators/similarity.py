@@ -20,6 +20,8 @@ docstring).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2113,7 +2115,7 @@ def topk_cosine_graph_index(
     assigned = spark.read.parquet(f"{index_path}/assignments").withColumn(
         "cell_id", F.col("cell_id").cast("long")
     )
-    edges = spark.read.parquet(f"{index_path}/edges")
+    edges = spark.read.parquet(edges_dir(index_path))
     return _graph_search(cents, assigned, edges, query_ids, k, n_probe, seeds)
 
 
@@ -2268,6 +2270,26 @@ def topk_cosine_ivf_sq8(
     )
 
 
+def edges_dir(index_path: str) -> str:
+    """Resolve the CURRENT edge-relation directory of a graph index.
+
+    Compaction publishes generationally (``edges_v<N>`` + an
+    ``EDGES_CURRENT`` pointer file flipped with an atomic rename — the
+    BM25 ``_PUBLISHED`` discipline applied to edges), so a concurrent
+    reader always resolves either the old or the new generation, never
+    a missing or half-written directory. A fresh build (no pointer yet)
+    resolves to the original ``edges/``."""
+    marker = os.path.join(index_path, "EDGES_CURRENT")
+    try:
+        with open(marker) as f:
+            name = f.read().strip()
+        if name:
+            return os.path.join(index_path, name)
+    except OSError:
+        pass
+    return os.path.join(index_path, "edges")
+
+
 def append_to_graph_index(
     spark,
     emb_new: DataFrame,
@@ -2305,7 +2327,7 @@ def append_to_graph_index(
     batch_grouped = _two_groupings(b_assigned, n_planes)
     _knn_edges(batch_grouped, full_grouped, g).select(
         "src_id", "dst_id"
-    ).write.mode("append").parquet(f"{index_path}/edges")
+    ).write.mode("append").parquet(edges_dir(index_path))
 
 
 def compact_graph_index(
@@ -2324,21 +2346,40 @@ def compact_graph_index(
     (given the same stored quantizer) — the LSM economics of the BM25
     and IVF compactors, applied to edges. Centroids and assignments are
     untouched (the quantizer is a versioned artifact; retraining is the
-    separate, rarer event)."""
+    separate, rarer event).
+
+    Publication is GENERATIONAL (r14, ADVICE r13): the new relation is
+    written to ``edges_v<N+1>``, then the ``EDGES_CURRENT`` pointer file
+    is flipped with one atomic ``os.replace`` — a concurrent
+    :func:`topk_cosine_graph_index` reader resolves either the old or
+    the new generation, never a missing directory (the prior
+    rmtree+move left a window where ``edges/`` did not exist at all).
+    The immediately-previous generation is kept as reader grace; older
+    generations are garbage-collected."""
     full = spark.read.parquet(f"{index_path}/assignments").withColumn(
         "cell_id", F.col("cell_id").cast("long")
     )
     grouped = _two_groupings(full, n_planes)
-    # write to a scratch sibling then swap: the edge relation must never
-    # be half-overwritten under a concurrent reader
-    scratch = f"{index_path}/edges_compacting"
+    cur = edges_dir(index_path)
+    cur_name = os.path.basename(cur)
+    gen = int(cur_name.rsplit("_v", 1)[1]) if "_v" in cur_name else 0
+    new_name = f"edges_v{gen + 1}"
     _knn_edges(grouped, grouped, g).select("src_id", "dst_id").write.mode(
         "overwrite"
-    ).parquet(scratch)
+    ).parquet(os.path.join(index_path, new_name))
+    marker = os.path.join(index_path, "EDGES_CURRENT")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(new_name)
+    os.replace(tmp, marker)  # the atomic publish point
     import shutil as _sh
 
-    _sh.rmtree(f"{index_path}/edges", ignore_errors=True)
-    _sh.move(scratch, f"{index_path}/edges")
+    for d in os.listdir(index_path):
+        if (d == "edges" or d.startswith("edges_v")) and d not in (
+            new_name,
+            cur_name,
+        ):
+            _sh.rmtree(os.path.join(index_path, d), ignore_errors=True)
 
 
 def sq8_dim_stats(emb: DataFrame) -> DataFrame:

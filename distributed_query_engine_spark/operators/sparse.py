@@ -176,8 +176,12 @@ def build_bm25_index(
             # sims). The bucket count rides in the marker so the DDL
             # restores the exact published spec.
             n = int(done.read_text() or N_BUCKETS)
+            # IF NOT EXISTS (r14, ADVICE r13): two processes can both
+            # pass the tableExists check above before either runs the
+            # DDL — the spec is deterministic from the marker, so a
+            # lost race must be harmless, not an AnalysisException.
             spark.sql(
-                f"CREATE TABLE {tbl} "
+                f"CREATE TABLE IF NOT EXISTS {tbl} "
                 "(tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT) "
                 "USING PARQUET "
                 f"CLUSTERED BY (tok) SORTED BY (tok) INTO {n} BUCKETS "
@@ -250,25 +254,35 @@ def bm25_search_index(
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
-    # Bucketed scans (and hence bucket pruning) must stay enabled even
-    # though no join needs the bucket distribution — scan-level pruning
-    # is the point. The flag is a SESSION conf, so set it only for the
-    # duration of PHYSICAL PLANNING (forced here via executedPlan —
-    # QueryExecution caches it, so later actions reuse the pruned plan)
-    # and restore the prior value in finally: leaking planner config
-    # into subsequent queries made their plans order-dependent
-    # (r12 ADVICE).
+    return force_bucket_pruned(spark, out)
+
+
+def force_bucket_pruned(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Force ``df``'s physical plan NOW, with bucketed scans pinned on.
+
+    Bucketed scans (and hence bucket pruning) must stay enabled even
+    though no join needs the bucket distribution — scan-level pruning
+    is the point. The flag is a SESSION conf, so set it only for the
+    duration of PHYSICAL PLANNING (forced here via executedPlan —
+    QueryExecution caches it, so later actions reuse the pruned plan)
+    and restore the prior value in finally: leaking planner config
+    into subsequent queries made their plans order-dependent
+    (r12 ADVICE). Callers that WRAP the search result (e.g. the
+    lifecycle queries' ``withColumn('is_new', ...)``) create a NEW
+    QueryExecution planned after the restore, so they must re-force
+    the plan on the final returned DataFrame (r14, ADVICE r13) —
+    that is why this is a public helper, not inlined."""
     conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     prior = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "false")
     try:
-        out._jdf.queryExecution().executedPlan()
+        df._jdf.queryExecution().executedPlan()
     finally:
         if prior is None:
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prior)
-    return out
+    return df
 
 
 def compact_bm25_index(

@@ -457,8 +457,14 @@ def llm_bm25_index_incremental(spark, sf_dir):
     res = SP.bm25_search_index(
         spark, sf_dir, qterms, k=_BM25_K, base=base, tbl=tbl
     )
-    return res.withColumn(
-        "is_new", F.pmod(F.col("doc_id"), F.lit(_BM25_NEW_MOD)) == _BM25_NEW_ID
+    # withColumn creates a NEW QueryExecution planned after the search
+    # helper restored the planner conf — re-force the pruned plan on the
+    # DataFrame actually returned (r14, ADVICE r13).
+    return SP.force_bucket_pruned(
+        spark,
+        res.withColumn(
+            "is_new", F.pmod(F.col("doc_id"), F.lit(_BM25_NEW_MOD)) == _BM25_NEW_ID
+        ),
     )
 
 
@@ -514,6 +520,11 @@ def llm_bm25_index_compact(spark, sf_dir):
     res = SP.bm25_search_index(
         spark, sf_dir, qterms, k=_BM25_K, base=base, tbl=ctbl, compacted=True
     )
-    return res.withColumn(
-        "is_new", F.pmod(F.col("doc_id"), F.lit(_BM25_NEW_MOD)) == _BM25_NEW_ID
+    # re-force on the returned frame: the wrapper plans after the conf
+    # restore (r14, ADVICE r13 — same reasoning as the incremental query)
+    return SP.force_bucket_pruned(
+        spark,
+        res.withColumn(
+            "is_new", F.pmod(F.col("doc_id"), F.lit(_BM25_NEW_MOD)) == _BM25_NEW_ID
+        ),
     )

@@ -225,6 +225,23 @@ _CHANGED: dict[str, int] = {
     "llm_similarity_graph_recall": 13,
     "llm_similarity_graph_index": 13,
     "stream_bm25_ingest": 13,
+    # r14 VERDICT/ADVICE fixes — all VALUE-PRESERVING on clean runs,
+    # locally re-verified repr-exact at sf0.01 (driver_sim): the
+    # foreachBatch loops gained per-batch_id replay markers / batch-0
+    # rebuild / resume knobs (crash-recovery proofs in
+    # tests/test_streaming_recovery.py); the BM25 lifecycle queries
+    # re-force the bucket-pruned plan on the RETURNED frame; the graph
+    # index publishes edges generationally (edges_v<N> + EDGES_CURRENT
+    # pointer) and readers resolve through edges_dir().
+    "stream_ingest_dedup": 14,
+    "stream_bm25_ingest": 14,
+    "stream_mv_refresh": 14,
+    "llm_bm25_index": 14,
+    "llm_bm25_index_incremental": 14,
+    "llm_bm25_index_compact": 14,
+    "llm_similarity_graph_index": 14,
+    "llm_similarity_graph_incremental": 14,
+    "llm_similarity_graph_compact": 14,
 }
 
 # Checked first within the unverified group (ordering hint only — a

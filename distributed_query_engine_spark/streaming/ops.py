@@ -203,16 +203,20 @@ def _sweep_dead_pid_dirs() -> int:
     return removed
 
 
-def _pid_run_dir(parent: str, key: str) -> "Path":
+def _pid_run_dir(parent: str, key: str, keep: bool = False) -> "Path":
     """A '<key>-<pid>' run dir under ``_TMP/parent``, cleared of any
     previous run of THIS pid and with dead siblings swept (once per
     process). Every pid-keyed path must come through here so the sweep
-    list and the keying scheme can't drift apart."""
+    list and the keying scheme can't drift apart. ``keep=True`` returns
+    the SAME path without clearing — the crash-recovery resume path
+    (the restarted query must see the prior attempt's checkpoint, sink,
+    and store exactly as the crash left them)."""
     global _SWEPT
     if not _SWEPT:
         _sweep_dead_pid_dirs()
     d = _TMP / parent / f"{key}-{os.getpid()}"
-    shutil.rmtree(d, ignore_errors=True)
+    if not keep:
+        shutil.rmtree(d, ignore_errors=True)
     return d
 
 
@@ -477,6 +481,8 @@ def stream_ingest_dedup(
     sf_dir: str,
     threshold: float = 0.5,
     n_slices: int = 4,
+    _resume: bool = False,
+    _crash_after_batch: int | None = None,
 ) -> DataFrame:
     """STREAMING INGESTION DEDUP — the production corpus-building loop,
     end-to-end: document batches arrive as micro-batches
@@ -495,7 +501,19 @@ def stream_ingest_dedup(
     which is also what the one-shot batch variant reports. The final
     sink is therefore row-identical to ``llm_dedup_incremental``
     (asserted in tests), making an exact oracle possible for a
-    genuinely incremental multi-batch computation."""
+    genuinely incremental multi-batch computation.
+
+    EXACTLY-ONCE under restart (r14, VERDICT r13 item 4): foreachBatch
+    is at-least-once — a restart between the sink append and the
+    checkpoint commit re-delivers the batch under the SAME batch_id,
+    and without a guard the replay doubles that batch's sink rows AND
+    its store signatures (phantom pairs in every later batch). The
+    per-batch_id marker (the _bm25_ingest_batch discipline) makes
+    replays no-ops; ``_resume=True`` re-enters an existing
+    checkpoint/sink/store instead of clearing them, and
+    ``_crash_after_batch`` injects a post-commit-window crash — both
+    exist so the recovery contract is a pinned test
+    (tests/test_streaming_recovery.py), not a clean-run claim."""
     from distributed_query_engine_spark.catalog import Tables
     from distributed_query_engine_spark.operators import dedup as D
 
@@ -506,8 +524,11 @@ def stream_ingest_dedup(
     # run (per-batch appends), so a concurrent process sharing the path
     # rmtrees/appends under this run's feet and the sink gains phantom
     # pairs (observed r9: two concurrent driver sims → 24397 vs 22319).
-    store = str(_pid_run_dir("sig_store_stream", _staging_key(sf_dir)))
-    D.build_signature_store(spark, corpus, store, hashed=True)
+    store = str(
+        _pid_run_dir("sig_store_stream", _staging_key(sf_dir), keep=_resume)
+    )
+    if not _resume:
+        D.build_signature_store(spark, corpus, store, hashed=True)
 
     slices = _stage_docs_sliced(spark, sf_dir, n_slices)
     batches = (
@@ -521,10 +542,15 @@ def stream_ingest_dedup(
     # per pid, so a second process never rmtrees this one's live run
     name = "ingest_dedup"
     run_key = f"{name}-{_staging_key(sf_dir)}"
-    sink = _pid_run_dir("fb_sink", run_key)
-    ckpt = _pid_run_dir("checkpoints", run_key)
+    sink = _pid_run_dir("fb_sink", run_key, keep=_resume)
+    ckpt = _pid_run_dir("checkpoints", run_key, keep=_resume)
+    applied = sink / "_applied"  # _-prefixed: invisible to parquet reads
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        applied.mkdir(parents=True, exist_ok=True)
+        marker = applied / f"batch-{batch_id}"
+        if marker.exists():
+            return  # replayed batch: sink and store already hold it
         report = D.incremental_dedup_from_store(
             spark, store, d_all, batch_df, threshold=threshold, hashed=True
         )
@@ -548,6 +574,12 @@ def stream_ingest_dedup(
         D.signatures_rowlocal(batch_df, spread=False).write.mode(
             "append"
         ).parquet(store)
+        marker.touch()
+        if _crash_after_batch is not None and batch_id == _crash_after_batch:
+            # the injected crash lands AFTER full application, BEFORE
+            # the engine's checkpoint commit — the exact at-least-once
+            # window the marker exists for
+            raise RuntimeError(f"injected crash after batch {batch_id}")
 
     q = (
         batches.writeStream.foreachBatch(process)
@@ -1166,7 +1198,12 @@ def anti_join_unconverted_clicks(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_mv_refresh(
+    spark: SparkSession,
+    sf_dir: str,
+    _resume: bool = False,
+    _crash_after_batch: int | None = None,
+) -> DataFrame:
     """STREAMING MATERIALIZED-VIEW MAINTENANCE (VERDICT r12 item 8) —
     the streaming sibling of plans/analytic.py::mv_incremental_refresh:
     a watermarked UPDATE-mode windowed aggregate whose ``foreachBatch``
@@ -1216,8 +1253,8 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "mv_refresh"
     run_key = f"{name}-{_staging_key(sf_dir)}"
-    mv_dir = _pid_run_dir("mv_state", run_key)
-    ckpt = _pid_run_dir("checkpoints", run_key)
+    mv_dir = _pid_run_dir("mv_state", run_key, keep=_resume)
+    ckpt = _pid_run_dir("checkpoints", run_key, keep=_resume)
     keys = ["window_start", "event_type"]
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -1234,6 +1271,11 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(
             str(Path(mv_dir) / f"gen={batch_id}")
         )
+        if _crash_after_batch is not None and batch_id == _crash_after_batch:
+            # generational idempotence is the guard here: the replayed
+            # batch recomputes the SAME gen from the SAME predecessors
+            # (strictly < batch_id) and overwrites it byte-stable
+            raise RuntimeError(f"injected crash after batch {batch_id}")
 
     with _state_partitions(spark):
         q = (
@@ -1283,6 +1325,12 @@ def _stage_all_docs_sliced(
     return d
 
 
+# Pre-marker crash injection for the recovery tests: batch_ids listed
+# here raise once AFTER application, BEFORE the marker touch — the
+# residual at-least-once window the batch-0 rebuild closes.
+_TEST_CRASH_BEFORE_MARKER: set[int] = set()
+
+
 def _bm25_ingest_batch(
     spark: SparkSession, batch_df: DataFrame, batch_id: int, base: Path, tbl: str
 ) -> None:
@@ -1296,7 +1344,18 @@ def _bm25_ingest_batch(
     the final append and the marker touch, which a transactional sink
     (Delta/Iceberg MERGE keyed on batch_id) closes entirely — this is
     the plain-parquet emulation of that discipline, same as
-    stream_mv_refresh's generational writes."""
+    stream_mv_refresh's generational writes.
+
+    Batch 0 is special-cased (r14, ADVICE r13): keying its bootstrap
+    on tableExists meant a crash after write_bm25_index but before the
+    marker touch sent the REPLAY of batch 0 down the append branch,
+    doubling every batch-0 posting/stat — and unlike the later-batch
+    window this one is fully avoidable, because a from-scratch rebuild
+    of batch 0 is idempotent under any number of replays. So batch 0
+    always drops the table, clears the partial artifacts, and writes
+    fresh; the marker discipline stays for the append batches (the
+    checkpoint guarantees batch 0 committed before batch 1 ran, so a
+    batch-0 replay can never clobber later batches' appends)."""
     applied = base / "_applied"
     applied.mkdir(parents=True, exist_ok=True)
     marker = applied / f"batch-{batch_id}"
@@ -1304,15 +1363,28 @@ def _bm25_ingest_batch(
         return  # replayed batch: already fully applied
     from distributed_query_engine_spark.operators import sparse as SP
 
-    if not spark.catalog.tableExists(tbl):
+    if batch_id == 0:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        for sub in ("postings", "stats", "corpus"):
+            shutil.rmtree(base / sub, ignore_errors=True)
         SP.write_bm25_index(spark, batch_df, base, tbl)
     else:
         SP.append_to_bm25_index(spark, batch_df, base, tbl)
+    if batch_id in _TEST_CRASH_BEFORE_MARKER:
+        # test hook: reproduce the applied-but-unmarked window (crash
+        # between the final write and the marker touch)
+        _TEST_CRASH_BEFORE_MARKER.discard(batch_id)
+        raise RuntimeError(f"injected crash before marker, batch {batch_id}")
     marker.touch()
 
 
 def stream_bm25_ingest(
-    spark: SparkSession, sf_dir: str, n_slices: int = 4, k: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    k: int = 5,
+    _resume: bool = False,
+    _crash_after_batch: int | None = None,
 ) -> DataFrame:
     """STREAMING SEARCH-INDEX INGESTION — the production loop of a
     search deployment, end-to-end: document batches arrive as
@@ -1343,15 +1415,21 @@ def stream_bm25_ingest(
     )
     name = "bm25_ingest"
     run_key = f"{name}-{_staging_key(sf_dir)}"
-    base = _pid_run_dir("bm25_index_stream", run_key)
-    ckpt = _pid_run_dir("checkpoints", run_key)
+    base = _pid_run_dir("bm25_index_stream", run_key, keep=_resume)
+    ckpt = _pid_run_dir("checkpoints", run_key, keep=_resume)
     tbl = f"bm25_stream_{_staging_key(sf_dir).replace('.', '_').replace('-', '_')}_{os.getpid()}"
-    # the run dir was just cleared; a same-process rerun must not see
-    # the previous run's catalog entry and skip the batch-0 bootstrap
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if not _resume:
+        # the run dir was just cleared; a same-process rerun must not
+        # see the previous run's catalog entry and skip the batch-0
+        # bootstrap (on _resume the table IS the surviving index)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         _bm25_ingest_batch(spark, batch_df, batch_id, base, tbl)
+        if _crash_after_batch is not None and batch_id == _crash_after_batch:
+            # post-application, pre-checkpoint-commit — the replay on
+            # resume must hit the batch marker and no-op
+            raise RuntimeError(f"injected crash after batch {batch_id}")
 
     q = (
         batches.writeStream.foreachBatch(ingest)

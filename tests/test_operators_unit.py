@@ -1802,9 +1802,16 @@ def test_graph_compaction_erases_ingest_asymmetry(spark, sf_dir, tmp_path):
     S.build_graph_index(e.filter(~is_new), idx)
     S.append_to_graph_index(spark, e.filter(is_new), idx)
     S.compact_graph_index(spark, idx)
+    # generational publish (r14): the pointer must name a new edges_v<N>
+    # directory, the pre-compaction dir must survive as reader grace,
+    # and readers resolve through edges_dir()
+    assert S.edges_dir(idx).endswith("edges_v1")
+    import os as _os
+
+    assert _os.path.isdir(f"{idx}/edges")  # grace generation kept
     got = sorted(
         (r.src_id, r.dst_id)
-        for r in spark.read.parquet(f"{idx}/edges").collect()
+        for r in spark.read.parquet(S.edges_dir(idx)).collect()
     )
     # reference: symmetric edges over the SAME stored assignments
     full = spark.read.parquet(f"{idx}/assignments").withColumn(
