@@ -20,8 +20,34 @@ measurement, meaningless for recall/selectivity tuning. The text/
 vector payloads are left byte-identical on purpose: synthesizing novel
 text here would silently diverge from the driver's distribution.
 
-Usage: python scripts/gen_sf_scaleup.py [K] [SRC] [DST]
+Usage: python scripts/gen_sf_scaleup.py [--skew] [K] [SRC] [DST]
 Defaults: K=10, SRC=/root/testdata/sf0.1, DST=<repo>/.tmp/sf1
+(DST default becomes .tmp/sf1skew under --skew)
+
+--skew (r14, VERDICT r13 item 3): every prior scale sweep ran on the
+near-uniform seed-42 corpus, which is exactly the distribution the
+salting/banding paths were tuned on. Skew mode deforms the SOURCE
+before replication (so each copy carries the same hot pattern and the
+K-fold union amplifies it K-fold — the true nightmare key):
+
+- hot join keys: 30% of orders remap o_custkey to 8 hot customers with
+  geometrically decaying shares (the hottest takes half the hot mass →
+  ~1.9% of ALL orders on one customer at any K); same for
+  lineitem.l_suppkey and events.user_id. FK validity preserved (keys
+  0..7 exist in every dimension copy 0).
+- heavy-tailed duplication: 5% of documents take the TEXT of doc_id%97
+  — ~97 duplicate classes of ~n/2000 members each on top of the K-fold
+  twins, the heavy-tailed cluster-size profile real crawls show.
+- heavy-tailed lengths: ~1% of docs get text repeated 16x, a further
+  ~4% repeated 4x (n_chars recomputed) — skews dl in BM25 and token
+  fan-outs in the dedup families.
+- hot ANN cells: 10% of embeddings become exact copies of vec_id%53 —
+  heavy-tailed IVF/LSH cell populations + giant embcos dup groups.
+
+All deformations are pure deterministic integer hashing (Knuth
+multiplicative on the entity key), so re-running the generator is
+byte-stable and any engine/oracle comparison on the skewed slice stays
+exact.
 """
 
 from __future__ import annotations
@@ -32,6 +58,23 @@ from pathlib import Path
 import duckdb
 
 STRIDE = 10_000_000  # > any key in any source table
+
+_H = 2654435761  # Knuth multiplicative hash; deterministic, engine-agnostic
+
+
+def _h(expr: str, mod: int) -> str:
+    return f"(({expr}) * {_H}) % 4294967296 % {mod}"
+
+
+def _hot_rank(expr: str, n: int = 8) -> str:
+    """Geometric hot-key rank: uniform hash u in [0,256) -> rank r with
+    share 2^-(r+1) (rank 0 takes half the hot mass)."""
+    u = f"(({expr}) * 40503) % 4294967296 % 256"
+    cases = " ".join(
+        f"WHEN {u} < {256 - 256 // (2 ** (r + 1))} THEN {r}"
+        for r in range(n - 1)
+    )
+    return f"(CASE {cases} ELSE {n - 1} END)"
 
 # table -> columns shifted by c*STRIDE (entity keys + their FKs)
 SHIFTED: dict[str, list[str]] = {
@@ -49,13 +92,74 @@ SHIFTED: dict[str, list[str]] = {
 FIXED = {"region", "nation"}
 
 
+# Per-table skewed projections over the SOURCE alias ``t`` (applied
+# before key shifting). ``h`` is a self-join alias for tables whose skew
+# borrows another row's payload (documents text, embeddings vector).
+def _skew_select(table: str, names: list[str]) -> tuple[str, str]:
+    """(select-list override or '', extra JOIN clause or '')."""
+    if table == "orders":
+        hot = f"{_h('t.o_orderkey', 1000)} < 300"
+        remap = f"CASE WHEN {hot} THEN {_hot_rank('t.o_orderkey')} ELSE t.o_custkey END"
+        sel = ", ".join(
+            f"CAST({remap} AS BIGINT) AS o_custkey" if n == "o_custkey" else f"t.{n}"
+            for n in names
+        )
+        return sel, ""
+    if table == "lineitem":
+        key = "t.l_orderkey * 7 + t.l_linenumber"
+        hot = f"{_h(key, 1000)} < 300"
+        remap = f"CASE WHEN {hot} THEN {_hot_rank(key)} ELSE t.l_suppkey END"
+        sel = ", ".join(
+            f"CAST({remap} AS BIGINT) AS l_suppkey" if n == "l_suppkey" else f"t.{n}"
+            for n in names
+        )
+        return sel, ""
+    if table == "events":
+        hot = f"{_h('t.event_id', 10)} < 3"
+        remap = f"CASE WHEN {hot} THEN {_hot_rank('t.event_id')} ELSE t.user_id END"
+        sel = ", ".join(
+            f"CAST({remap} AS BIGINT) AS user_id" if n == "user_id" else f"t.{n}"
+            for n in names
+        )
+        return sel, ""
+    if table == "documents":
+        hu = _h("t.doc_id", 1000)
+        text = (
+            f"CASE WHEN {hu} < 50 THEN h.text "
+            f"WHEN {hu} < 60 THEN repeat(t.text || ' ', 16) "
+            f"WHEN {hu} < 100 THEN repeat(t.text || ' ', 4) "
+            f"ELSE t.text END"
+        )
+        sel = ", ".join(
+            f"{text} AS text"
+            if n == "text"
+            else f"CAST(strlen({text}) AS BIGINT) AS n_chars"
+            if n == "n_chars"
+            else f"t.{n}"
+            for n in names
+        )
+        return sel, " LEFT JOIN src h ON h.doc_id = t.doc_id % 97"
+    if table == "embeddings":
+        emb = f"CASE WHEN {_h('t.vec_id', 10)} = 0 THEN h.embedding ELSE t.embedding END"
+        sel = ", ".join(
+            f"{emb} AS embedding" if n == "embedding" else f"t.{n}"
+            for n in names
+        )
+        return sel, " LEFT JOIN src h ON h.vec_id = t.vec_id % 53"
+    return "", ""
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    k = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     dst = Path(
-        sys.argv[3]
-        if len(sys.argv) > 3
-        else Path(__file__).resolve().parent.parent / ".tmp" / "sf1"
+        args[2]
+        if len(args) > 2
+        else Path(__file__).resolve().parent.parent
+        / ".tmp"
+        / ("sf1skew" if skew else "sf1")
     )
     dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
@@ -82,6 +186,18 @@ def main() -> None:
                     )
             cols = con.sql(f"DESCRIBE SELECT * FROM read_parquet('{src_file}')")
             names = [r[0] for r in cols.fetchall()]
+            base = f"read_parquet('{src_file}') t"
+            join = ""
+            if skew:
+                sel, join = _skew_select(table, names)
+                if sel:
+                    # skew the SOURCE first (CTE), then shift keys over
+                    # the skewed relation — each copy carries the same
+                    # hot pattern, so the union amplifies it K-fold
+                    base = (
+                        f"(WITH src AS (SELECT * FROM read_parquet('{src_file}')) "
+                        f"SELECT {sel} FROM src t{join}) t"
+                    )
             proj = ", ".join(
                 f"CAST(t.{n} + c.c * {STRIDE} AS BIGINT) AS {n}"
                 if n in keys
@@ -89,7 +205,7 @@ def main() -> None:
                 for n in names
             )
             con.execute(
-                f"COPY (SELECT {proj} FROM read_parquet('{src_file}') t, "
+                f"COPY (SELECT {proj} FROM {base}, "
                 f"(SELECT unnest(range({k})) AS c) c) TO '{out}'"
                 f" (FORMAT PARQUET)"
             )
