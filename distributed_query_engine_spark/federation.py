@@ -324,6 +324,68 @@ class OracleDialect(AnsiDialect):
     LIMIT)."""
 
 
+class Oracle11gDialect(AnsiDialect):
+    """Oracle up to 11g (r14, VERDICT r13 item 8): no OFFSET/FETCH —
+    paging is the classic nested-``ROWNUM`` idiom, the dialect-bug
+    class federated users actually hit (an 11g endpoint rejects the
+    12c+ clause at parse time, and a NAIVE ``WHERE ROWNUM > :offset``
+    silently returns ZERO rows because ROWNUM is assigned before the
+    predicate filters). Select via ``dialect_for(url,
+    flavor='oracle11g')`` — the URL alone cannot reveal the server
+    version.
+
+    Forms emitted (Oracle's own documented pagination pattern):
+    - limit only:   ``SELECT * FROM (<inner>) WHERE ROWNUM <= :n``
+    - offset paging: ``SELECT cols FROM (SELECT t.*, ROWNUM rnum_
+      FROM (<inner>) t WHERE ROWNUM <= :offset+:limit) WHERE rnum_ >
+      :offset`` (the cap goes on the MIDDLE query so Oracle can stop
+      the scan early; the outer filter needs the materialized alias).
+    ROWNUM is assigned over the ORDERED inner query, so order_by is
+    required for multi-page reads exactly like every other dialect."""
+
+    def select_sql(
+        self,
+        table: str,
+        columns: list[str] | None = None,
+        predicates: list[str] | None = None,
+        schema: str | None = None,
+        limit: int | None = None,
+        offset: int = 0,
+        order_by: list[str] | None = None,
+    ) -> str:
+        inner = super().select_sql(
+            table, columns, predicates, schema, limit=None, offset=0,
+            order_by=order_by,
+        )
+        if limit is None and not offset:
+            return inner
+        if offset and not order_by:
+            import warnings
+
+            warnings.warn(
+                "OFFSET paging without order_by: vendors return rows "
+                "in arbitrary order, so multi-page federated scans "
+                "are unstable across executions — pass order_by",
+                stacklevel=2,
+            )
+        if not offset:
+            return f"SELECT * FROM ({inner}) WHERE ROWNUM <= {int(limit)}"
+        if columns is None:
+            # the outer projection must exclude the rnum_ helper column;
+            # '*' would leak it into the federated schema — refuse
+            # loudly rather than corrupt the scan's column contract
+            raise ValueError(
+                "Oracle 11g ROWNUM offset-paging needs an explicit "
+                "column list (the pagination helper column must be "
+                "projected away)"
+            )
+        cols = ", ".join(self.quote(c) for c in columns)
+        mid = f"SELECT t.*, ROWNUM rnum_ FROM ({inner}) t"
+        if limit is not None:
+            mid += f" WHERE ROWNUM <= {int(offset) + int(limit)}"
+        return f"SELECT {cols} FROM ({mid}) WHERE rnum_ > {int(offset)}"
+
+
 class HiveDialect(SqlDialect):
     """Backtick identifiers — the entire point of the reference's
     ``HiveSqlPrettyPrinter`` (diff:58-66). Paging is HiveQL's
@@ -405,11 +467,15 @@ def dialect_for(url: str, flavor: str | None = None) -> SqlDialect:
     ``flavor`` is validated (r9 ADVICE): an unknown value ('Spark',
     'sparksql', a typo) or 'spark' on a non-hive2 URL previously fell
     through silently to a dialect whose paging form the live endpoint
-    rejects only at query time — both now raise here instead."""
+    rejects only at query time — both now raise here instead.
+    ``flavor='oracle11g'`` (r14) selects the pre-12c ROWNUM paging
+    grammar for an oracle URL — like the Spark/Hive split, the wire URL
+    cannot reveal which grammar the server accepts."""
     vendor = vendor_from_connection_string(url)
-    if flavor not in (None, "spark"):
+    if flavor not in (None, "spark", "oracle11g"):
         raise ValueError(
-            f"unknown dialect flavor {flavor!r}; expected None or 'spark'"
+            f"unknown dialect flavor {flavor!r}; "
+            "expected None, 'spark', or 'oracle11g'"
         )
     if flavor == "spark":
         if vendor != "hive2":
@@ -418,6 +484,13 @@ def dialect_for(url: str, flavor: str | None = None) -> SqlDialect:
                 f"(a Spark Thrift endpoint); got vendor {vendor!r}"
             )
         return SparkSqlDialect()
+    if flavor == "oracle11g":
+        if vendor != "oracle":
+            raise ValueError(
+                "flavor='oracle11g' only applies to jdbc:oracle: URLs; "
+                f"got vendor {vendor!r}"
+            )
+        return Oracle11gDialect()
     return _DIALECTS.get(vendor, _DEFAULT_DIALECT)
 
 

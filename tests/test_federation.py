@@ -283,6 +283,89 @@ def test_paging_forms_across_remaining_vendors():
     assert derby.paginate_clause(1, 0) == "FETCH NEXT 1 ROWS ONLY"
 
 
+def test_oracle11g_rownum_paging_goldens():
+    """VERDICT r13 item 8: the pre-12c Oracle paging grammar — an 11g
+    endpoint rejects OFFSET/FETCH at parse time, and the naive
+    ``WHERE ROWNUM > n`` returns zero rows — so every form is a golden
+    string against the documented nested-ROWNUM idiom."""
+    d = FED.dialect_for("jdbc:oracle:thin:@h:1521/X", flavor="oracle11g")
+    # limit-only: single wrap, cap via ROWNUM on the ordered inner query
+    assert d.select_sql("emp", columns=["id"], limit=5, order_by=["id"]) == (
+        'SELECT * FROM (SELECT "id" FROM "emp" ORDER BY "id") '
+        "WHERE ROWNUM <= 5"
+    )
+    # offset+limit: double wrap; the cap (offset+limit) sits on the
+    # MIDDLE query (early scan stop), the outer filter uses the
+    # materialized rnum_ alias and projects it away
+    assert d.select_sql(
+        "emp", columns=["id", "name"], limit=2, offset=4, order_by=["id"]
+    ) == (
+        'SELECT "id", "name" FROM (SELECT t.*, ROWNUM rnum_ FROM '
+        '(SELECT "id", "name" FROM "emp" ORDER BY "id") t '
+        "WHERE ROWNUM <= 6) WHERE rnum_ > 4"
+    )
+    # offset-only: no middle cap — all rows past the offset
+    assert d.select_sql(
+        "emp", columns=["id"], offset=4, order_by=["id"]
+    ) == (
+        'SELECT "id" FROM (SELECT t.*, ROWNUM rnum_ FROM '
+        '(SELECT "id" FROM "emp" ORDER BY "id") t) WHERE rnum_ > 4'
+    )
+    # reserved words + embedded quotes keep ANSI doubling inside the
+    # ROWNUM wrappers (the quoting layer must survive the nesting)
+    assert d.select_sql(
+        "group", columns=['a"b'], schema="public", limit=1, order_by=['a"b']
+    ) == (
+        'SELECT * FROM (SELECT "a""b" FROM "public"."group" '
+        'ORDER BY "a""b") WHERE ROWNUM <= 1'
+    )
+    # no paging -> plain inner query, no wrap
+    assert d.select_sql("emp", columns=["id"]) == 'SELECT "id" FROM "emp"'
+    # '*' projection cannot exclude the helper column: refuse loudly
+    with pytest.raises(ValueError, match="explicit column list"):
+        d.select_sql("emp", offset=4, order_by=["id"])
+    # multi-page without order_by warns like every other dialect
+    with pytest.warns(UserWarning, match="without order_by"):
+        d.select_sql("emp", columns=["id"], limit=2, offset=4)
+    # flavor validation mirrors the spark-flavor rules
+    with pytest.raises(ValueError, match="only applies to jdbc:oracle"):
+        FED.dialect_for("jdbc:mysql://h:3306/d", flavor="oracle11g")
+
+
+def test_mysql_backtick_limit_interplay_goldens():
+    """VERDICT r13 item 8: MySQL's backtick quoting composed with every
+    LIMIT form — reserved words, embedded backticks, and the comma
+    paging grammar in ONE statement (the interplay class, not the
+    clauses in isolation)."""
+    my = FED.dialect_for("jdbc:mysql://h:3306/d")
+    # reserved word + embedded backtick + offset paging
+    assert my.select_sql(
+        "order", columns=["limit", "we`ird"], limit=10, offset=20,
+        order_by=["limit"],
+    ) == (
+        "SELECT `limit`, `we``ird` FROM `order` "
+        "ORDER BY `limit` LIMIT 20, 10"
+    )
+    # limit without offset: plain LIMIT n (no comma form)
+    assert my.select_sql("t", columns=["a"], limit=3) == (
+        "SELECT `a` FROM `t` LIMIT 3"
+    )
+    # offset without limit: the manual's unbounded idiom, composed with
+    # schema + predicate + order
+    assert my.select_sql(
+        "t", columns=["a"], predicates=["a > 1"], schema="db2",
+        offset=7, order_by=["a"],
+    ) == (
+        "SELECT `a` FROM `db2`.`t` WHERE (a > 1) "
+        "ORDER BY `a` LIMIT 7, 18446744073709551615"
+    )
+    # LIMIT 0 is valid MySQL (schema-probe idiom) and must not be
+    # confused with "no limit"
+    assert my.select_sql("t", columns=["a"], limit=0) == (
+        "SELECT `a` FROM `t` LIMIT 0"
+    )
+
+
 def test_dialect_flavor_validated_and_unordered_paging_warns():
     # r9 ADVICE: a typo'd flavor or flavor='spark' on a non-hive2 URL
     # used to fall through silently to a dialect the endpoint rejects
