@@ -1186,9 +1186,26 @@ def containment_pairs(
     k = F.col("n_tok") - ceil_tn + 1
     prefix = ranked.filter(F.col("pos") <= k).select("doc_id", "tok")
     full = ranked.select("doc_id", "tok")
+    # SALTED pair production (r14, the candidate_pairs discipline): a
+    # hot prefix token (boilerplate terms; every token under K-fold
+    # twin replication) hands its prefix_count x df pair explosion to
+    # ONE task when the join key is bare `tok` — measured at sf1: 7
+    # straggler tasks ground for 8+ min while 25 finished instantly.
+    # The full side carries salt = hash(doc) % SALT_GROUPS (one per
+    # row), the smaller prefix side is replicated across all salts
+    # (bounded x16 of the sub-linear prefix relation), and the join key
+    # becomes (tok, salt): each (a, b) pair still meets exactly once —
+    # at b's salt, via a's replica — so the candidate set is identical,
+    # but a hot token's production spreads over SALT_GROUPS tasks
+    # keyed by the full side's doc hash.
+    a = prefix.withColumn(
+        "salt", F.explode(F.array(*[F.lit(g) for g in range(SALT_GROUPS)]))
+    ).alias("a")
+    b = full.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(SALT_GROUPS))
+    ).alias("b")
     half = (
-        prefix.alias("a")
-        .join(full.alias("b"), "tok")
+        a.join(b, ["tok", "salt"])
         .filter(F.col("a.doc_id") != F.col("b.doc_id"))
         .select(
             F.least("a.doc_id", "b.doc_id").alias("doc_a"),

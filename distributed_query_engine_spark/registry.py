@@ -242,6 +242,13 @@ _CHANGED: dict[str, int] = {
     "llm_similarity_graph_index": 14,
     "llm_similarity_graph_incremental": 14,
     "llm_similarity_graph_compact": 14,
+    # r14 scale fixes (value-preserving, re-verified oracle-exact at
+    # sf0.01): containment's pair-production join salted on the full
+    # side's doc hash (the candidate_pairs discipline — unsalted, 7
+    # straggler tasks ground 8+ min at sf1); session-wide AQE
+    # minPartitionSize floor lowered 1MiB -> 64KiB (a ~2MiB window
+    # exchange was coalesced to ONE partition under a 100x fan-out).
+    "llm_dedup_containment": 14,
 }
 
 # Checked first within the unverified group (ordering hint only — a

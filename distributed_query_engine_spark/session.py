@@ -23,6 +23,21 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Small-shuffle fan-out guard (r14): AQE's 1 MiB minPartitionSize
+    # floor coalesces a tiny shuffle to 1-2 partitions even with
+    # parallelismFirst=true — measured live: the window exchange inside
+    # llm_dedup_containment at sf1 compresses to ~2 MiB, AQE collapsed
+    # it to ONE partition, and the 100x candidate fan-out ABOVE the
+    # exchange (explode -> prefix join -> distinct partial agg) ground
+    # single-core for 8+ min (GC-locker OOM at the 8g heap). AQE sizes
+    # partitions by the bytes BELOW the exchange; it cannot see work
+    # amplified above it. Lowering the floor to 64 KiB lets
+    # parallelismFirst keep ~defaultParallelism partitions on small
+    # shuffles (probe: 1 -> 9 partitions on an 8-core toy) while big
+    # shuffles are untouched (their total/parallelism target dominates).
+    # The deprecated minPartitionNum knob is NOT honored in Spark 4.1
+    # (probed: still 1 partition) — this is the knob that works.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "65536",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -36,6 +36,7 @@ PINNED = [
     "llm_dedup_minhash",
     "llm_dedup_clusters",
     "llm_dedup_simhash",
+    "llm_dedup_containment",  # salted pair join (r14) — hot prefix tokens
     # BM25 over skewed dl + hot terms (scan + materialized index)
     "llm_bm25_topk",
     "llm_bm25_index",
