@@ -27,14 +27,19 @@ Defaults: K=10, SRC=/root/testdata/sf0.1, DST=<repo>/.tmp/sf1
 --skew (r14, VERDICT r13 item 3): every prior scale sweep ran on the
 near-uniform seed-42 corpus, which is exactly the distribution the
 salting/banding paths were tuned on. Skew mode deforms the SOURCE
-before replication (so each copy carries the same hot pattern and the
-K-fold union amplifies it K-fold — the true nightmare key):
+before replication, so each copy carries the same hot pattern
+(text/vector payloads are NOT key-shifted, so duplicate classes DO
+merge across copies; shifted FK keys stay per-copy — see the hot-key
+note below):
 
 - hot join keys: 30% of orders remap o_custkey to 8 hot customers with
-  geometrically decaying shares (the hottest takes half the hot mass →
-  ~1.9% of ALL orders on one customer at any K); same for
-  lineitem.l_suppkey and events.user_id. FK validity preserved (keys
-  0..7 exist in every dimension copy 0).
+  geometrically decaying shares; same for lineitem.l_suppkey and
+  events.user_id. NOTE the key-shift interaction: these FK columns are
+  key-shifted per copy, so each copy carries its OWN 8 hot keys (copy
+  c's hottest = c*STRIDE + 0 at ~15% of that copy = ~1.5% of the
+  global table at K=10) — K*8 hot keys total, each vastly hotter than
+  the uniform 1/|dim| baseline. FK validity preserved (keys 0..7 exist
+  in every dimension copy).
 - heavy-tailed duplication: 5% of documents take the TEXT of doc_id%97
   — ~97 duplicate classes of ~n/2000 members each on top of the K-fold
   twins, the heavy-tailed cluster-size profile real crawls show.
