@@ -75,11 +75,8 @@ def query(
 # cleanup in later rounds.
 _CHANGED: dict[str, int] = {
     # r6: default flipped to the hashed (dictionary-free) token-id path.
-    "llm_dedup_minhash": 6,
     # r6: grouped + salted prefix self-join de-skew (behavior-preserving).
-    "llm_dedup_simhash": 6,
     # r6: salted within-cell self-join de-skew (behavior-preserving).
-    "llm_semdedup": 6,
     # r6: approx-p50 tolerance loosened 1% → 5% (column renamed to
     # approx_within_5pct) per ADVICE — the t-digest has no 1% guarantee.
     "agg_percentile": 6,
@@ -91,13 +88,11 @@ _CHANGED: dict[str, int] = {
     "llm_embedding_outliers": 7,
     # r7: running share re-based to integer micros (sf1 decimal→double
     # cast-rounding divergence) — engine and oracle both changed.
-    "pareto_abc_classification": 7,
     # r8: LSH knobs retuned for recall >= 0.8 (N_PLANES 8→5, H 2→3) —
     # bucket ids, probe sets, and the ANN top-k all change.
     "llm_similarity_ann_lsh": 8,
     # r8: 25-query panel + n_candidates cost column (schema change),
     # on top of the LSH knob change.
-    "llm_similarity_recall": 8,
     # r8: same N_PLANES retune — its blocking buckets (an output
     # column) and the surviving near-dup pair set change (r8 review
     # catch: the knob's third dependent query).
@@ -110,9 +105,6 @@ _CHANGED: dict[str, int] = {
     # column — schema change), and semdedup (cell assignment changes
     # its kept set — the embcos lesson applied proactively).
     "llm_similarity_ivf": 9,
-    "llm_similarity_ivf_index": 9,
-    "llm_similarity_recall": 9,
-    "llm_semdedup": 9,
     # r9: _spread_narrow_scan — doc_token_arrays/doc_ngram_arrays/
     # _span_base repartition compact doc rows up to session parallelism
     # before their md5-heavy fan-outs (the sf1 one-split parallelism
@@ -120,19 +112,15 @@ _CHANGED: dict[str, int] = {
     # re-verified oracle-exact at sf0.01 — stamped anyway per the r6
     # simhash-de-skew precedent: every query whose plan the operator
     # change touched re-fronts for a driver row.
-    "llm_dedup_minhash": 9,
     "llm_dedup_incremental": 9,
     "llm_dedup_clusters": 9,
     "llm_corpus_curation": 9,
-    "llm_dedup_simhash": 9,
     "llm_dedup_simhash_multiband": 9,
     "llm_cluster_aware_split": 9,
-    "llm_dedup_containment": 9,
     "llm_dedup_cluster_summary": 9,
     "llm_curation_funnel_report": 9,
     "llm_dedup_signature_store": 9,
     "llm_dedup_ngram": 9,
-    "stream_ingest_dedup": 9,
     "llm_dedup_substring": 9,
     "llm_dedup_substring_top": 9,
     "llm_dedup_substring_mask": 9,
@@ -214,7 +202,6 @@ _CHANGED: dict[str, int] = {
     # change only) and the read path no longer sweeps staging dirs.
     "join_asof_nearest": 13,
     "graph_shortest_paths": 13,
-    "llm_bm25_index": 13,
     # r13 second-half review fixes — all locally re-verified
     # oracle-exact at sf0.01 (driver_sim): the kNN-graph grouping moved
     # to sign-disambiguated ids (-(bucket+1) vs the collision-prone
@@ -223,8 +210,6 @@ _CHANGED: dict[str, int] = {
     # (no-op in normal runs).
     "llm_similarity_graph_refine": 13,
     "llm_similarity_graph_recall": 13,
-    "llm_similarity_graph_index": 13,
-    "stream_bm25_ingest": 13,
     # r14 VERDICT/ADVICE fixes — all VALUE-PRESERVING on clean runs,
     # locally re-verified repr-exact at sf0.01 (driver_sim): the
     # foreachBatch loops gained per-batch_id replay markers / batch-0
