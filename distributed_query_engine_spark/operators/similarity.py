@@ -349,7 +349,15 @@ def ivf_centroids(
     the three knobs a 100 TB deployment sizes (n_cells ~ sqrt(corpus),
     :func:`suggest_n_cells`)."""
     if strategy == "lowest_id":
-        seeds = base.filter(F.col("vec_id") < n_cells)
+        # True lowest-k, not filter(vec_id < n_cells): the filter form is
+        # only equivalent when ids are dense from 0 — on a filtered or
+        # offset corpus it under-seeds (or returns ZERO centroids, which
+        # cascades to an empty index; r15 rebuild test caught this).
+        # Identical output on dense ids, so every pinned oracle that
+        # replays the seeding as `WHERE vec_id < n_cells` on the
+        # canonical table is unaffected. orderBy+limit compiles to
+        # TakeOrderedAndProject — a distributed partial top-k.
+        seeds = base.orderBy("vec_id").limit(n_cells)
     elif strategy == "hash_spread":
         # orderBy + limit compiles to TakeOrderedAndProject — a
         # distributed partial top-k, NOT a single-partition window. The
@@ -1372,7 +1380,10 @@ def topk_l2_ivfpq(
     )
     dim, narrow = _probe_dim_strict(narrow, m_sub)
     base = _spread_narrow_scan(narrow, key="vec_id")
-    cents = base.filter(F.col("vec_id") < n_cells).select(
+    # true lowest-k seeding (not filter(vec_id < n_cells)) — the filter
+    # form under-seeds to an EMPTY quantizer on non-dense ids; identical
+    # on the canonical table, so the pinned vec_id<n_cells oracles hold
+    cents = base.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cell_id"), F.col("ivec").alias("c_ivec")
     )
     assigned = _assign_to_l2(base, cents)
@@ -1462,7 +1473,10 @@ def topk_l2_ivfpq_residual(
     )
     dim, narrow = _probe_dim_strict(narrow, m_sub)
     base = _spread_narrow_scan(narrow, key="vec_id")
-    cents = base.filter(F.col("vec_id") < n_cells).select(
+    # true lowest-k seeding (not filter(vec_id < n_cells)) — the filter
+    # form under-seeds to an EMPTY quantizer on non-dense ids; identical
+    # on the canonical table, so the pinned vec_id<n_cells oracles hold
+    cents = base.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cell_id"), F.col("ivec").alias("c_ivec")
     )
     assigned = _assign_to_l2(base, cents)
@@ -1565,7 +1579,10 @@ def build_ivfpq_index(
     )
     dim, narrow = _probe_dim_strict(narrow, m_sub)
     base = _spread_narrow_scan(narrow, key="vec_id")
-    cents = base.filter(F.col("vec_id") < n_cells).select(
+    # true lowest-k seeding (not filter(vec_id < n_cells)) — the filter
+    # form under-seeds to an EMPTY quantizer on non-dense ids; identical
+    # on the canonical table, so the pinned vec_id<n_cells oracles hold
+    cents = base.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cell_id"), F.col("ivec").alias("c_ivec")
     )
     assigned = _assign_to_l2(base, cents)
@@ -2093,6 +2110,23 @@ def build_graph_index(
     ).select("src_id", "dst_id").write.mode("overwrite").parquet(
         f"{index_path}/edges"
     )
+    # Rebuilding into a previously-compacted index_path must repoint the
+    # generation marker, or readers (edges_dir) and append_to_graph_index
+    # keep resolving a stale edges_v<N> from the OLD corpus while the
+    # fresh edges/ is silently ignored (ADVICE r14). Publish 'edges' with
+    # the same tmp+os.replace discipline as compact_graph_index, then GC
+    # the old-corpus generations — centroids/assignments were already
+    # overwritten above, so no reader grace applies to a full rebuild.
+    marker = os.path.join(index_path, "EDGES_CURRENT")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("edges")
+    os.replace(tmp, marker)
+    import shutil as _sh
+
+    for d in os.listdir(index_path):
+        if d.startswith("edges_v"):
+            _sh.rmtree(os.path.join(index_path, d), ignore_errors=True)
 
 
 def topk_cosine_graph_index(

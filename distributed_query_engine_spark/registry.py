@@ -104,7 +104,6 @@ _CHANGED: dict[str, int] = {
     # the recall/cost measurement (also gains the `recommended`
     # column — schema change), and semdedup (cell assignment changes
     # its kept set — the embcos lesson applied proactively).
-    "llm_similarity_ivf": 9,
     # r9: _spread_narrow_scan — doc_token_arrays/doc_ngram_arrays/
     # _span_base repartition compact doc rows up to session parallelism
     # before their md5-heavy fan-outs (the sf1 one-split parallelism
@@ -170,10 +169,7 @@ _CHANGED: dict[str, int] = {
     # incremental IVF index staged at a pid-keyed dir (path-only).
     # All five consumers stamped per the value-preserving precedent.
     "llm_similarity_pq": 11,
-    "llm_similarity_ivfpq": 11,
-    "llm_similarity_ivfpq_rerank": 11,
     "llm_similarity_pq_recall": 11,
-    "llm_similarity_ivf_incremental": 11,
     # r12: the LAST two fact-grain single-partition sorts retired
     # (VERDICT r11 item 1) — both VALUE-PRESERVING by construction
     # (strict total orders; exact_ntile reproduces SQL ntile from
@@ -188,8 +184,6 @@ _CHANGED: dict[str, int] = {
     # bit-identical), and the clustered oracle's clcent CTE gained the
     # len(ivec)>0 guard (oracle text change; no-op on current data).
     # All three re-verified repr-exact at sf0.01.
-    "llm_similarity_ivf_index": 12,
-    "llm_similarity_ivfpq_index": 12,
     "llm_similarity_pq_recall_clustered": 12,
     # r13 ADVICE fixes — all VALUE-PRESERVING on current testdata,
     # locally re-verified oracle-exact at sf0.01 (driver_sim):
@@ -208,8 +202,6 @@ _CHANGED: dict[str, int] = {
     # +1e9 offset; identity mapping on current data) in engine AND
     # oracle; stream_bm25_ingest gained the per-batch_id replay marker
     # (no-op in normal runs).
-    "llm_similarity_graph_refine": 13,
-    "llm_similarity_graph_recall": 13,
     # r14 VERDICT/ADVICE fixes — all VALUE-PRESERVING on clean runs,
     # locally re-verified repr-exact at sf0.01 (driver_sim): the
     # foreachBatch loops gained per-batch_id replay markers / batch-0
@@ -224,9 +216,6 @@ _CHANGED: dict[str, int] = {
     "llm_bm25_index": 14,
     "llm_bm25_index_incremental": 14,
     "llm_bm25_index_compact": 14,
-    "llm_similarity_graph_index": 14,
-    "llm_similarity_graph_incremental": 14,
-    "llm_similarity_graph_compact": 14,
     # r14 scale fixes (value-preserving, re-verified oracle-exact at
     # sf0.01): containment's pair-production join salted on the full
     # side's doc hash (the candidate_pairs discipline — unsalted, 7
@@ -234,6 +223,38 @@ _CHANGED: dict[str, int] = {
     # minPartitionSize floor lowered 1MiB -> 64KiB (a ~2MiB window
     # exchange was coalesced to ONE partition under a 100x fan-out).
     "llm_dedup_containment": 14,
+    # r15: IVF/PQ centroid seeding moved from filter(vec_id < n_cells)
+    # to a true lowest-k (orderBy+limit → TakeOrderedAndProject) in
+    # ivf_centroids and the three inline ivfpq sites — the filter form
+    # silently under-seeded to an EMPTY quantizer on any corpus whose
+    # ids are not dense from 0 (caught by the r15 graph-rebuild test);
+    # build_graph_index additionally repoints EDGES_CURRENT and GCs
+    # stale edges_v<N> generations on rebuild (ADVICE r14 medium).
+    # VALUE-PRESERVING on the canonical dense-id table — all 23 touched
+    # names re-verified repr-exact at sf0.01 (driver_sim, this round).
+    "llm_hard_negatives": 15,
+    "llm_kmeans_embeddings": 15,
+    "llm_semdedup": 15,
+    "llm_similarity_filtered": 15,
+    "llm_similarity_graph_compact": 15,
+    "llm_similarity_graph_incremental": 15,
+    "llm_similarity_graph_index": 15,
+    "llm_similarity_graph_recall": 15,
+    "llm_similarity_graph_refine": 15,
+    "llm_similarity_ivf": 15,
+    "llm_similarity_ivf_compact": 15,
+    "llm_similarity_ivf_delete": 15,
+    "llm_similarity_ivf_incremental": 15,
+    "llm_similarity_ivf_index": 15,
+    "llm_similarity_ivf_sq8": 15,
+    "llm_similarity_ivfpq": 15,
+    "llm_similarity_ivfpq_incremental": 15,
+    "llm_similarity_ivfpq_index": 15,
+    "llm_similarity_ivfpq_prod": 15,
+    "llm_similarity_ivfpq_rerank": 15,
+    "llm_similarity_ivfpq_residual": 15,
+    "llm_similarity_ivfpq_residual_rerank": 15,
+    "llm_similarity_recall": 15,
 }
 
 # Checked first within the unverified group (ordering hint only — a

@@ -1832,6 +1832,34 @@ def test_graph_compaction_erases_ingest_asymmetry(spark, sf_dir, tmp_path):
     )
 
 
+def test_graph_rebuild_into_compacted_path_repoints_generation(spark, sf_dir, tmp_path):
+    """Rebuilding into a previously-compacted index_path must repoint
+    EDGES_CURRENT at the fresh ``edges/`` and GC the old-corpus
+    edges_v<N> generations — otherwise readers and append_to_graph_index
+    silently resolve stale edges from the PREVIOUS corpus (ADVICE r14)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "gidx")
+    S.build_graph_index(e.filter(F.col("vec_id") < 60), idx)
+    S.compact_graph_index(spark, idx)
+    assert S.edges_dir(idx).endswith("edges_v1")
+    # REBUILD over a different corpus slice into the same path
+    S.build_graph_index(e.filter(F.col("vec_id") >= 40), idx)
+    assert S.edges_dir(idx).endswith(_os.sep + "edges")
+    assert not [d for d in _os.listdir(idx) if d.startswith("edges_v")]
+    edges = spark.read.parquet(S.edges_dir(idx)).collect()
+    srcs = {r.src_id for r in edges} | {r.dst_id for r in edges}
+    assert srcs and all(v >= 40 for v in srcs), "stale old-corpus edges resolved"
+    # and incremental ingest after the rebuild appends to the fresh dir
+    S.append_to_graph_index(spark, e.filter(F.col("vec_id") < 10), idx)
+    assert spark.read.parquet(S.edges_dir(idx)).count() > len(edges)
+
+
 def test_sq8_index_ingest_clamps_against_stored_dims(spark, sf_dir, tmp_path):
     """The SQ8 quantizer is a versioned artifact: appending a batch must
     encode against the STORED per-dim ranges (clamped — codes stay in
