@@ -704,8 +704,12 @@ def incremental_dedup_from_store(
     signatures the self-contained variant recomputes."""
     # The store holds per-doc signatures; group at read (one shuffle of
     # the narrow signature relation — at production scale the GROUPED
-    # form would itself be a maintained store artifact).
-    sigs_c = spark.read.parquet(store_path)
+    # form would itself be a maintained store artifact). Recursive
+    # lookup: the streaming ingest loop appends each batch under a
+    # batch-scoped subdir (b<id>/ — overwrite-idempotent replays, r15);
+    # a flat store reads identically, and _-prefixed entries stay
+    # hidden either way.
+    sigs_c = spark.read.option("recursiveFileLookup", "true").parquet(store_path)
     # incoming is batch-sized (a streaming micro-batch in the ingest
     # loop): its md5 work fits one task, so the narrow-scan spread is
     # pure per-batch exchange overhead — opted out.

@@ -210,7 +210,6 @@ _CHANGED: dict[str, int] = {
     # re-force the bucket-pruned plan on the RETURNED frame; the graph
     # index publishes edges generationally (edges_v<N> + EDGES_CURRENT
     # pointer) and readers resolve through edges_dir().
-    "stream_ingest_dedup": 14,
     "stream_bm25_ingest": 14,
     "stream_mv_refresh": 14,
     "llm_bm25_index": 14,
@@ -255,6 +254,13 @@ _CHANGED: dict[str, int] = {
     "llm_similarity_ivfpq_residual": 15,
     "llm_similarity_ivfpq_residual_rerank": 15,
     "llm_similarity_recall": 15,
+    # r15: stream_ingest_dedup's exactly-once window CLOSED — batch
+    # outputs now land in batch-scoped overwrite subdirs (sink/b<id>,
+    # store/b<id>) with clean-before-apply on unmarked replays; the
+    # store/sink reads went recursive. Row-identical on clean runs
+    # (re-verified repr-exact at sf0.01 alongside the two other store
+    # consumers); recovery pinned in test_streaming_recovery.py.
+    "stream_ingest_dedup": 15,
 }
 
 # Checked first within the unverified group (ordering hint only — a

@@ -503,17 +503,25 @@ def stream_ingest_dedup(
     (asserted in tests), making an exact oracle possible for a
     genuinely incremental multi-batch computation.
 
-    EXACTLY-ONCE under restart (r14, VERDICT r13 item 4): foreachBatch
-    is at-least-once — a restart between the sink append and the
-    checkpoint commit re-delivers the batch under the SAME batch_id,
-    and without a guard the replay doubles that batch's sink rows AND
-    its store signatures (phantom pairs in every later batch). The
-    per-batch_id marker (the _bm25_ingest_batch discipline) makes
-    replays no-ops; ``_resume=True`` re-enters an existing
-    checkpoint/sink/store instead of clearing them, and
-    ``_crash_after_batch`` injects a post-commit-window crash — both
-    exist so the recovery contract is a pinned test
-    (tests/test_streaming_recovery.py), not a clean-run claim."""
+    EXACTLY-ONCE under restart (r14 marker, r15 closure of its residual
+    window — ADVICE r14): foreachBatch is at-least-once — a restart
+    re-delivers the batch under the SAME batch_id. Each batch's two
+    outputs land in BATCH-SCOPED subdirs (``sink/b<id>``,
+    ``store/b<id>``) written with overwrite, and an unmarked replay
+    CLEANS both subdirs before recomputing (clean-before-apply), so a
+    crash at ANY point — between the sink write and the store write,
+    or between the store write and the marker touch — leaves nothing a
+    replay cannot erase: the marker is a fast-skip, not the correctness
+    mechanism (contrast _bm25_ingest_batch, whose shared-layout appends
+    retain a documented post-append pre-marker window for batches > 0).
+    Cleaning must precede the recompute, not just the rewrite: the
+    report reads the store, and a crashed attempt's own ``store/b<id>``
+    would otherwise feed the batch its OWN signatures (self-pairs).
+    ``_resume=True`` re-enters an existing checkpoint/sink/store
+    instead of clearing them, ``_crash_after_batch`` injects a
+    post-commit-window crash, and ``_TEST_DEDUP_CRASH_BEFORE_MARKER``
+    injects the mid-application crash — all pinned in
+    tests/test_streaming_recovery.py, not clean-run claims."""
     from distributed_query_engine_spark.catalog import Tables
     from distributed_query_engine_spark.operators import dedup as D
 
@@ -550,7 +558,15 @@ def stream_ingest_dedup(
         applied.mkdir(parents=True, exist_ok=True)
         marker = applied / f"batch-{batch_id}"
         if marker.exists():
-            return  # replayed batch: sink and store already hold it
+            return  # fully-applied batch: fast-skip
+        # clean-before-apply: an unmarked batch may be a replay of a
+        # crashed attempt — erase its partial outputs BEFORE computing,
+        # or the report would read the crashed attempt's store/b<id>
+        # and pair the batch against its own signatures
+        sink_b = sink / f"b{batch_id}"
+        store_b = Path(store) / f"b{batch_id}"
+        shutil.rmtree(sink_b, ignore_errors=True)
+        shutil.rmtree(store_b, ignore_errors=True)
         report = D.incremental_dedup_from_store(
             spark, store, d_all, batch_df, threshold=threshold, hashed=True
         )
@@ -565,15 +581,21 @@ def stream_ingest_dedup(
             "jaccard",
             "is_dup",
         )
-        normalized.write.mode("append").parquet(str(sink))
+        normalized.write.mode("overwrite").parquet(str(sink_b))
         # the production loop's append: this batch becomes part of the
-        # store the NEXT batch dedups against
+        # store the NEXT batch dedups against (batch-scoped subdir —
+        # the store read is recursive).
         # spread=False: a micro-batch repartitioned to session
         # parallelism would append 32 tiny files per batch to the store
         # and pay a per-batch exchange for one task's worth of md5.
+        if batch_id in _TEST_DEDUP_CRASH_BEFORE_MARKER:
+            # test hook: crash BETWEEN the two writes — sink applied,
+            # store not — the nastiest point of the old append layout
+            _TEST_DEDUP_CRASH_BEFORE_MARKER.discard(batch_id)
+            raise RuntimeError(f"injected crash mid-application, batch {batch_id}")
         D.signatures_rowlocal(batch_df, spread=False).write.mode(
-            "append"
-        ).parquet(store)
+            "overwrite"
+        ).parquet(str(store_b))
         marker.touch()
         if _crash_after_batch is not None and batch_id == _crash_after_batch:
             # the injected crash lands AFTER full application, BEFORE
@@ -594,7 +616,9 @@ def stream_ingest_dedup(
     LAST_RUN_EXEC_MS[name] = float(
         sum(p["durationMs"].get("triggerExecution", 0) for p in q.recentProgress)
     )
-    return spark.read.parquet(str(sink))
+    # recursive: batches live in sink/b<id> subdirs; _applied is
+    # _-prefixed and therefore invisible to the file index
+    return spark.read.option("recursiveFileLookup", "true").parquet(str(sink))
 
 
 STRAGGLER_CUTOFF = "2024-01-06 00:00:00"
@@ -1329,6 +1353,11 @@ def _stage_all_docs_sliced(
 # here raise once AFTER application, BEFORE the marker touch — the
 # residual at-least-once window the batch-0 rebuild closes.
 _TEST_CRASH_BEFORE_MARKER: set[int] = set()
+
+# stream_ingest_dedup's analogue: raise once BETWEEN the sink write and
+# the store write — mid-application, the point clean-before-apply must
+# recover from (resolved at call time; defined here beside its sibling).
+_TEST_DEDUP_CRASH_BEFORE_MARKER: set[int] = set()
 
 
 def _bm25_ingest_batch(

@@ -65,6 +65,38 @@ def test_bm25_ingest_crash_after_batch2_resumes_score_identical(spark, sf_dir):
     assert got == expected
 
 
+def test_ingest_dedup_crash_MID_application_resumes_row_identical(spark, sf_dir):
+    """ADVICE r14: the old append layout had a residual window — a crash
+    between the sink append and the store append (or before the marker)
+    double-applied the batch on replay. The r15 batch-scoped
+    clean-before-apply closes it: the injection crashes AFTER batch 1's
+    sink write, BEFORE its store write; the replay must erase the
+    partial sink subdir and re-apply, leaving the final sink
+    row-identical to an uninterrupted run — and the store must hold
+    batch 1's signatures exactly once (later batches would otherwise
+    see phantom pairs)."""
+    expected = _rows(ops.stream_ingest_dedup(spark, sf_dir))
+    ops._TEST_DEDUP_CRASH_BEFORE_MARKER.add(1)
+    try:
+        with pytest.raises((StreamingQueryException, RuntimeError)) as ei:
+            ops.stream_ingest_dedup(spark, sf_dir)
+        assert "injected crash" in str(ei.value)
+    finally:
+        ops._TEST_DEDUP_CRASH_BEFORE_MARKER.discard(1)
+    got = _rows(ops.stream_ingest_dedup(spark, sf_dir, _resume=True))
+    assert got == expected
+    # the store holds each batch's signatures exactly once
+    store = ops._pid_run_dir(
+        "sig_store_stream", ops._staging_key(sf_dir), keep=True
+    )
+    sigs = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(store))
+        .select("doc_id")
+    )
+    assert sigs.count() == sigs.distinct().count()
+
+
 def test_bm25_ingest_crash_DURING_batch0_bootstrap_rebuilds(spark, sf_dir):
     """ADVICE r13: a crash after write_bm25_index but BEFORE the batch-0
     marker used to send the replay down the append branch (tableExists
