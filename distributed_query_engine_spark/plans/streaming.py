@@ -168,14 +168,22 @@ def stream_dedup(spark, sf_dir):
 def stream_stateful_tws(spark, sf_dir):
     # transformWithStateInPandas (typed state handles; successor API to
     # applyInPandasWithState) over one AvailableNow pass ≡ the grouped
-    # batch aggregate. The TWS state protocol needs protobuf, which this
-    # container lacks — the gate falls back to the applyInPandasWithState
-    # twin with the identical key/state/output contract.
+    # batch aggregate. enable_tws wires the protobuf runtime into the
+    # session's spawned workers (r15: the container's Google Cloud SDK
+    # ships a pure-Python protobuf; version skew bridged with protobuf's
+    # own escape hatch) and the run pins the RocksDB provider TWS
+    # requires (typed handles = multiple column families). Falls back
+    # to the applyInPandasWithState twin with the identical
+    # key/state/output contract only when no protobuf runtime exists.
     ev = ops.read_events_stream(spark, sf_dir)
-    build = (
-        ops.stateful_type_stats_tws if ops.tws_available() else ops.stateful_type_stats_gws
+    if ops.enable_tws(spark):
+        with ops._rocksdb_state_store(spark):
+            return ops.run_to_memory(
+                ops.stateful_type_stats_tws(ev), "mem_stateful_tws", "update"
+            )
+    return ops.run_to_memory(
+        ops.stateful_type_stats_gws(ev), "mem_stateful_tws", "update"
     )
-    return ops.run_to_memory(build(ev), "mem_stateful_tws", "update")
 
 
 @query(

@@ -261,6 +261,13 @@ _CHANGED: dict[str, int] = {
     # (re-verified repr-exact at sf0.01 alongside the two other store
     # consumers); recovery pinned in test_streaming_recovery.py.
     "stream_ingest_dedup": 15,
+    # r15: stream_stateful_tws now exercises the REAL
+    # transformWithStateInPandas path (worker-side protobuf wiring via
+    # enable_tws + mandatory RocksDB provider) instead of silently
+    # falling back to applyInPandasWithState. Same oracle; re-verified
+    # repr-exact at sf0.01; TWS==GWS==batch pinned in
+    # tests/test_streaming_tws.py.
+    "stream_stateful_tws": 15,
 }
 
 # Checked first within the unverified group (ordering hint only — a

@@ -814,17 +814,119 @@ def stream_dedup_keys(events: DataFrame) -> DataFrame:
     )
 
 
-def tws_available() -> bool:
-    """transformWithStateInPandas needs protobuf for its state-server
-    protocol; this container ships a broken google.protobuf (and installs
-    are off-limits), so the TWS path is gated — same import-try pattern
-    any optional native dep gets."""
+# Pure-Python protobuf runtime bundled with the (public) Google Cloud
+# SDK — the one protobuf copy this no-pip container ships. pyspark
+# 4.1.2's TWS gencode is 6.33 vs this runtime's 6.32; the gap is
+# bridged with protobuf's OWN escape hatch
+# (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK, read at call time by
+# runtime_version.ValidateProtobufRuntimeVersion), not a monkeypatch.
+_GAE_PROTOBUF_DIR = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+_PB_DISABLE_CHECK = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+
+
+_PROTOBUF_EXTRA_PATH: "list[str | None]" = []  # memoized first probe
+
+
+def _protobuf_extra_path() -> "str | None":
+    """Extra sys.path entry that makes ``google.protobuf`` importable:
+    '' when it already imports natively, the SDK dir when only the
+    bundled copy exists, None when neither — the tri-state the TWS gate
+    and the worker-env plumbing both branch on. MEMOIZED on the first
+    call: tws_available() inserts the SDK dir into sys.path, after
+    which a re-probe would see 'native' and enable_tws would skip the
+    worker PYTHONPATH it still needs (spawned workers start from a
+    clean interpreter)."""
+    if _PROTOBUF_EXTRA_PATH:
+        return _PROTOBUF_EXTRA_PATH[0]
     try:
         from google.protobuf import descriptor  # noqa: F401
 
-        return True
+        result: "str | None" = ""
     except ImportError:
+        import os.path as _op
+
+        probe = _op.join(
+            _GAE_PROTOBUF_DIR, "google", "protobuf", "descriptor.py"
+        )
+        result = _GAE_PROTOBUF_DIR if _op.exists(probe) else None
+    _PROTOBUF_EXTRA_PATH.append(result)
+    return result
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol (the StateMessage_pb2 channel between the JVM and the
+    Python workers). True when a protobuf runtime is importable —
+    natively or via the container's Google Cloud SDK bundled copy —
+    AND the generated module actually loads under it. Driver-side
+    import state is mutated here (sys.path + the version-check escape
+    hatch); :func:`enable_tws` extends the same to spawned workers."""
+    extra = _protobuf_extra_path()
+    if extra is None:
         return False
+    import sys as _sys
+
+    if extra and extra not in _sys.path:
+        _sys.path.insert(0, extra)
+    os.environ[_PB_DISABLE_CHECK] = "true"
+    try:
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """Temporarily pin the RocksDB state-store provider for a TWS run —
+    transformWithStateInPandas keys its typed state handles on multiple
+    column families, which HDFSBackedStateStoreProvider rejects
+    (UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES), so
+    RocksDB is a REQUIREMENT of the operator, not a tuning choice.
+    Restores the caller's provider after (the conf is read at query
+    start, so scoping it to the run is enough)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def enable_tws(spark: SparkSession) -> bool:
+    """Make the TWS path usable for THIS session's spawned Python
+    workers, returning whether TWS is available at all. The TWS state
+    server runs in a separate worker process that re-imports
+    StateMessage_pb2, so the driver-side sys.path fix is not enough:
+    worker env comes from ``sc.environment`` (captured into each
+    PythonFunction's envVars at creation — the one channel that works
+    AFTER the JVM is up, which is the driver-contract order: the
+    grading driver builds its vanilla session before our code runs).
+    Idempotent; safe to call per query."""
+    if not tws_available():
+        return False
+    env = spark.sparkContext.environment
+    env[_PB_DISABLE_CHECK] = "true"
+    extra = _protobuf_extra_path()
+    if extra:
+        cur = env.get("PYTHONPATH") or os.environ.get("PYTHONPATH", "")
+        if extra not in cur.split(os.pathsep):
+            env["PYTHONPATH"] = (
+                extra + (os.pathsep + cur if cur else "")
+            )
+    return True
 
 
 def stateful_type_stats_tws(events: DataFrame) -> DataFrame:
@@ -834,9 +936,11 @@ def stateful_type_stats_tws(events: DataFrame) -> DataFrame:
     integer-cents sum) in a ValueState. Cents are exact ints, so output
     is arrival-order-independent.
 
-    Requires :func:`tws_available`; callers fall back to
+    Requires :func:`enable_tws` (worker-side protobuf wiring) and the
+    RocksDB state-store provider (:func:`_rocksdb_state_store` — typed
+    handles need multiple column families); callers fall back to
     :func:`stateful_type_stats_gws` (identical semantics on the older
-    applyInPandasWithState API) when the protobuf dep is absent."""
+    applyInPandasWithState API) when no protobuf runtime exists."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
