@@ -41,14 +41,21 @@ if ONLY:
     if unknown:
         raise SystemExit(f"unknown query names: {sorted(unknown)}")
     qs = {n: qs[n] for n in ONLY}
+# r15 (VERDICT r14 item 3): the pair-local dedup names moved OFF the
+# skip list into BLOCKED-oracle verification — engine at FULL scale,
+# oracle replayed on a deterministic 1/97 key block (linear-sized under
+# twin replication), repr-exact on the block. Pair-locality is pinned
+# at sf0.01 by tests/test_blocked_oracle.py.
+from scripts.blocked_oracle import BLOCKED, blocked_connection, filter_engine_block
+con_blocked = blocked_connection(SF)
+con_blocked.execute("SET memory_limit='48GB'")
+con_blocked.execute(f"SET temp_directory='{_spill}'")
 SKIP = {
- "llm_dedup_minhash","llm_dedup_minhash_dict","llm_dedup_simhash",
- "llm_dedup_simhash_multiband","llm_dedup_containment","llm_dedup_ngram",
- "llm_dedup_embcos","llm_semdedup","llm_dedup_incremental",
+ "llm_dedup_minhash_dict","llm_semdedup",
  # all-pairs tid-set truth join is the AUDIT harness: quadratic in the
  # twin-replicated corpus by design; run on a sample at scale
  "llm_dedup_minhash_recall",
- "llm_dedup_signature_store","llm_similarity_recall",
+ "llm_similarity_recall",
  "llm_similarity_projected_recall","llm_similarity_sq8_recall",
  "stream_ingest_dedup",
  # kNN-graph rung: n_cells/n_planes are PINNED (32/32) for oracle
@@ -76,6 +83,19 @@ for name, fn in sorted(qs.items()):
     if name in SKIP:
         print("SKIP", name, flush=True); continue
     try:
+        if name in BLOCKED:
+            cols, _tabs = BLOCKED[name]
+            df = filter_engine_block(fn(spark, SF), cols)
+            srows = [tuple(r) for r in df.collect()]
+            rel = con_blocked.sql(os_[name]); drows = rel.fetchall()
+            scols=[c.lower() for c in df.columns]; dcols=[c.lower() for c in rel.columns]
+            oi=sorted(range(len(scols)),key=lambda i:scols[i]); od=sorted(range(len(dcols)),key=lambda i:dcols[i])
+            ss=sorted([tuple(repr(r[i]) for i in oi) for r in srows]); dd=sorted([tuple(repr(r[i]) for i in od) for r in drows])
+            ok=(sorted(scols)==sorted(dcols)) and ss==dd and len(ss) > 0
+            print(("OKB " if ok else "MISM"), name, len(ss), "block-exact", flush=True)
+            if ok: n_ok += 1
+            else: fails.append(name)
+            continue
         df = fn(spark, SF)
         n = df.count()
         if name not in os_:
