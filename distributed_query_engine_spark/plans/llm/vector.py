@@ -1878,6 +1878,194 @@ def llm_similarity_graph_compact(spark, sf_dir):
     )
 
 
+# ---- graph lifecycle at DEPLOYMENT knobs (r15, VERDICT r14 item 4) ----
+#
+# The pinned trio above (N_CELLS=32, N_PLANES=5) is the fully-replayable
+# rung: its oracle re-derives the whole pipeline, which makes the index
+# BUILD quadratic at 10x+ slices — the oracle-verified regime and the
+# recommended deployment regime (n_cells ~ sqrt(corpus),
+# suggest_n_cells) were different regimes. The _prod trio closes that
+# gap: the engine runs at the deployment knobs and the ORACLE is the
+# exact-cosine truth panel itself — the r14 knob study (sf1 + sf3,
+# uniform and planted-cluster corpora) measured recall@5 = 1.000 at
+# these knobs down to 1% probe, and these queries pin that claim as a
+# hash-exact equality instead of a prose number. A future knob or data
+# change that costs even one hit on one query fails the driver row —
+# recall is the contract, not a sidecar metric.
+
+_ANN_ECONOMIC_FLOOR = 1000
+
+
+def _prod_graph_knobs(n: int) -> tuple[int, int, int]:
+    """(n_cells, n_planes, n_probe) at deployment sizing: sqrt-corpus
+    cells, population-bounded LSH planes, 10% probe (10x the margin of
+    the measured 1%-probe recall floor at sf1/sf3, r14 knob study).
+
+    Below ``_ANN_ECONOMIC_FLOOR`` vectors the probe goes EXHAUSTIVE
+    (n_probe = n_cells): on a few-hundred-vector corpus the panel's
+    true neighbors are near-random (measured sf0.01: 2 of 25 hits
+    outside even a 50%-probe + graph-hop reach), which is not an index
+    regime at all — a deployment scans below the index's economic
+    floor and probes above it. The floor only ever binds the toy
+    driver-gate slice; every sweep scale (sf0.1's 2000 vectors up)
+    runs the genuine 10%-probe regime, measured recall-exact there."""
+    n_cells = S.suggest_n_cells(n)
+    n_planes = S.suggest_n_planes(n)
+    if n < _ANN_ECONOMIC_FLOOR:
+        n_probe = n_cells
+    else:
+        n_probe = max(S.N_PROBE, -(-n_cells // 10))
+    return n_cells, n_planes, n_probe
+
+
+_EXACT_TOP5_ORACLE = lambda: f"""
+    WITH {_IVEC_CTE},
+    q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
+          FROM nv WHERE vec_id IN (0,1,2,3,4)),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             list_dot_product(q.q_ivec, c.ivec)
+               / (sqrt(CAST(q.q_nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+               AS cosine
+      FROM q, nv c WHERE c.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, cosine, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """
+
+
+@query("llm_similarity_graph_prod", oracle=_EXACT_TOP5_ORACLE)
+def llm_similarity_graph_prod(spark, sf_dir):
+    """Graph-refined ANN at DEPLOYMENT knobs (suggest_n_cells ~
+    sqrt(corpus), suggest_n_planes, 10% probe) against a persisted
+    index. The oracle is the EXACT-cosine top-5 panel: equality holds
+    iff the prod-knob search achieves recall 1.0 on every panel query —
+    the honest contract for the regime a 100 TB deployment actually
+    runs (the pinned-knob llm_similarity_graph_index remains the
+    fully-replayed rung). Build cost at these knobs is ~n^1.5 bounded
+    group pairs (sqrt-n cells of sqrt-n population), not the pinned
+    regime's n^2/32 — the scale sweeps run THIS trio at 10x+."""
+    e = Tables(spark, sf_dir).embeddings
+    n_cells, n_planes, n_probe = _prod_graph_knobs(e.count())
+    index = _content_addressed_index(
+        sf_dir,
+        "graph_index_prod",
+        f"graph:{S.KNN_G}:{n_cells}:{n_planes}:lowest_id:0",
+        lambda p: S.build_graph_index(
+            e, p, n_cells=n_cells, n_planes=n_planes
+        ),
+    )
+    return S.topk_cosine_graph_index(
+        spark, index, _QUERY_IDS, k=5, n_probe=n_probe
+    )
+
+
+@query(
+    "llm_similarity_graph_prod_incremental",
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
+          FROM nv WHERE vec_id IN (0,1,2,3,4)),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             list_dot_product(q.q_ivec, c.ivec)
+               / (sqrt(CAST(q.q_nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+               AS cosine
+      FROM q, nv c WHERE c.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, cosine, rn,
+           (vec_id % {_IVF_NEW_MOD}) >= {_IVF_NEW_LO} AS is_new
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def llm_similarity_graph_prod_incremental(spark, sf_dir):
+    """Deployment-knob graph lifecycle, ingest leg: build from the
+    existing 90% (quantizer sized by suggest_n_cells on the existing
+    count — ingest never retrains), append the 10% batch, search. The
+    exact-panel oracle makes the recall claim UNDER the documented
+    ingest asymmetry: new vectors must be found through the IVF probe
+    (assignments appended at once) even though existing nodes' edge
+    lists don't point at them yet."""
+    e = Tables(spark, sf_dir).embeddings
+    is_new = F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
+    n_cells, n_planes, n_probe = _prod_graph_knobs(
+        e.filter(~is_new).count()
+    )
+    from distributed_query_engine_spark.catalog import staging_key
+    from distributed_query_engine_spark.streaming.ops import _pid_run_dir
+
+    index = str(_pid_run_dir("graph_index_prod_incr", staging_key(sf_dir)))
+    S.build_graph_index(
+        e.filter(~is_new), index, n_cells=n_cells, n_planes=n_planes
+    )
+    S.append_to_graph_index(
+        spark, e.filter(is_new), index, n_planes=n_planes
+    )
+    res = S.topk_cosine_graph_index(
+        spark, index, _QUERY_IDS, k=5, n_probe=n_probe
+    )
+    return res.withColumn(
+        "is_new", F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
+    )
+
+
+@query(
+    "llm_similarity_graph_prod_compact",
+    oracle=lambda: f"""
+    WITH {_IVEC_CTE},
+    q AS (SELECT vec_id AS q_id, ivec AS q_ivec, nsq AS q_nsq
+          FROM nv WHERE vec_id IN (0,1,2,3,4)),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             list_dot_product(q.q_ivec, c.ivec)
+               / (sqrt(CAST(q.q_nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+               AS cosine
+      FROM q, nv c WHERE c.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, cosine, rn,
+           (vec_id % {_IVF_NEW_MOD}) >= {_IVF_NEW_LO} AS is_new
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def llm_similarity_graph_prod_compact(spark, sf_dir):
+    """Deployment-knob graph lifecycle, compaction leg: build 90%,
+    ingest 10%, compact (full symmetric edge recompute over the stored
+    quantizer, generationally published), search — still exact against
+    the brute-force panel. Closes the lifecycle at the knobs a
+    deployment serves; the pinned-knob trio keeps the fully-replayed
+    edge-set oracle at sf0.01."""
+    e = Tables(spark, sf_dir).embeddings
+    is_new = F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
+    n_cells, n_planes, n_probe = _prod_graph_knobs(
+        e.filter(~is_new).count()
+    )
+    from distributed_query_engine_spark.catalog import staging_key
+    from distributed_query_engine_spark.streaming.ops import _pid_run_dir
+
+    index = str(_pid_run_dir("graph_index_prod_cpt", staging_key(sf_dir)))
+    S.build_graph_index(
+        e.filter(~is_new), index, n_cells=n_cells, n_planes=n_planes
+    )
+    S.append_to_graph_index(
+        spark, e.filter(is_new), index, n_planes=n_planes
+    )
+    S.compact_graph_index(spark, index, n_planes=n_planes)
+    res = S.topk_cosine_graph_index(
+        spark, index, _QUERY_IDS, k=5, n_probe=n_probe
+    )
+    return res.withColumn(
+        "is_new", F.pmod(F.col("vec_id"), F.lit(_IVF_NEW_MOD)) >= _IVF_NEW_LO
+    )
+
+
 @query(
     "llm_similarity_sq8_incremental",
     # SQ8's ingest contract: the quantizer (per-dim min/max) is learned
