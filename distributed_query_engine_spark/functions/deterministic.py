@@ -5,14 +5,25 @@ aggregation over 32+ partitions and DuckDB's sequential scan sum the same
 doubles in different orders and disagree in low-order bits, which breaks
 exact value-hash comparison. Casting to a wide decimal *before* summing
 makes the aggregate exact and order-independent in both engines, so both
-produce bit-identical results; the final cast back to double is exact at
-our magnitudes (< 2**53 / 10**6).
+produce bit-identical results.
+
+The final decimal→double cast goes THROUGH A STRING on both sides
+(r15). Once a total carries more significant digits than double's ~16
+(first seen at the sf10 rung: 4.4e11 summed at 6 decimals = 18
+digits), the direct casts diverge: DuckDB's decimal→double runs the
+scaled int128 through double arithmetic and lands 1 ulp off the
+correctly-rounded value (measured: 437890060870.53 → …52997), while
+Spark/Java converts exactly — the same last-ulp cast-divergence class
+as r7's pareto fix. Both engines' decimal→string is exact and their
+string→double is a correctly-rounded strtod, so the string route makes
+the conversion identical bit-for-bit at ANY magnitude the decimal can
+hold — no int64-micros ceiling, unlike the r7 fix's accumulator swap.
 
 Every Spark-side helper here has a documented DuckDB twin (used inside the
 ``oracle=`` strings) so the pair stays in lock-step:
 
-    dsum(c)    ≡  CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE)
-    davg(c)    ≡  CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c)
+    dsum(c)    ≡  CAST(CAST(SUM(CAST(c AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+    davg(c)    ≡  sql_dsum(c) / COUNT(c)
 
 For products of doubles (e.g. ``l_extendedprice * (1 - l_discount)``) the
 multiplication itself is IEEE-deterministic given identical inputs, so we
@@ -32,14 +43,14 @@ DEC = "decimal(38,6)"
 def dsum(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent sum of a double column (exact decimal internally)."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(DEC)).cast("double")
+    out = F.sum(c.cast(DEC)).cast("string").cast("double")
     return out.alias(alias) if alias else out
 
 
 def davg(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent mean: exact decimal sum divided by count."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    out = F.sum(c.cast(DEC)).cast("string").cast("double") / F.count(c)
     return out.alias(alias) if alias else out
 
 
@@ -61,7 +72,14 @@ def cents_sum(values) -> int:
 
 def sql_dsum(expr: str) -> str:
     """DuckDB twin of :func:`dsum` for use in oracle strings."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
+
+
+def sparksql_dsum(expr: str) -> str:
+    """:func:`dsum` for SPARK-SQL query text (``spark.sql`` bodies):
+    same string-routed conversion, but Spark's parser rejects bare
+    ``VARCHAR`` — its unparameterized string type is ``STRING``."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS STRING) AS DOUBLE)"
 
 
 def sql_davg(expr: str) -> str:

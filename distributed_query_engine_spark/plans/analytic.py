@@ -29,14 +29,14 @@ from distributed_query_engine_spark.registry import query
 # ---------------------------------------------------------------------------
 
 _DAVG_TOTALPRICE = (
-    "CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)"
+    "CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)"
 )
 
 
 @query(
     "subquery_scalar",
     oracle=lambda: f"""
-    WITH a AS (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+    WITH a AS (SELECT CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
                         / COUNT(*) AS ap
                FROM part)
     SELECT p_partkey, p_name, p_retailprice
@@ -1689,7 +1689,7 @@ def sql_pipe_syntax(spark, sf_dir):
         FROM _pipe_lineitem
         |> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
-                     CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                     CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                        AS sum_qty
            GROUP BY l_returnflag, l_linestatus
         |> WHERE n > 100
@@ -2991,7 +2991,7 @@ def yoy_revenue_growth(spark, sf_dir):
       SELECT o_custkey,
              CAST(epoch(max(o_orderdate)) AS BIGINT) AS recency_epoch,
              CAST(COUNT(*) AS BIGINT) AS frequency,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
                AS monetary
       FROM orders GROUP BY o_custkey
     ),
@@ -3676,10 +3676,10 @@ def agg_regression_family(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
              / count(*) AS avg_price
     FROM orders GROUP BY o_orderpriority
     """,
@@ -3712,10 +3712,12 @@ def mv_incremental_refresh(spark, sf_dir):
     return merged.select(
         "o_orderpriority",
         "n_orders",
-        F.col("sum_dec").cast("double").alias("revenue"),
+        F.col("sum_dec").cast("string").cast("double").alias("revenue"),
         "min_price",
         "max_price",
-        (F.col("sum_dec").cast("double") / F.col("n_orders")).alias("avg_price"),
+        (
+            F.col("sum_dec").cast("string").cast("double") / F.col("n_orders")
+        ).alias("avg_price"),
     )
 
 

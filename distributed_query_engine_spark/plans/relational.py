@@ -21,6 +21,7 @@ from distributed_query_engine_spark.functions.deterministic import (
     davg,
     dsum,
     sql_davg,
+    sparksql_dsum,
     sql_dsum,
 )
 from distributed_query_engine_spark.registry import query
@@ -597,7 +598,7 @@ def agg_grouping_sets(spark, sf_dir):
     return spark.sql(
         f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-               {sql_dsum('o_totalprice')} AS total
+               {sparksql_dsum('o_totalprice')} AS total
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """

@@ -294,8 +294,7 @@ def udf_arrow_scalar(spark, sf_dir):
     SELECT CASE WHEN l_quantity < 10 THEN 'low'
                 WHEN l_quantity < 30 THEN 'mid'
                 ELSE 'high' END AS tier,
-           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
     GROUP BY tier
@@ -320,8 +319,7 @@ def sql_udf_scalar(spark, sf_dir):
     return spark.sql(
         """
         SELECT qty_tier(l_quantity) AS tier,
-               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
-                             AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               CAST(CAST(SUM(CAST(disc_price(l_extendedprice, l_discount) AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS revenue,
                CAST(count(*) AS BIGINT) AS n_lines
         FROM li_sqludf
         GROUP BY qty_tier(l_quantity)
@@ -333,8 +331,7 @@ def sql_udf_scalar(spark, sf_dir):
     "sql_udf_table",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-01'
@@ -354,8 +351,7 @@ def sql_udf_table(spark, sf_dir):
         RETURNS TABLE(l_returnflag STRING, revenue DOUBLE, n_lines BIGINT)
         RETURN
           SELECT l_returnflag,
-                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                               AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+                 CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS revenue,
                  CAST(count(*) AS BIGINT) AS n_lines
           FROM li_sqltvf
           WHERE l_shipdate <= cutoff

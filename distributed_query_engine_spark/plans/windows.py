@@ -73,10 +73,10 @@ def window_lag_lead(spark, sf_dir):
     "window_running_sum_frame",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DOUBLE) AS running_total
+            AS VARCHAR) AS DOUBLE) AS running_total
     FROM orders
     """,
 )
@@ -92,7 +92,11 @@ def window_running_sum_frame(spark, sf_dir):
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w)
+        .cast("string")
+        .cast("double")
+        .alias("running_total"),
     )
 
 

@@ -269,6 +269,54 @@ _CHANGED: dict[str, int] = {
     "llm_similarity_pq_recall": 15,
     "llm_similarity_pq_recall_clustered": 15,
     "llm_similarity_matryoshka_recall": 15,
+    # r15 (third wave — found by the sf10 rung, the round's real scale
+    # catch): dsum/davg's final decimal->double conversion now routes
+    # THROUGH A STRING on both engines. Beyond ~16 significant digits
+    # (first crossed at sf10: 4.4e11 at 6 decimals = 18 digits),
+    # DuckDB's direct decimal->double cast lands 1 ulp off the
+    # correctly-rounded value (measured: 437890060870.53 -> ...52997)
+    # while Spark converts exactly — flagship/agg_rollup/
+    # agg_grouping_sets MISM'd at sf10 and are repr-exact there after
+    # the fix. decimal->string is exact and string->double is a
+    # correctly-rounded strtod in both engines, at any magnitude
+    # DECIMAL(38,6) can hold. VALUE-PRESERVING at <=16-digit totals
+    # (every sf0.01 gate value) — all 35 consumers re-verified
+    # repr-exact at sf0.01 this round:
+    "agg_groupby_sum_avg_min_max_count": 15,
+    "agg_grouping_sets": 15,
+    "agg_rollup": 15,
+    "flagship": 15,
+    "join_broadcast": 15,
+    "join_bucketed_colocated": 15,
+    "join_range_bucketized": 15,
+    "mv_incremental_refresh": 15,
+    "pareto_abc_classification": 15,
+    "rfm_segmentation": 15,
+    "sample_hash_mod": 15,
+    "sample_stratified": 15,
+    "sql_pipe_syntax": 15,
+    "sql_udf_scalar": 15,
+    "sql_udf_table": 15,
+    "stream_tumbling_topk": 15,
+    "stream_tumbling_window_agg": 15,
+    "subquery_correlated": 15,
+    "subquery_scalar": 15,
+    "timeseries_resample_ffill": 15,
+    "tpch_q3_shipping_priority": 15,
+    "tpch_q5_region_revenue": 15,
+    "tpch_q6_forecast_revenue": 15,
+    "tpch_q7_nation_volume": 15,
+    "tpch_q8_market_share": 15,
+    "tpch_q10_returned_items": 15,
+    "tpch_q11_important_stock": 15,
+    "tpch_q14_promo_revenue": 15,
+    "tpch_q15_top_supplier": 15,
+    "tpch_q17_small_quantity_revenue": 15,
+    "tpch_q18_large_orders": 15,
+    "tpch_q19_disjunctive_revenue": 15,
+    "tpch_q22_global_sales_opportunity": 15,
+    "window_running_sum_frame": 15,
+    "yoy_revenue_growth": 15,
     # r15: stream_ingest_dedup's exactly-once window CLOSED — batch
     # outputs now land in batch-scoped overwrite subdirs (sink/b<id>,
     # store/b<id>) with clean-before-apply on unmarked replays; the
