@@ -1901,3 +1901,32 @@ def test_sq8_index_ingest_clamps_against_stored_dims(spark, sf_dir, tmp_path):
     assert bad == 0  # clamp keeps every code on the stored grid
     hits = S.topk_cosine_sq8_index(spark, idx, [0, 1, 2], k=5).collect()
     assert len(hits) == 15
+
+
+def test_prod_graph_knobs_economic_floor():
+    """Deployment-knob sizing (r15, VERDICT r14 item 4): below the
+    economic floor the probe goes EXHAUSTIVE (an index regime does not
+    exist on a few hundred vectors — the sf0.01 panel's true neighbors
+    sit beyond any honest probe), above it the probe is 10% of cells
+    (10x the measured 1%-probe recall floor of the r14 knob study),
+    never below the pinned N_PROBE minimum."""
+    from distributed_query_engine_spark.operators import similarity as S
+    from distributed_query_engine_spark.plans.llm.vector import (
+        _ANN_ECONOMIC_FLOOR,
+        _prod_graph_knobs,
+    )
+
+    # toy scale (driver gate): exhaustive
+    n_cells, n_planes, n_probe = _prod_graph_knobs(500)
+    assert n_cells == S.suggest_n_cells(500)
+    assert n_probe == n_cells
+    # just above the floor: 10% of cells, floored at N_PROBE
+    n_cells, _, n_probe = _prod_graph_knobs(_ANN_ECONOMIC_FLOOR)
+    assert n_probe == max(S.N_PROBE, -(-n_cells // 10)) and n_probe < n_cells
+    # sweep scales: genuine sub-exhaustive probe, ceil division
+    for n in (2_000, 20_000, 60_000, 200_000):
+        n_cells, n_planes, n_probe = _prod_graph_knobs(n)
+        assert n_cells == S.suggest_n_cells(n)
+        assert n_planes == S.suggest_n_planes(n)
+        assert n_probe == max(S.N_PROBE, -(-n_cells // 10))
+        assert n_probe < n_cells
