@@ -65,6 +65,11 @@ SKIP = {
  # which keeps the build linear-ish; the pinned-knob query is the
  # oracle-replayable rung, not the scaled deployment). Spark-side
  # latency/recall at sf0.1/sf1 measured in scripts/r13_referee.py.
+ # r15: the SCALED graph lifecycle now runs in-sweep as the
+ # llm_similarity_graph_prod trio (deployment knobs, exact-cosine
+ # panel oracle — linear on both engines; sf1 76 s / sf3 102 s all
+ # three legs), so skipping the pinned trio here no longer leaves the
+ # lifecycle unexercised at 10x+.
  "llm_similarity_graph_refine","llm_similarity_graph_recall",
  "llm_similarity_graph_index","llm_similarity_graph_incremental",
  "llm_similarity_graph_compact",
