@@ -84,3 +84,44 @@ def filter_engine_block(df, cols: tuple[str, str], mod: int = BLOCK_MOD):
 
     a, b = cols
     return df.filter((F.col(a) % mod == 0) & (F.col(b) % mod == 0))
+
+
+def materialize_block_dir(sf_dir: str, mod: int = BLOCK_MOD) -> str:
+    """A corpus directory whose BLOCKABLE tables are restricted to the
+    deterministic key block (others symlink to the full slice) — the
+    100x-rung home of the blocked family. At K=100 twin replication
+    the ENGINE side of a scored-pairs query is K^2-inflated (~10,000x
+    the source pair count): fine on a 1000-executor cluster, not on
+    one box — measured: llm_dedup_containment alone passed 25 min at
+    26 cores before being cut. At that rung both engine AND oracle run
+    on the block (pair-locality makes block-corpus output == blocked
+    full-corpus output — the SAME equality, proven at sf0.01 by
+    tests/test_blocked_oracle.py and at FULL engine scale by the sf1
+    sweep, K=10, 229M pairs green)."""
+    import os
+    from pathlib import Path
+
+    import duckdb
+
+    src = Path(sf_dir).resolve()
+    dst = src.parent / f"{src.name}block{mod}"
+    marker = dst / "_BLOCKED"
+    if marker.is_file():
+        return str(dst)
+    dst.mkdir(parents=True, exist_ok=True)
+    blocked_keys: dict[str, str] = {}
+    for _, tabs in BLOCKED.values():
+        blocked_keys.update(tabs)
+    con = duckdb.connect()
+    for t in TABLES:
+        out = dst / f"{t}.parquet"
+        if t in blocked_keys:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') "
+                f"WHERE {blocked_keys[t]} % {mod} = 0) TO '{out}' "
+                "(FORMAT PARQUET)"
+            )
+        elif not out.exists():
+            os.symlink(src / f"{t}.parquet", out)
+    marker.write_text(f"{src}\n{mod}\n")
+    return str(dst)

@@ -100,7 +100,20 @@ for name, fn in sorted(qs.items()):
     try:
         if name in BLOCKED:
             cols, _tabs = BLOCKED[name]
-            df = filter_engine_block(fn(spark, SF), cols)
+            # 100x rung: K^2 twin inflation makes the FULL-scale engine
+            # side ~10,000x the source pair count — cluster-fine,
+            # single-box-infeasible (containment alone: 25 min+). Both
+            # sides run on the block there; full-scale engine evidence
+            # is the sf1 rung (K=10, 229M pairs green). The
+            # filter_engine_block is a no-op on the block corpus (every
+            # member satisfies the block predicate) — kept so the
+            # compare shape is identical across rungs.
+            engine_sf = SF
+            if Path(SF).name.startswith(("sf10", "sf30", "sf100")):
+                from scripts.blocked_oracle import materialize_block_dir
+
+                engine_sf = materialize_block_dir(SF)
+            df = filter_engine_block(fn(spark, engine_sf), cols)
             srows = [tuple(r) for r in df.collect()]
             rel = con_blocked.sql(os_[name]); drows = rel.fetchall()
             scols=[c.lower() for c in df.columns]; dcols=[c.lower() for c in rel.columns]
