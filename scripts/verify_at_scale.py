@@ -91,7 +91,7 @@ if Path(SF).name.startswith(("sf10", "sf30", "sf100")):
     # (r12/r13 sweeps), so the discipline holds where the replay is
     # feasible; at 100x the evidence is the sf1/sf3 rungs plus the
     # Spark-side run.
-    SKIP |= {"llm_bpe_train", "pack_sequences_bpe"}
+    SKIP |= {"llm_bpe_train", "llm_pack_sequences_bpe"}
 CAP = 200_000  # above this, compare row counts only (repr diff too slow)
 fails, n_ok, n_cap = [], 0, 0
 for name, fn in sorted(qs.items()):

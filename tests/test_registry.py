@@ -241,7 +241,15 @@ def test_scale_sweep_skip_list_names_are_registered():
     src = (
         Path(__file__).resolve().parents[1] / "scripts" / "verify_at_scale.py"
     ).read_text()
-    body = re.search(r"SKIP = \{(.*?)\}", src, re.S).group(1)
+    # include conditional `SKIP |= {...}` additions — r15's sf10 BPE
+    # skip shipped as "pack_sequences_bpe" (missing the llm_ prefix)
+    # and silently un-skipped llm_pack_sequences_bpe for 15+ minutes
+    # of oracle grinding: exactly this test's failure mode, outside
+    # its old regex
+    body = " ".join(
+        m.group(1)
+        for m in re.finditer(r"SKIP \|?= \{(.*?)\}", src, re.S)
+    )
     names = set(re.findall(r'"([a-z0-9_]+)"', body))
     # lower bound only guards against the regex silently matching
     # nothing; the list legitimately SHRINKS as names move to blocked
