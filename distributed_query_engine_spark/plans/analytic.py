@@ -31,6 +31,9 @@ from distributed_query_engine_spark.registry import query
 _DAVG_TOTALPRICE = (
     "CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)"
 )
+# Spark's parser rejects bare VARCHAR (DuckDB-only spelling); its
+# unparameterized string type is STRING — same string-routed conversion.
+_DAVG_TOTALPRICE_SPARK = _DAVG_TOTALPRICE.replace("AS VARCHAR", "AS STRING")
 
 
 @query(
@@ -77,7 +80,7 @@ def subquery_correlated(spark, sf_dir):
         f"""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM sq_orders o
-        WHERE o_totalprice > (SELECT {_DAVG_TOTALPRICE}
+        WHERE o_totalprice > (SELECT {_DAVG_TOTALPRICE_SPARK}
                               FROM sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
         """
     )
