@@ -988,8 +988,16 @@ def semdedup(
         F.col("ivec").alias("ivec_b"), F.col("nsq").alias("nsq_b"),
         F.explode(F.array(*[F.lit(g) for g in range(SALT_GROUPS)])).alias("salt"),
     )
+    # The salted join must SHUFFLE on (cell_id, salt) to do its job: a
+    # broadcast of b would hand every probe task the WHOLE ×SALT_GROUPS
+    # replica (the salt then spreads nothing — probe-side partitioning
+    # does — and the explode only inflates the broadcast 16×). With the
+    # r15 MapInPandas assignment upstream, Catalyst's size estimate for
+    # b is opaque enough to pick that degenerate broadcast at small SFs,
+    # so the shuffle is forced with a hash-join hint (build side = a,
+    # the unexploded replica; no sort, unlike merge).
     removed = (
-        a.join(b, ["cell_id", "salt"])
+        a.hint("shuffle_hash").join(b, ["cell_id", "salt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(
             cosine_from_ints(

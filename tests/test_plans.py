@@ -698,14 +698,14 @@ def test_zorder_pruning_scorecard_shows_the_win(spark):
 
 def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     # The Lloyd-refined k-means stats query: the per-vector nearest-
-    # centroid scoring must be a BROADCAST nested-loop of the n_cells
-    # centroid relation against the corpus scan (never a Cartesian
-    # shuffle), the stats aggregation must partial-aggregate, and the
-    # whole loop stays JVM-side (the exact-integer mean arithmetic is
-    # codegen, not Python).
+    # centroid scoring is the r15 Arrow kernel — one MapInPandas corpus
+    # scan against the driver-bounded centroid matrix (never a Cartesian
+    # shuffle, never a row-at-a-time Python node), the stats aggregation
+    # must partial-aggregate, and the member-dot join broadcasts the
+    # n_cells centroid relation.
     plan = _plan(_q("llm_kmeans_embeddings", spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan, plan
 

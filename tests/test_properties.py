@@ -863,7 +863,10 @@ def test_kmeans_cell_stats_matches_python_model(spark, vecs):
         na, nb = dot(a, a), dot(b, b)
         return dot(a, b) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
 
-    cents = {i: list(ivec[i]) for i in ivec if i < N_CELLS}
+    # true lowest-k seeding (r15 ivf_centroids fix): the N_CELLS lowest
+    # vec_ids seed the quantizer — NOT `vec_id < N_CELLS`, which
+    # under-seeds (to empty) on non-dense ids; identical on dense ids.
+    cents = {i: list(ivec[i]) for i in sorted(ivec)[:N_CELLS]}
 
     def assign(cents):
         out = {}
