@@ -1136,28 +1136,417 @@ def _pq_dist(sv_a, sv_b) -> "Column":
     )
 
 
+def _cent_mats(cent_rows):
+    """(cell_id, ivec) rows → (cell_ids asc, C float64, ||c||²)."""
+    import numpy as np
+
+    rows = sorted(cent_rows, key=lambda t: t[0])
+    ids = np.array([c for c, _ in rows], dtype=np.int64)
+    C = np.array([v for _, v in rows], dtype=np.float64)
+    return ids, C, (C * C).sum(axis=1) if len(rows) else np.empty(0)
+
+
+def _collect_low_rows(base: DataFrame, k: int) -> list:
+    """The k lowest-vec_id vectors as driver rows [(vec_id, [int]), …]
+    sorted by id — ONE TakeOrderedAndProject job serving centroid
+    seeding, codebook seeding, AND the dimensionality probe (ids are
+    unique non-negative keys, so every row in a value window
+    [lo, lo + w) ⊆ [0, k) is among the rank-lowest k — the window can
+    be carved out driver-side)."""
+    return [
+        (r["vec_id"], [int(x) for x in r["ivec"]])
+        for r in base.orderBy("vec_id")
+        .limit(k)
+        .select("vec_id", "ivec")
+        .collect()
+    ]
+
+
+def _pq_seed_rows(
+    low_rows: list, dim: int, m_sub: int, k_codes: int, seed_lo: int,
+    cent_rows=None,
+) -> list:
+    """The codebook seeds as driver rows [(m, code_id, c_sv), ...]:
+    the vec_id VALUE window [seed_lo, seed_lo + k_codes) carved from
+    pre-collected :func:`_collect_low_rows` output, residual-shifted
+    against ``cent_rows`` when given, sliced into subvectors
+    driver-side. The arithmetic (argmin cell, x − c, slice) is the
+    same exact integer math the kernels run; doing it here saves the
+    per-seed jobs the old subs-filter + join DAG paid."""
+    import numpy as np
+
+    rows = [
+        (vid, v)
+        for vid, v in low_rows
+        if seed_lo <= vid < seed_lo + k_codes
+    ]
+    out = []
+    sd = dim // m_sub
+    if cent_rows is not None and rows:
+        ids, C, cn = _cent_mats(cent_rows)
+    for vid, vv in rows:
+        v = np.array(vv, dtype=np.int64)
+        if cent_rows is not None:
+            if not len(ids):
+                continue  # no centroids → no assignment → no seed rows
+            d = cn - 2.0 * (C @ v.astype(np.float64))
+            v = v - np.array(
+                C[int(np.argmin(d))], dtype=np.int64
+            )
+        code = int(vid) - seed_lo
+        for m in range(m_sub):
+            out.append((m, code, [int(x) for x in v[m * sd:(m + 1) * sd]]))
+    return out
+
+
+def _ivfpq_codes(
+    base: DataFrame,
+    dim: int,
+    m_sub: int,
+    cent_rows,
+    cb_rows,
+    residual: bool,
+) -> DataFrame:
+    """(vec_id, cell_id, m, code_id): coarse assignment + (optionally
+    residual) PQ encoding FUSED into one Arrow kernel pass over the
+    corpus — the relation ``codes ⋈ assigned`` used to build with two
+    mapInPandas stages and a corpus-sized sort-merge join (2 exchanges
+    + 2 sorts); here it is one Python stage and no exchange. Exactness
+    per :func:`_pq_assign`: every distance term is an integer < 2⁵³ in
+    float64, first-argmin over ascending ids reproduces the lowest-id
+    tie-breaks, and the residual subtraction is exact int64."""
+    import numpy as np
+    import pandas as pd
+
+    cell_ids, C, cn = _cent_mats(cent_rows)
+    Ci = C.astype(np.int64) if len(cell_ids) else None
+    mats = _pq_cb_mats(cb_rows)
+    sd = dim // m_sub
+    schema = "vec_id long, cell_id long, m int, code_id long"
+
+    def _encode(batches):
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "cell_id": pd.Series(dtype="int64"),
+                "m": pd.Series(dtype="int32"),
+                "code_id": pd.Series(dtype="int64"),
+            }
+        )
+        for pdf in batches:
+            if pdf.empty or not len(cell_ids) or len(mats) != m_sub:
+                yield empty
+                continue
+            Vi = np.stack(pdf["ivec"].to_numpy()).astype(np.int64)
+            d = cn[None, :] - 2.0 * (Vi.astype(np.float64) @ C.T)
+            best = np.argmin(d, axis=1)
+            R = Vi - Ci[best] if residual else Vi
+            n = len(Vi)
+            codes = np.empty((n, m_sub), dtype=np.int64)
+            for m in range(m_sub):
+                ids, Cm, cbn = mats[m]
+                Sm = R[:, m * sd:(m + 1) * sd].astype(np.float64)
+                dm = cbn[None, :] - 2.0 * (Sm @ Cm.T)
+                codes[:, m] = ids[np.argmin(dm, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), m_sub),
+                    "cell_id": np.repeat(cell_ids[best], m_sub),
+                    "m": np.tile(
+                        np.arange(m_sub, dtype=np.int32), n
+                    ),
+                    "code_id": codes.reshape(-1),
+                }
+            )
+
+    return base.select("vec_id", "ivec").mapInPandas(_encode, schema)
+
+
+def _pq_train_partials_base(
+    base: DataFrame,
+    dim: int,
+    m_sub: int,
+    cent_rows,
+    cb_rows,
+) -> DataFrame:
+    """One Lloyd step's sufficient statistics straight from the PACKED
+    corpus: the kernel assigns each vector's (residual when
+    ``cent_rows`` is given) subvectors to their nearest codes — the
+    :func:`_pq_assign` argmin bit-identically — and emits per-(m, code)
+    component sums + counts, ≤ m_sub × k_codes rows per task. One
+    corpus-scan job, no explode relation, no shuffle; per-task sums
+    are exact int64, the caller merges in unbounded Python ints."""
+    import numpy as np
+    import pandas as pd
+
+    if cent_rows is not None:
+        cell_ids, C, cn = _cent_mats(cent_rows)
+        Ci = C.astype(np.int64) if len(cell_ids) else None
+    mats = _pq_cb_mats(cb_rows)
+    sd = dim // m_sub
+    schema = "m int, code_id long, s_sv array<long>, c long"
+
+    def _part(batches):
+        acc: dict = {}
+        for pdf in batches:
+            if pdf.empty or not mats:
+                continue
+            if cent_rows is not None and not len(cell_ids):
+                continue
+            Vi = np.stack(pdf["ivec"].to_numpy()).astype(np.int64)
+            if cent_rows is not None:
+                d = cn[None, :] - 2.0 * (Vi.astype(np.float64) @ C.T)
+                Vi = Vi - Ci[np.argmin(d, axis=1)]
+            for m, (ids, Cm, cbn) in mats.items():
+                Sm = Vi[:, m * sd:(m + 1) * sd]
+                dm = cbn[None, :] - 2.0 * (Sm.astype(np.float64) @ Cm.T)
+                best = np.argmin(dm, axis=1)
+                for bi in np.unique(best):
+                    rmask = best == bi
+                    key = (m, int(ids[bi]))
+                    s = Sm[rmask].sum(axis=0)
+                    if key in acc:
+                        acc[key][0] += s
+                        acc[key][1] += int(rmask.sum())
+                    else:
+                        acc[key] = [s, int(rmask.sum())]
+        if acc:
+            yield pd.DataFrame(
+                [
+                    {"m": m, "code_id": c, "s_sv": s.tolist(), "c": n}
+                    for (m, c), (s, n) in acc.items()
+                ]
+            )
+
+    return base.select("vec_id", "ivec").mapInPandas(_part, schema)
+
+
+def _lloyd_merge(cb: dict, partial_rows) -> None:
+    """Merge collected per-task partials into the driver codebook
+    state: exact unbounded-int sums, then the sign-aware
+    round-half-away integer mean — the same CASE WHEN
+    (2*sx + c) div (2*c) arithmetic both engines replay. Codes absent
+    from the partials keep their previous centroid (empty-code
+    carry)."""
+    agg: dict = {}
+    for r in partial_rows:
+        key = (r["m"], r["code_id"])
+        if key in agg:
+            s, n = agg[key]
+            agg[key] = ([a + int(b) for a, b in zip(s, r["s_sv"])], n + r["c"])
+        else:
+            agg[key] = ([int(x) for x in r["s_sv"]], r["c"])
+    for key, (s, n) in agg.items():
+        cb[key] = [
+            (2 * x + n) // (2 * n) if x >= 0 else -((2 * (-x) + n) // (2 * n))
+            for x in s
+        ]
+
+
+def _pq_codebooks_rows(
+    base: DataFrame,
+    dim: int,
+    m_sub: int,
+    k_codes: int,
+    lloyd_iters: int,
+    seeds: list,
+    cent_rows=None,
+) -> list:
+    """Driver-state codebook training over the packed corpus (see
+    :func:`pq_codebooks` — same arithmetic, same seeds, same carry;
+    this variant skips the subvector explode relation and fuses the
+    residual shift into the kernels). ``seeds`` comes from
+    :func:`_pq_seed_rows`. Returns [(m, code_id, c_sv)]."""
+    cb: dict = {(m, c): sv for m, c, sv in seeds}
+    for _ in range(lloyd_iters):
+        cb_rows = [(m, c, sv) for (m, c), sv in cb.items()]
+        _lloyd_merge(
+            cb, _pq_train_partials_base(base, dim, m_sub, cent_rows, cb_rows).collect()
+        )
+    return [(int(m), int(c), sv) for (m, c), sv in sorted(cb.items())]
+
+
+def _panel_probe_qdt(
+    low_map: dict,
+    query_ids: list,
+    cent_rows,
+    cb_rows,
+    dim: int,
+    m_sub: int,
+    n_probe: int,
+    residual: bool,
+):
+    """Driver-side probe sets + ADC distance tables for a query panel
+    whose vectors are all inside the collected lowest-K window — the
+    panel is request metadata (the bm25 qterms-collect class), and
+    every quantity here is panel × index-knob sized. Pure-Python exact
+    integer arithmetic: ||a−b||² over int components equals the
+    engine's ||a||² − 2ab + ||b||² long expression identically, and
+    sorted() on (p_dist, cell_id) reproduces the probe window's
+    row_number order. Returns (probe_rows, qdt_rows); qdt rows carry
+    cell_id in the residual flavor."""
+    cents = sorted(cent_rows, key=lambda t: t[0])
+    by_m: dict[int, list] = {}
+    for m, c, sv in cb_rows:
+        by_m.setdefault(m, []).append((c, sv))
+    sd = dim // m_sub
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe_rows, qdt_rows = [], []
+    for qid in query_ids:
+        qv = low_map[qid]
+        ranked = sorted(
+            ((d2(qv, cv), cid) for cid, cv in cents)
+        )[:n_probe]
+        for _, cid in ranked:
+            probe_rows.append((qid, cid))
+        if residual:
+            cmap = dict(cents)
+            for _, cid in ranked:
+                qres = [x - c for x, c in zip(qv, cmap[cid])]
+                for m, codes in by_m.items():
+                    qsv = qres[m * sd:(m + 1) * sd]
+                    for code, c_sv in codes:
+                        qdt_rows.append(
+                            (qid, cid, m, code, d2(qsv, c_sv))
+                        )
+        else:
+            for m, codes in by_m.items():
+                qsv = qv[m * sd:(m + 1) * sd]
+                for code, c_sv in codes:
+                    qdt_rows.append((qid, m, code, d2(qsv, c_sv)))
+    return probe_rows, qdt_rows
+
+
+def _pq_cb_mats(cb_rows):
+    """(m, code_id, c_sv) rows → {m: (code_ids asc, C float64 matrix,
+    ||c||² vector)} for the Arrow assign kernels. Code columns sorted
+    code-ascending so first-argmin IS the lowest-code tie-break."""
+    import numpy as np
+
+    by_m: dict[int, list] = {}
+    for m, code_id, c_sv in cb_rows:
+        by_m.setdefault(m, []).append((code_id, c_sv))
+    mats = {}
+    for m, lst in by_m.items():
+        lst.sort(key=lambda t: t[0])
+        ids = np.array([c for c, _ in lst], dtype=np.int64)
+        Cm = np.array([v for _, v in lst], dtype=np.float64)
+        mats[m] = (ids, Cm, (Cm * Cm).sum(axis=1))
+    return mats
+
+
+def _pq_train_partials(subs: DataFrame, cb_rows) -> DataFrame:
+    """One Lloyd step's sufficient statistics, computed IN the assign
+    kernel: per task, assign every (vec_id, m, sv) row to its nearest
+    code (the :func:`_pq_assign` argmin, bit-identically) and emit the
+    per-(m, code) component sums + counts — ≤ m_sub × k_codes rows per
+    task instead of a corpus-sized assignment relation. Per-task sums
+    are exact int64 (components < 2²³ × task rows); the caller merges
+    tasks in unbounded Python ints. No shuffle at all — the old form
+    exchanged twice (per-(m,code,d) partial agg + the array rebuild)."""
+    import numpy as np
+    import pandas as pd
+
+    mats = _pq_cb_mats(cb_rows)
+    schema = "m int, code_id long, s_sv array<long>, c long"
+
+    def _part(batches):
+        acc: dict = {}
+        for pdf in batches:
+            if pdf.empty or not mats:
+                continue
+            mcol = pdf["m"].to_numpy()
+            svcol = pdf["sv"].to_numpy()
+            for m, (ids, Cm, cn) in mats.items():
+                mask = mcol == m
+                if not mask.any():
+                    continue
+                Si = np.stack(svcol[mask]).astype(np.int64)
+                d = cn[None, :] - 2.0 * (Si.astype(np.float64) @ Cm.T)
+                best = np.argmin(d, axis=1)
+                for bi in np.unique(best):
+                    rmask = best == bi
+                    key = (m, int(ids[bi]))
+                    s = Si[rmask].sum(axis=0)
+                    if key in acc:
+                        acc[key][0] += s
+                        acc[key][1] += int(rmask.sum())
+                    else:
+                        acc[key] = [s, int(rmask.sum())]
+        if acc:
+            yield pd.DataFrame(
+                [
+                    {"m": m, "code_id": c, "s_sv": s.tolist(), "c": n}
+                    for (m, c), (s, n) in acc.items()
+                ]
+            )
+
+    return subs.mapInPandas(_part, schema)
+
+
 def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
-    """Nearest-code assignment per (vec_id, m): broadcast the codebook,
-    argmin squared-L2 with ties → lowest code_id, as a PARTIAL-
-    AGGREGABLE max_by over (−dist, −code_id) — the same map-side
-    reduce as the IVF assignment, so the shuffle carries ~|corpus|·M
-    rows, not |corpus|·M·K."""
-    scored = subs.join(F.broadcast(cb), "m").select(
-        "vec_id",
-        "m",
-        "sv",
-        "code_id",
-        _pq_dist(F.col("sv"), F.col("c_sv")).alias("dist"),
+    """Nearest-code assignment per (vec_id, m): argmin squared-L2 with
+    ties → lowest code_id.
+
+    Execution (r15 optimization round): one Arrow ``mapInPandas`` scan
+    of the subvector relation against the collected codebook matrices —
+    DRIVER-BOUNDED by construction (≤ m_sub × k_codes rows of
+    subvector-length ints; 4 KiB at the default (8, 32) knobs). The
+    prior declarative form (broadcast join + partial-aggregable max_by)
+    was plan-shaped right but paid an interpreted higher-order-function
+    distance per (vector × subspace × code) — |corpus|·M·K · ~10-25 µs,
+    the dominant term of every PQ build (measured: the bench ivfpq
+    line spent ~2 s of its 3.4 s constructing/training codebooks at
+    sf0.1) — plus a |corpus|·M-row exchange for the argmin that the
+    kernel removes outright (guide §2.4/§4.2).
+
+    EXACT, not approximate (the :func:`_assign_to` proof): comparing
+    ||s−c||² across codes is comparing −2·s·c + ||c||² (the ||s||² term
+    is constant per row, and all three terms are INTEGERS — fixed-point
+    components < 2²³ keep every product < 2⁴⁶ and every partial sum
+    < 2⁵³, where float64 addition is exact and order-independent — so
+    dropping it cannot reorder or un-tie anything). Codebook columns
+    are sorted code-ascending, so ``np.argmin``'s first-minimum rule IS
+    the historical (−dist, −code_id) max_by tie-break. Rows whose ``m``
+    has no codebook entry drop, preserving the old inner-join
+    semantics."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = cb.select("m", "code_id", "c_sv").collect()
+    mats = _pq_cb_mats([(r["m"], r["code_id"], r["c_sv"]) for r in rows])
+
+    out_schema = T.StructType(
+        list(subs.schema.fields) + [T.StructField("code_id", T.LongType())]
     )
-    best = F.max_by(
-        F.struct("sv", "code_id"),
-        F.struct(
-            (-F.col("dist")).alias("neg_dist"),
-            (-F.col("code_id")).alias("neg_code"),
-        ),
-    ).alias("b")
-    return scored.groupBy("vec_id", "m").agg(best).select(
-        "vec_id", "m", "b.sv", "b.code_id"
+
+    def _code(batches):
+        empty = None
+        for pdf in batches:
+            if empty is None:
+                empty = pdf.iloc[0:0].assign(code_id=pd.Series(dtype="int64"))
+            if pdf.empty or not mats:
+                yield empty
+                continue
+            mcol = pdf["m"].to_numpy()
+            parts = []
+            for m, (ids, Cm, cn) in mats.items():
+                mask = mcol == m
+                if not mask.any():
+                    continue
+                Sm = np.stack(pdf["sv"].to_numpy()[mask]).astype(np.float64)
+                d = cn[None, :] - 2.0 * (Sm @ Cm.T)
+                parts.append(
+                    pdf.loc[mask].assign(code_id=ids[np.argmin(d, axis=1)])
+                )
+            yield pd.concat(parts) if parts else empty
+
+    return subs.mapInPandas(_code, out_schema).select(
+        "vec_id", "m", "sv", "code_id"
     )
 
 
@@ -1178,41 +1567,43 @@ def pq_codebooks(
     id window to [seed_lo, seed_lo + k_codes): the RESIDUAL variant
     must skip the n_cells lowest ids, whose residuals are all-zero
     (each IS its own coarse centroid) and would collapse the seed set."""
-    cb = subs.filter(
-        (F.col("vec_id") >= seed_lo) & (F.col("vec_id") < seed_lo + k_codes)
-    ).select(
-        "m",
-        (F.col("vec_id") - seed_lo).alias("code_id"),
-        F.col("sv").alias("c_sv"),
+    # r15 optimization round: the codebook is DRIVER-BOUNDED by
+    # construction (≤ m_sub × k_codes rows of subvector-length ints —
+    # 4 KiB at the default (8, 32) knobs, ~0.5 MiB at the production
+    # (16, 256)), so the Lloyd loop keeps it as driver state — exactly
+    # the centroid-matrix discipline of the Arrow kernels. Per
+    # iteration ONE corpus-scan job computes assignment + per-code
+    # sufficient statistics inside the kernel (_pq_train_partials);
+    # the mean/carry arithmetic merges the per-task partials in exact
+    # unbounded Python ints. The old per-iteration DAG — broadcast
+    # cb + interpreted HOF argmin + |corpus|·M exchange + two more
+    # shuffles for the means + an anti-join carry that RESCANNED the
+    # corpus + an eager localCheckpoint — measured 1.7-1.9 s of the
+    # 3.4 s bench ivfpq line at sf0.1; this form is two small jobs.
+    # Arithmetic is unchanged bit-for-bit: same argmin (kernel proof),
+    # same sign-aware round-half-away mean, same empty-code carry.
+    spark = subs.sparkSession
+    seed_rows = (
+        subs.filter(
+            (F.col("vec_id") >= seed_lo) & (F.col("vec_id") < seed_lo + k_codes)
+        )
+        .select(
+            "m",
+            (F.col("vec_id") - seed_lo).alias("code_id"),
+            F.col("sv").alias("c_sv"),
+        )
+        .collect()
     )
+    cb: dict = {
+        (r["m"], r["code_id"]): [int(x) for x in r["c_sv"]] for r in seed_rows
+    }
     for _ in range(lloyd_iters):
-        assigned = _pq_assign(subs, cb)
-        means = (
-            assigned.select("m", "code_id", F.posexplode("sv").alias("d", "x"))
-            .groupBy("m", "code_id", "d")
-            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("c"))
-            .withColumn(
-                "mx",
-                F.expr(
-                    "CASE WHEN sx >= 0 THEN (2*sx + c) div (2*c) "
-                    "ELSE -((2*(-sx) + c) div (2*c)) END"
-                ),
-            )
-            .groupBy("m", "code_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("d"), F.col("mx")))
-                    ),
-                    lambda s: s["mx"],
-                ).alias("c_sv")
-            )
-        )
-        kept = cb.join(
-            means.select("m", "code_id"), ["m", "code_id"], "left_anti"
-        )
-        cb = means.unionByName(kept).localCheckpoint()
-    return cb
+        cb_rows = [(m, c, sv) for (m, c), sv in cb.items()]
+        _lloyd_merge(cb, _pq_train_partials(subs, cb_rows).collect())
+    return spark.createDataFrame(
+        [(int(m), int(c), sv) for (m, c), sv in sorted(cb.items())],
+        "m int, code_id long, c_sv array<long>",
+    )
 
 
 def pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
@@ -1240,6 +1631,15 @@ def _probe_dim_strict(
     if row is None:
         raise ValueError("PQ: empty corpus — no vectors to index")
     dim = row["d"]
+    return dim, _dim_guard(narrow, dim, m_sub, id_col)
+
+
+def _dim_guard(
+    narrow: DataFrame, dim: int, m_sub: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """The homogeneity guard of :func:`_probe_dim_strict`, for callers
+    that already know ``dim`` (e.g. from :func:`_collect_low_rows` —
+    saving the one-row probe job)."""
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     guarded = narrow.withColumn(
@@ -1258,7 +1658,7 @@ def _probe_dim_strict(
             )
         ),
     )
-    return dim, guarded
+    return guarded
 
 
 def _stored_index_shape(cb: DataFrame) -> "tuple[int, int]":
@@ -1364,26 +1764,87 @@ def topk_l2_pq(
     )
 
 
+_CENTS_SCHEMA = "cell_id long, c_ivec array<long>"
+
+
+def _collect_cents_rows(base: DataFrame, n_cells: int) -> list:
+    """The n_cells lowest-vec_id vectors as driver rows
+    [(cell_id, ivec), ...]. True lowest-k seeding (orderBy + limit
+    compiles to TakeOrderedAndProject, never `filter(vec_id <
+    n_cells)`, which under-seeds to an EMPTY quantizer on non-dense
+    ids; identical on the canonical table, so the pinned
+    vec_id<n_cells oracles hold). Collected once (r15 optimization
+    round): the centroid relation is driver-bounded, and the previous
+    lazy form re-ran the corpus top-k for EVERY consumer — the assign
+    kernel, each broadcast join, and the index write each triggered
+    their own scan job."""
+    return [
+        (r["cell_id"], [int(x) for x in r["c_ivec"]])
+        for r in base.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("ivec").alias("c_ivec"))
+        .collect()
+    ]
+
+
 def _assign_to_l2(base: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cell_id): nearest-centroid assignment by EXACT-INTEGER
     squared L2 (ties → lowest cell id) — the IVF-PQ variant of
     :func:`_assign_to` (whose cosine needs a float divide; L2 keeps the
-    whole IVF-PQ pipeline integer-pure). Same partial-aggregable
-    max_by shape: broadcast centroids, map-side argmin, the exchange
-    carries ~|corpus| rows."""
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cell_id",
-        _pq_dist(F.col("ivec"), F.col("c_ivec")).alias("dist"),
+    whole IVF-PQ pipeline integer-pure).
+
+    Execution (r15 optimization round): the same Arrow ``mapInPandas``
+    blocked-matmul kernel as :func:`_assign_to` — centroids are
+    driver-bounded (≤ n_cells rows), the corpus scans once, no exchange
+    at all (the old crossJoin + max_by form exchanged ~|corpus| rows and
+    paid an interpreted HOF distance per vector × cell). Exactness is
+    the :func:`_pq_assign` argument: −2·v·c + ||c||² is an exact
+    integer in float64 at our fixed-point magnitudes (components < 2²³,
+    128-dim partial sums < 2⁵³), and ``np.argmin`` over cell-ascending
+    columns reproduces the (−dist, −cell_id) tie-break."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    crows = cents.select("cell_id", "c_ivec").collect()
+    crows.sort(key=lambda r: r["cell_id"])
+    cell_ids = np.array([r["cell_id"] for r in crows], dtype=np.int64)
+    C = np.array([r["c_ivec"] for r in crows], dtype=np.float64)
+    cn = (C * C).sum(axis=1) if len(crows) else np.empty(0)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell_id", T.LongType()),
+        ]
     )
-    best = F.max_by(
-        F.col("cell_id"),
-        F.struct(
-            (-F.col("dist")).alias("neg_dist"),
-            (-F.col("cell_id")).alias("neg_cell"),
-        ),
-    ).alias("cell_id")
-    return scored.groupBy("vec_id").agg(best)
+
+    def _nearest_l2(batches):
+        for pdf in batches:
+            if pdf.empty or not len(cell_ids):
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series(dtype="int64"),
+                        "cell_id": pd.Series(dtype="int64"),
+                    }
+                )
+                continue
+            V = np.stack(pdf["ivec"].to_numpy()).astype(np.float64)
+            # block rows so the (rows x n_cells) distance matrix stays
+            # ~32 MiB even at the 65536-cell cap
+            block = max(16, (4 << 20) // max(1, len(cell_ids)))
+            best = np.empty(len(V), dtype=np.int64)
+            for i0 in range(0, len(V), block):
+                d = cn[None, :] - 2.0 * (V[i0:i0 + block] @ C.T)
+                best[i0:i0 + block] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell_id": cell_ids[best],
+                }
+            )
+
+    return base.select("vec_id", "ivec").mapInPandas(_nearest_l2, out_schema)
 
 
 def topk_l2_ivfpq(
@@ -1416,48 +1877,70 @@ def topk_l2_ivfpq(
     narrow = with_int_vec(emb).filter(F.size("ivec") > 0).select(
         "vec_id", "ivec"
     )
-    dim, narrow = _probe_dim_strict(narrow, m_sub)
-    base = _spread_narrow_scan(narrow, key="vec_id")
-    # true lowest-k seeding (not filter(vec_id < n_cells)) — the filter
-    # form under-seeds to an EMPTY quantizer on non-dense ids; identical
-    # on the canonical table, so the pinned vec_id<n_cells oracles hold
-    cents = base.orderBy("vec_id").limit(n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("ivec").alias("c_ivec")
-    )
-    assigned = _assign_to_l2(base, cents)
-    subs = _pq_subvecs(base, dim, m_sub)
-    cb = pq_codebooks(subs, k_codes, lloyd_iters)
-    codes = pq_encode(subs, cb)
-    q = base.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col("ivec").alias("q_ivec")
-    )
-    pw = Window.partitionBy("q_id").orderBy("p_dist", "cell_id")
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "q_id",
-            "cell_id",
-            _pq_dist(F.col("q_ivec"), F.col("c_ivec")).alias("p_dist"),
+    spark = narrow.sparkSession
+    # r15 optimization round: the index relations (centroids,
+    # codebooks) are driver-bounded, so they are materialized ONCE as
+    # driver rows + local relations — one lowest-K collect serves the
+    # dim probe, centroid seeds, AND codebook seeds — training runs as
+    # one kernel job per Lloyd step, and assignment + encoding FUSE
+    # into a single Arrow pass (_ivfpq_codes), which also deletes the
+    # corpus-sized codes ⋈ assigned sort-merge join (2 exchanges + 2
+    # sorts). Bench ivfpq at sf0.1: 3.76 s → see OPTIMIZATION_r15.md;
+    # results bit-identical (argmin/tie-break proofs on the kernels).
+    low_rows = _collect_low_rows(narrow, max(n_cells, k_codes))
+    if not low_rows:
+        raise ValueError("PQ: empty corpus — no vectors to index")
+    dim = len(low_rows[0][1])
+    base = _spread_narrow_scan(_dim_guard(narrow, dim, m_sub), key="vec_id")
+    cent_rows = low_rows[:n_cells]
+    cents = spark.createDataFrame(cent_rows, _CENTS_SCHEMA)
+    seeds = _pq_seed_rows(low_rows, dim, m_sub, k_codes, 0)
+    cb_rows = _pq_codebooks_rows(base, dim, m_sub, k_codes, lloyd_iters, seeds)
+    cb = spark.createDataFrame(cb_rows, "m int, code_id long, c_sv array<long>")
+    enc = _ivfpq_codes(base, dim, m_sub, cent_rows, cb_rows, residual=False)
+    low_map = dict(low_rows)
+    if all(qid in low_map for qid in query_ids):
+        # panel vectors already collected → probes + distance tables
+        # are driver-computed local relations (no extra scan branches
+        # or broadcast-build jobs in the search plan)
+        probe_rows, qdt_rows = _panel_probe_qdt(
+            low_map, query_ids, cent_rows, cb_rows, dim, m_sub, n_probe,
+            residual=False,
         )
-        .withColumn("prn", F.row_number().over(pw))
-        .filter(F.col("prn") <= n_probe)
-        .select("q_id", "cell_id")
-    )
-    q_dt = (
-        subs.filter(F.col("vec_id").isin(query_ids))
-        .withColumnRenamed("vec_id", "q_id")
-        .withColumnRenamed("sv", "q_sv")
-        .join(F.broadcast(cb), "m")
-        .select(
-            "q_id",
-            "m",
-            "code_id",
-            _pq_dist(F.col("q_sv"), F.col("c_sv")).alias("dist"),
+        probes = spark.createDataFrame(probe_rows, "q_id long, cell_id long")
+        q_dt = spark.createDataFrame(
+            qdt_rows, "q_id long, m int, code_id long, dist long"
         )
-    )
+    else:
+        q = base.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("q_id"), F.col("ivec").alias("q_ivec")
+        )
+        pw = Window.partitionBy("q_id").orderBy("p_dist", "cell_id")
+        probes = (
+            q.crossJoin(F.broadcast(cents))
+            .select(
+                "q_id",
+                "cell_id",
+                _pq_dist(F.col("q_ivec"), F.col("c_ivec")).alias("p_dist"),
+            )
+            .withColumn("prn", F.row_number().over(pw))
+            .filter(F.col("prn") <= n_probe)
+            .select("q_id", "cell_id")
+        )
+        q_dt = (
+            _pq_subvecs(base.filter(F.col("vec_id").isin(query_ids)), dim, m_sub)
+            .withColumnRenamed("vec_id", "q_id")
+            .withColumnRenamed("sv", "q_sv")
+            .join(F.broadcast(cb), "m")
+            .select(
+                "q_id",
+                "m",
+                "code_id",
+                _pq_dist(F.col("q_sv"), F.col("c_sv")).alias("dist"),
+            )
+        )
     scored = (
-        codes.join(assigned, "vec_id")
-        .join(F.broadcast(probes), "cell_id")
+        enc.join(F.broadcast(probes), "cell_id")
         .join(F.broadcast(q_dt), ["q_id", "m", "code_id"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", "vec_id")
@@ -1509,70 +1992,82 @@ def topk_l2_ivfpq_residual(
     narrow = with_int_vec(emb).filter(F.size("ivec") > 0).select(
         "vec_id", "ivec"
     )
-    dim, narrow = _probe_dim_strict(narrow, m_sub)
-    base = _spread_narrow_scan(narrow, key="vec_id")
-    # true lowest-k seeding (not filter(vec_id < n_cells)) — the filter
-    # form under-seeds to an EMPTY quantizer on non-dense ids; identical
-    # on the canonical table, so the pinned vec_id<n_cells oracles hold
-    cents = base.orderBy("vec_id").limit(n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("ivec").alias("c_ivec")
+    spark = narrow.sparkSession
+    # r15 optimization round: driver-bounded index relations from ONE
+    # lowest-K collect (dim probe + centroid seeds + codebook seeds),
+    # training one kernel job per Lloyd step, assignment + residual
+    # shift + encoding fused into _ivfpq_codes (see topk_l2_ivfpq).
+    # Seeds skip [0, n_cells): those ids ARE the coarse centroids, so
+    # their residuals are all-zero — k_codes identical zero seeds
+    # would collapse Lloyd to one effective code.
+    low_rows = _collect_low_rows(narrow, n_cells + k_codes)
+    if not low_rows:
+        raise ValueError("PQ: empty corpus — no vectors to index")
+    dim = len(low_rows[0][1])
+    base = _spread_narrow_scan(_dim_guard(narrow, dim, m_sub), key="vec_id")
+    cent_rows = low_rows[:n_cells]
+    cents = spark.createDataFrame(cent_rows, _CENTS_SCHEMA)
+    seeds = _pq_seed_rows(low_rows, dim, m_sub, k_codes, n_cells, cent_rows)
+    cb_rows = _pq_codebooks_rows(
+        base, dim, m_sub, k_codes, lloyd_iters, seeds, cent_rows=cent_rows
     )
-    assigned = _assign_to_l2(base, cents)
-    res = (
-        base.join(assigned, "vec_id")
-        .join(F.broadcast(cents), "cell_id")
-        .select(
-            "vec_id",
-            F.zip_with("ivec", "c_ivec", lambda x, c: x - c).alias("ivec"),
+    cb = spark.createDataFrame(cb_rows, "m int, code_id long, c_sv array<long>")
+    enc = _ivfpq_codes(base, dim, m_sub, cent_rows, cb_rows, residual=True)
+    low_map = dict(low_rows)
+    if all(qid in low_map for qid in query_ids):
+        # panel vectors already collected → probes + per-(query,
+        # probed-cell) residual distance tables are driver-computed
+        # local relations (see topk_l2_ivfpq)
+        probe_rows, qdt_rows = _panel_probe_qdt(
+            low_map, query_ids, cent_rows, cb_rows, dim, m_sub, n_probe,
+            residual=True,
         )
-    )
-    subs = _pq_subvecs(res, dim, m_sub)
-    # seeds skip [0, n_cells): those ids ARE the coarse centroids, so
-    # their residuals are all-zero — k_codes identical zero seeds would
-    # collapse Lloyd to a single effective code.
-    cb = pq_codebooks(subs, k_codes, lloyd_iters, seed_lo=n_cells)
-    codes = pq_encode(subs, cb)
-    q = base.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col("ivec").alias("q_ivec")
-    )
-    pw = Window.partitionBy("q_id").orderBy("p_dist", "cell_id")
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "q_id",
-            "cell_id",
-            _pq_dist(F.col("q_ivec"), F.col("c_ivec")).alias("p_dist"),
+        probes = spark.createDataFrame(probe_rows, "q_id long, cell_id long")
+        q_dt = spark.createDataFrame(
+            qdt_rows, "q_id long, cell_id long, m int, code_id long, dist long"
         )
-        .withColumn("prn", F.row_number().over(pw))
-        .filter(F.col("prn") <= n_probe)
-        .select("q_id", "cell_id")
-    )
-    # per-(query, probed cell) residual distance table: the query is
-    # re-expressed in each probed cell's frame before the ADC lookup
-    qres = (
-        probes.join(q, "q_id")
-        .join(F.broadcast(cents), "cell_id")
-        .select(
-            "q_id",
-            "cell_id",
-            F.zip_with("q_ivec", "c_ivec", lambda x, c: x - c).alias("ivec"),
+    else:
+        q = base.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("q_id"), F.col("ivec").alias("q_ivec")
         )
-    )
-    q_dt = (
-        _pq_subvecs(qres, dim, m_sub, keys=("q_id", "cell_id"))
-        .withColumnRenamed("sv", "q_sv")
-        .join(F.broadcast(cb), "m")
-        .select(
-            "q_id",
-            "cell_id",
-            "m",
-            "code_id",
-            _pq_dist(F.col("q_sv"), F.col("c_sv")).alias("dist"),
+        pw = Window.partitionBy("q_id").orderBy("p_dist", "cell_id")
+        probes = (
+            q.crossJoin(F.broadcast(cents))
+            .select(
+                "q_id",
+                "cell_id",
+                _pq_dist(F.col("q_ivec"), F.col("c_ivec")).alias("p_dist"),
+            )
+            .withColumn("prn", F.row_number().over(pw))
+            .filter(F.col("prn") <= n_probe)
+            .select("q_id", "cell_id")
         )
-    )
+        # per-(query, probed cell) residual distance table: the query
+        # is re-expressed in each probed cell's frame before the ADC
+        # lookup
+        qres = (
+            probes.join(q, "q_id")
+            .join(F.broadcast(cents), "cell_id")
+            .select(
+                "q_id",
+                "cell_id",
+                F.zip_with("q_ivec", "c_ivec", lambda x, c: x - c).alias("ivec"),
+            )
+        )
+        q_dt = (
+            _pq_subvecs(qres, dim, m_sub, keys=("q_id", "cell_id"))
+            .withColumnRenamed("sv", "q_sv")
+            .join(F.broadcast(cb), "m")
+            .select(
+                "q_id",
+                "cell_id",
+                "m",
+                "code_id",
+                _pq_dist(F.col("q_sv"), F.col("c_sv")).alias("dist"),
+            )
+        )
     scored = (
-        codes.join(assigned, "vec_id")
-        .join(F.broadcast(probes), "cell_id")
+        enc.join(F.broadcast(probes), "cell_id")
         .join(F.broadcast(q_dt), ["q_id", "cell_id", "m", "code_id"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", "vec_id")
@@ -1615,32 +2110,29 @@ def build_ivfpq_index(
     narrow = with_int_vec(emb).filter(F.size("ivec") > 0).select(
         "vec_id", "ivec"
     )
-    dim, narrow = _probe_dim_strict(narrow, m_sub)
-    base = _spread_narrow_scan(narrow, key="vec_id")
-    # true lowest-k seeding (not filter(vec_id < n_cells)) — the filter
-    # form under-seeds to an EMPTY quantizer on non-dense ids; identical
-    # on the canonical table, so the pinned vec_id<n_cells oracles hold
-    cents = base.orderBy("vec_id").limit(n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("ivec").alias("c_ivec")
+    spark = narrow.sparkSession
+    # r15 optimization round: same fused-kernel build as
+    # topk_l2_ivfpq_residual — the codes relation comes out of ONE
+    # Arrow pass carrying cell_id already (no corpus-sized
+    # codes ⋈ assigned join before the write).
+    low_rows = _collect_low_rows(narrow, n_cells + k_codes)
+    if not low_rows:
+        raise ValueError("PQ: empty corpus — no vectors to index")
+    dim = len(low_rows[0][1])
+    base = _spread_narrow_scan(_dim_guard(narrow, dim, m_sub), key="vec_id")
+    cent_rows = low_rows[:n_cells]
+    cents = spark.createDataFrame(cent_rows, _CENTS_SCHEMA)
+    seeds = _pq_seed_rows(low_rows, dim, m_sub, k_codes, n_cells, cent_rows)
+    cb_rows = _pq_codebooks_rows(
+        base, dim, m_sub, k_codes, lloyd_iters, seeds, cent_rows=cent_rows
     )
-    assigned = _assign_to_l2(base, cents)
-    res = (
-        base.join(assigned, "vec_id")
-        .join(F.broadcast(cents), "cell_id")
-        .select(
-            "vec_id",
-            "cell_id",
-            F.zip_with("ivec", "c_ivec", lambda x, c: x - c).alias("ivec"),
-        )
-    )
-    subs = _pq_subvecs(res, dim, m_sub)
-    cb = pq_codebooks(subs, k_codes, lloyd_iters, seed_lo=n_cells)
-    codes = pq_encode(subs, cb).join(assigned, "vec_id")
+    cb = spark.createDataFrame(cb_rows, "m int, code_id long, c_sv array<long>")
+    codes = _ivfpq_codes(base, dim, m_sub, cent_rows, cb_rows, residual=True)
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
     cb.write.mode("overwrite").parquet(f"{index_path}/codebooks")
-    codes.write.mode("overwrite").partitionBy("cell_id").parquet(
-        f"{index_path}/codes"
-    )
+    codes.select("vec_id", "m", "code_id", "cell_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(f"{index_path}/codes")
     return dim
 
 
