@@ -366,7 +366,9 @@ def signature_groups(sigs: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs_grouped(sigs: DataFrame) -> DataFrame:
+def candidate_pairs_grouped(
+    sigs: DataFrame, groups: DataFrame | None = None
+) -> DataFrame:
     """Candidate pairs via SIGNATURE GROUPING — same pair set as
     ``candidate_pairs(lsh_bands(sigs))``, built the way a boilerplate-
     heavy corpus demands.
@@ -387,9 +389,15 @@ def candidate_pairs_grouped(sigs: DataFrame) -> DataFrame:
       count, not doc count), then expand the member cross-product, again
       repartitioning between explodes. Signature groups are disjoint, so
       each unordered doc pair appears exactly once; least/greatest
-      restores the doc_a < doc_b convention."""
+      restores the doc_a < doc_b convention.
+
+    ``groups``: pre-materialized :func:`signature_groups` output for the
+    same ``sigs`` (caller already holds a checkpointed copy — e.g. the
+    ingest loop, which also appends it to the grouped store); passing it
+    skips a duplicate group shuffle + eager checkpoint job (r15)."""
     sig_cols = [f"m{i}" for i in range(N_HASHES)]
-    groups = signature_groups(sigs).localCheckpoint()
+    if groups is None:
+        groups = signature_groups(sigs).localCheckpoint()
     par = SALT_GROUPS * 4
     within = (
         groups.filter(F.size("members") > 1)
@@ -609,7 +617,12 @@ def incremental_minhash_dedup(
     )
 
 
-def _incremental_candidates(sigs_c: DataFrame, sigs_n: DataFrame) -> DataFrame:
+def _incremental_candidates(
+    sigs_c: DataFrame,
+    sigs_n: DataFrame,
+    gc: DataFrame | None = None,
+    gn: DataFrame | None = None,
+) -> DataFrame:
     """Candidate (batch doc, corpus-or-earlier-batch doc) pairs for the
     incremental dedup family — SIGNATURE-GROUPED on BOTH sides, for the
     same reason :func:`candidate_pairs_grouped` groups the self-join: a
@@ -623,7 +636,20 @@ def _incremental_candidates(sigs_c: DataFrame, sigs_n: DataFrame) -> DataFrame:
     never shuffles), then expand both member lists through repartitioned
     explodes. Identical signatures across sides share every band key,
     so the rep join catches them at band 0. Returns (doc_a = batch doc,
-    doc_b = corpus doc) plus in-batch pairs oriented later-as-new."""
+    doc_b = corpus doc) plus in-batch pairs oriented later-as-new.
+
+    ``gc``/``gn``: pre-grouped sides. ``gc`` is the GROUPED signature
+    store read straight from parquet (r15 — the store persists group
+    rows, so the per-batch corpus regroup shuffle + eager checkpoint
+    disappear; a parquet scan's lineage is already cut, so the
+    constraint-propagation guard below is moot for it). ``gn`` is a
+    checkpointed batch-group relation the caller reuses for its own
+    store append. Group-set identity across generations is NOT required:
+    two store generations may both hold a group row for the same
+    signature — their reps band-join the batch independently (identical
+    signatures share every band key) and their member lists are
+    disjoint (each doc lives in exactly one generation), so each
+    (batch doc, store doc) pair still arises exactly once."""
     sig_cols = [f"m{i}" for i in range(N_HASHES)]
     # localCheckpoint for the same two reasons candidate_pairs_grouped
     # checkpoints ITS groups: (a) the group relations feed multiple
@@ -633,8 +659,10 @@ def _incremental_candidates(sigs_c: DataFrame, sigs_n: DataFrame) -> DataFrame:
     # growth (observed as an optimizer-time OOM, not an execution-time
     # one). The groups are narrow (one row per distinct signature), so
     # the materialization is metadata-sized next to the corpus.
-    gc = signature_groups(sigs_c).localCheckpoint()
-    gn = signature_groups(sigs_n).localCheckpoint()
+    if gc is None:
+        gc = signature_groups(sigs_c).localCheckpoint()
+    if gn is None:
+        gn = signature_groups(sigs_n).localCheckpoint()
     bands_c = lsh_bands(gc.select(F.col("rep").alias("doc_id"), *sig_cols))
     bands_n = lsh_bands(gn.select(F.col("rep").alias("doc_id"), *sig_cols))
     a = bands_c.alias("a")
@@ -670,7 +698,9 @@ def _incremental_candidates(sigs_c: DataFrame, sigs_n: DataFrame) -> DataFrame:
     )
     # In-batch pairs: the grouped self-join yields doc_a < doc_b; the
     # LATER arrival is the "new" doc being flagged against the earlier.
-    within = candidate_pairs_grouped(sigs_n).select(
+    # gn is exactly signature_groups(sigs_n) — reuse it so the batch is
+    # grouped (and eagerly checkpointed) once, not twice (r15).
+    within = candidate_pairs_grouped(sigs_n, groups=gn).select(
         F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
     )
     return cross.unionByName(within)
@@ -683,15 +713,22 @@ def incremental_dedup_from_store(
     incoming: DataFrame,
     threshold: float = 0.5,
     hashed: bool = True,
+    batch_groups: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`incremental_minhash_dedup` against a persisted SIGNATURE
     STORE — the two production mechanics the self-contained variant only
     documents, made real:
 
-    - Corpus signatures are READ from ``store_path`` (a parquet relation
-      (doc_id, m0..m{N_HASHES-1}) maintained by appending each ingested
-      batch's ``signatures_for`` output), not recomputed: steady-state
-      per-batch cost never re-tokenizes the corpus.
+    - Corpus signatures are READ from ``store_path`` as GROUP rows
+      (m0..m{N_HASHES-1}, members, rep — :func:`signature_groups`
+      output, maintained by appending each ingested batch's groups), not
+      recomputed AND not regrouped: steady-state per-batch cost never
+      re-tokenizes the corpus, and since r15 never re-shuffles the
+      ever-growing store either (guide §2.4 — the per-batch
+      O(|store|) group exchange + eager checkpoint job are gone; the
+      candidate stage reads the grouped parquet straight into the rep
+      band join). Cross-generation group fragmentation is harmless —
+      see :func:`_incremental_candidates`.
     - Exact-Jaccard verification tokenizes ONLY the corpus docs that
       actually appear in a candidate pair (fetch-by-id: a semi-join of
       the corpus on the candidates' distinct dup-side ids) plus the
@@ -699,32 +736,38 @@ def incremental_dedup_from_store(
       smaller than the corpus, so the verify stage's scan cost tracks
       the batch too.
 
+    ``batch_groups``: optional pre-checkpointed
+    ``signature_groups(signatures of incoming)`` — the ingest loop
+    passes the same relation it appends to the store, so the batch is
+    grouped exactly once per micro-batch.
+
     Same output contract as :func:`incremental_minhash_dedup`; identical
     results for identical inputs, since the store holds exactly the
-    signatures the self-contained variant recomputes."""
-    # The store holds per-doc signatures; group at read (one shuffle of
-    # the narrow signature relation — at production scale the GROUPED
-    # form would itself be a maintained store artifact). Recursive
-    # lookup: the streaming ingest loop appends each batch under a
-    # batch-scoped subdir (b<id>/ — overwrite-idempotent replays, r15);
-    # a flat store reads identically, and _-prefixed entries stay
-    # hidden either way.
-    sigs_c = spark.read.option("recursiveFileLookup", "true").parquet(store_path)
+    signatures the self-contained variant recomputes (grouped)."""
+    # Recursive lookup: the streaming ingest loop appends each batch
+    # under a batch-scoped subdir (b<id>/ — overwrite-idempotent
+    # replays, r15); a flat store reads identically, and _-prefixed
+    # entries stay hidden either way.
+    gc = spark.read.option("recursiveFileLookup", "true").parquet(store_path)
     # incoming is batch-sized (a streaming micro-batch in the ingest
     # loop): its md5 work fits one task, so the narrow-scan spread is
     # pure per-batch exchange overhead — opted out.
-    sigs_n = (
-        signatures_rowlocal(incoming, spread=False)
-        if hashed
-        else signatures_for(tokenize(incoming), hashed=False)
-    )
+    if batch_groups is None:
+        sigs_n = (
+            signatures_rowlocal(incoming, spread=False)
+            if hashed
+            else signatures_for(tokenize(incoming), hashed=False)
+        )
+        batch_groups = signature_groups(sigs_n).localCheckpoint()
     # The pairs relation feeds BOTH the fetch-by-id semi-join and the
     # verify join; unmaterialized, the whole candidate subplan (store
-    # scan, grouping, band join, explodes) executes twice. Unlike the
+    # scan, band join, explodes) executes twice. Unlike the
     # token relation (wider than its source — recompute wins there),
     # pairs is two longs per row, so materializing once is the cheap
     # side of the trade. On a cluster: persist() / checkpoint().
-    pairs = _incremental_candidates(sigs_c, sigs_n).localCheckpoint()
+    pairs = _incremental_candidates(
+        None, None, gc=gc, gn=batch_groups
+    ).localCheckpoint()
     hit_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     corpus_hits = corpus.join(hit_ids, "doc_id", "left_semi")
     # ``corpus`` may CONTAIN the incoming docs (the caller passes the
@@ -756,17 +799,21 @@ def incremental_dedup_from_store(
 def build_signature_store(
     spark, docs: DataFrame, store_path: str, hashed: bool = True
 ) -> None:
-    """Materialize the minhash signature store for a corpus: one parquet
-    row (doc_id, m0..m{N_HASHES-1}) per doc. Production appends each
-    ingested batch's signatures (``mode("append")`` keyed by ingestion
-    date); here the store is (re)built whole for a self-contained
-    query."""
+    """Materialize the minhash signature store for a corpus as GROUP
+    rows: one parquet row (m0..m{N_HASHES-1}, members, rep) per distinct
+    signature (:func:`signature_groups` output). Storing the grouped
+    form moves the group shuffle from EVERY per-batch read to the one
+    write that maintains the store (r15, guide §2.4): production
+    appends each ingested batch's groups (``mode("append")`` keyed by
+    ingestion date — fragmentation across appends is harmless, see
+    :func:`_incremental_candidates`); here the store is (re)built whole
+    for a self-contained query."""
     sigs = (
         signatures_rowlocal(docs)
         if hashed
         else signatures_for(tokenize(docs), hashed=False)
     )
-    sigs.write.mode("overwrite").parquet(store_path)
+    signature_groups(sigs).write.mode("overwrite").parquet(store_path)
 
 
 def connected_components(

@@ -489,10 +489,12 @@ def stream_ingest_dedup(
     (maxFilesPerTrigger=1 over deterministic slices), and each
     ``foreachBatch`` body (1) dedups the batch against the SIGNATURE
     STORE via :func:`operators.dedup.incremental_dedup_from_store`
-    (batch bands broadcast; store side never shuffles), (2) appends the
-    verified near-dup report to the sink, and (3) appends the batch's
-    own signatures to the store — so later batches see earlier ones,
-    exactly like sequential production ingestion.
+    (batch bands broadcast; the GROUPED store — signature_groups rows
+    since r15 — is read straight into the rep band join, never
+    shuffled or regrouped), (2) appends the verified near-dup report to
+    the sink, and (3) appends the batch's own signature GROUPS to the
+    store — so later batches see earlier ones, exactly like sequential
+    production ingestion.
 
     Batch ORDER is an engine detail (file mtime), so the sink contract
     must be order-independent: a cross-batch pair is discovered exactly
@@ -567,8 +569,22 @@ def stream_ingest_dedup(
         store_b = Path(store) / f"b{batch_id}"
         shutil.rmtree(sink_b, ignore_errors=True)
         shutil.rmtree(store_b, ignore_errors=True)
+        # group the batch's signatures ONCE (eager checkpoint): the same
+        # relation serves candidate generation (both the cross band join
+        # and the in-batch self-join) AND the grouped-store append below
+        # (r15 — the store persists signature_groups rows, so no batch
+        # is ever grouped twice and the store is never regrouped at read)
+        gn = D.signature_groups(
+            D.signatures_rowlocal(batch_df, spread=False)
+        ).localCheckpoint()
         report = D.incremental_dedup_from_store(
-            spark, store, d_all, batch_df, threshold=threshold, hashed=True
+            spark,
+            store,
+            d_all,
+            batch_df,
+            threshold=threshold,
+            hashed=True,
+            batch_groups=gn,
         )
         both_batch = F.col("dup_of") % 5 == 0
         normalized = report.select(
@@ -584,18 +600,15 @@ def stream_ingest_dedup(
         normalized.write.mode("overwrite").parquet(str(sink_b))
         # the production loop's append: this batch becomes part of the
         # store the NEXT batch dedups against (batch-scoped subdir —
-        # the store read is recursive).
-        # spread=False: a micro-batch repartitioned to session
-        # parallelism would append 32 tiny files per batch to the store
-        # and pay a per-batch exchange for one task's worth of md5.
+        # the store read is recursive). The appended relation is the
+        # ALREADY-CHECKPOINTED gn — writing it is a plain scan of the
+        # materialized groups, no recompute.
         if batch_id in _TEST_DEDUP_CRASH_BEFORE_MARKER:
             # test hook: crash BETWEEN the two writes — sink applied,
             # store not — the nastiest point of the old append layout
             _TEST_DEDUP_CRASH_BEFORE_MARKER.discard(batch_id)
             raise RuntimeError(f"injected crash mid-application, batch {batch_id}")
-        D.signatures_rowlocal(batch_df, spread=False).write.mode(
-            "overwrite"
-        ).parquet(str(store_b))
+        gn.write.mode("overwrite").parquet(str(store_b))
         marker.touch()
         if _crash_after_batch is not None and batch_id == _crash_after_batch:
             # the injected crash lands AFTER full application, BEFORE

@@ -428,6 +428,55 @@ def test_signature_store_variant_matches_inline_incremental(spark, sf_dir):
     assert inline == stored
 
 
+def test_grouped_store_fragmented_generations_match_inline(
+    spark, sf_dir, tmp_path
+):
+    """r15 grouped signature store: generations are appended WITHOUT
+    re-merging, so one signature may own group rows in several
+    generations (the ingest loop's steady state). The candidate/verify
+    pipeline must be invariant to that fragmentation: reps of
+    identical-signature fragments band-join the batch independently and
+    member lists are disjoint, so the report equals the self-contained
+    variant's. Split the corpus store into two arbitrary generations
+    (id parity — twin duplicates get separated, fragmenting their
+    shared-signature groups) and require pair-identical output."""
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.operators import dedup as D
+
+    d = Tables(spark, sf_dir).documents
+    incoming = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    store = str(tmp_path / "frag_store")
+    D.build_signature_store(
+        spark, corpus.filter(F.col("doc_id") % 2 == 0), store
+    )
+    D.signature_groups(
+        D.signatures_rowlocal(corpus.filter(F.col("doc_id") % 2 == 1))
+    ).write.mode("overwrite").parquet(f"{store}/b0")
+    # sanity: the split really fragments at least one signature group
+    gens = spark.read.option("recursiveFileLookup", "true").parquet(store)
+    sig_cols = [f"m{i}" for i in range(D.N_HASHES)]
+    assert gens.groupBy(*sig_cols).count().filter("count > 1").count() > 0
+    frag = sorted(
+        map(
+            tuple,
+            D.incremental_dedup_from_store(
+                spark, store, corpus, incoming, threshold=0.5
+            ).collect(),
+        )
+    )
+    inline = sorted(
+        map(
+            tuple,
+            D.incremental_minhash_dedup(corpus, incoming, threshold=0.5).collect(),
+        )
+    )
+    assert len(frag) > 0
+    assert frag == inline
+
+
 def test_read_parquet_table_normalizes_any_timestamp_encoding(spark, tmp_path):
     # The driver's generator has emitted TIMESTAMP(NANOS) (rounds 1-4)
     # and timestamp[us]/NTZ (round 5). Whatever the footer says, every

@@ -85,14 +85,18 @@ def test_ingest_dedup_crash_MID_application_resumes_row_identical(spark, sf_dir)
         ops._TEST_DEDUP_CRASH_BEFORE_MARKER.discard(1)
     got = _rows(ops.stream_ingest_dedup(spark, sf_dir, _resume=True))
     assert got == expected
-    # the store holds each batch's signatures exactly once
+    # the store holds each batch's signatures exactly once (r15 grouped
+    # store: one row per distinct signature per generation, docs carried
+    # in the members array — a double-applied batch would repeat ids)
     store = ops._pid_run_dir(
         "sig_store_stream", ops._staging_key(sf_dir), keep=True
     )
+    from pyspark.sql import functions as F
+
     sigs = (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(str(store))
-        .select("doc_id")
+        .select(F.explode("members").alias("doc_id"))
     )
     assert sigs.count() == sigs.distinct().count()
 
