@@ -23,6 +23,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -250,6 +252,23 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
 SALT_GROUPS = 16
 
 
+def _explode_par() -> int:
+    """Partition count for the repartitions that spread quadratic
+    member-explode work across the cluster: derived from the session's
+    parallelism instead of a constant (guide §2 — scale-adaptive
+    partitioning; the old SALT_GROUPS*4=64 was tuned for neither
+    local[32] nor a real cluster, and three unioned 64-way branches
+    made every downstream stage run 192 tiny tasks at bench scale).
+    Floored at SALT_GROUPS so a mega-group still spreads at least as
+    far as the salted band join does."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # pragma: no cover — operators always run in-session
+        return SALT_GROUPS * 4
+    return max(spark.sparkContext.defaultParallelism, SALT_GROUPS)
+
+
 def candidate_pairs(bands: DataFrame) -> DataFrame:
     """Self-join on (band, band_key) → (doc_a < doc_b) pairs, exactly
     once per pair. The shuffle key is the band key, so only colliding
@@ -288,11 +307,39 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+def _verify_build_hint(docs: DataFrame) -> str | None:
+    """Join-strategy guard for corpus-sized verify joins (r16, VERDICT
+    r15 item 7 / guide §3.1): Catalyst underestimates the doc→token-set
+    relation ~280× (scripts/card_audit.py, r15), so it happily
+    broadcasts it far past any sane executor budget before the linear
+    estimate finally crosses the 10 MB threshold (~sf8) and
+    self-corrects. Estimate the TRUE materialized size instead — the
+    xxhash64 set arrays are ~8 bytes per token instance ≈ raw text
+    bytes ≈ ``DQE_VERIFY_SET_BYTES_FACTOR`` (default 3, the measured
+    zstd text ratio; sf0.1: 3 × ~24 MB scan ≈ 71 MB actual) times the
+    source scan size — and force SHUFFLE_HASH above
+    ``DQE_VERIFY_BROADCAST_CAP`` bytes (default 256 MB). At sf0.1 the
+    corrected estimate (~71 MB) stays under the cap, keeping the
+    broadcast plan the r15 A/B measured fastest locally; past the cap a
+    small-executor cluster gets the shuffle join instead of an OOM.
+    Driver-side plan statistics only — no job."""
+    try:
+        est = int(
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover — py4j surface moved
+        return None
+    factor = float(os.environ.get("DQE_VERIFY_SET_BYTES_FACTOR", "3"))
+    cap = int(os.environ.get("DQE_VERIFY_BROADCAST_CAP", str(256 * 1024**2)))
+    return "shuffle_hash" if est * factor > cap else None
+
+
 def exact_jaccard(
     pairs: DataFrame,
     tokens: DataFrame | None = None,
     threshold: float | None = None,
     doc_sets: DataFrame | None = None,
+    build_hint: str | None = None,
 ) -> DataFrame:
     """Exact set-Jaccard for given pairs from the (doc, tok) relation
     (``tokens``) or from a precomputed doc→sorted-hash-array relation
@@ -341,12 +388,28 @@ def exact_jaccard(
         doc_sets = t64.groupBy("doc_id").agg(
             F.sort_array(F.collect_set("t")).alias("toks")
         )
-    sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    n_inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    n_union = F.size("toks_a") + F.size("toks_b") - n_inter
+    # Join the SAME doc_sets relation twice (aliased, renamed only
+    # ABOVE the join) instead of joining two differently-projected
+    # copies: identical join inputs canonicalize to one exchange, so
+    # the doc→set relation is broadcast/shuffled ONCE and the second
+    # join is a ReusedExchange (r16, guide §2.4 — two operations keyed
+    # the same way share one exchange; previously sa and sb were two
+    # separate broadcast builds of the same data).
+    # ``build_hint`` (e.g. "shuffle_hash" from :func:`_verify_build_hint`)
+    # pins the doc-sets side's join strategy; both hinted shuffles key on
+    # doc_id, so the relation is exchanged once and reused.
+    if build_hint:
+        doc_sets = doc_sets.hint(build_hint)
+    sa = doc_sets.alias("sa")
+    sb = doc_sets.alias("sb")
+    toks_a = F.col("sa.toks")
+    toks_b = F.col("sb.toks")
+    n_inter = F.size(F.array_intersect(toks_a, toks_b))
+    n_union = F.size(toks_a) + F.size(toks_b) - n_inter
     jac = n_inter.cast("double") / n_union.cast("double")
-    base = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    base = pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id")).join(
+        sb, F.col("doc_b") == F.col("sb.doc_id")
+    )
     if threshold is not None:
         base = base.filter(jac >= threshold)
     return base.select("doc_a", "doc_b", jac.alias("jaccard"))
@@ -398,7 +461,7 @@ def candidate_pairs_grouped(
     sig_cols = [f"m{i}" for i in range(N_HASHES)]
     if groups is None:
         groups = signature_groups(sigs).localCheckpoint()
-    par = SALT_GROUPS * 4
+    par = _explode_par()
     within = (
         groups.filter(F.size("members") > 1)
         .select("members", F.explode("members").alias("doc_a"))
@@ -492,7 +555,10 @@ def minhash_dedup_pairs(
         sigs = signatures_rowlocal(docs)
         pairs = candidate_pairs_grouped(sigs)
         verified = exact_jaccard(
-            pairs, threshold=threshold, doc_sets=doc_hash_sets_rowlocal(docs)
+            pairs,
+            threshold=threshold,
+            doc_sets=doc_hash_sets_rowlocal(docs),
+            build_hint=_verify_build_hint(docs),
         )
     else:
         tokens = tokenize(docs)
@@ -536,7 +602,10 @@ def minhash_dup_edges(
     # token-relation shuffles to reuse or checkpoint.
     if hashed:
         sigs = signatures_rowlocal(docs)
-        verify_kw = {"doc_sets": doc_hash_sets_rowlocal(docs)}
+        verify_kw = {
+            "doc_sets": doc_hash_sets_rowlocal(docs),
+            "build_hint": _verify_build_hint(docs),
+        }
     else:
         tokens = tokenize(docs)
         sigs = signatures_for(tokens, hashed=False)
@@ -618,11 +687,12 @@ def incremental_minhash_dedup(
 
 
 def _incremental_candidates(
-    sigs_c: DataFrame,
-    sigs_n: DataFrame,
+    sigs_c: DataFrame | None,
+    sigs_n: DataFrame | None,
     gc: DataFrame | None = None,
     gn: DataFrame | None = None,
-) -> DataFrame:
+    with_store_hits: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Candidate (batch doc, corpus-or-earlier-batch doc) pairs for the
     incremental dedup family — SIGNATURE-GROUPED on BOTH sides, for the
     same reason :func:`candidate_pairs_grouped` groups the self-join: a
@@ -649,8 +719,24 @@ def _incremental_candidates(
     signature — their reps band-join the batch independently (identical
     signatures share every band key) and their member lists are
     disjoint (each doc lives in exactly one generation), so each
-    (batch doc, store doc) pair still arises exactly once."""
+    (batch doc, store doc) pair still arises exactly once.
+
+    ``with_store_hits=True`` additionally returns the store-side
+    candidate-hit doc ids as a second DataFrame, derived from the rep
+    band join + a member explode of the HIT GROUPS — linear in group
+    membership, never touching the quadratic pair relation. The set is
+    exactly the distinct ``doc_b`` values of the cross pairs (every
+    member of a matched store group appears as a doc_b), which is what
+    the fetch-by-id verify needs; in-batch doc_b values are omitted by
+    construction, matching the caller's anti-join of the batch (r16 —
+    this is what lets the caller drop the pairs localCheckpoint: the
+    pair relation now has exactly ONE consumer, the verify join)."""
     sig_cols = [f"m{i}" for i in range(N_HASHES)]
+    if (sigs_c is None and gc is None) or (sigs_n is None and gn is None):
+        raise ValueError(
+            "_incremental_candidates: each side needs sigs or its "
+            "pre-grouped relation (gc/gn)"
+        )
     # localCheckpoint for the same two reasons candidate_pairs_grouped
     # checkpoints ITS groups: (a) the group relations feed multiple
     # joins below, and (b) with the row-local signature projections the
@@ -682,7 +768,7 @@ def _incremental_candidates(
             F.col("a.doc_id").alias("crep"),
         )
     )
-    par = SALT_GROUPS * 4
+    par = _explode_par()
     cross = (
         rep_pairs.join(
             gn.select(F.col("rep").alias("nrep"), F.col("members").alias("mn")),
@@ -703,7 +789,17 @@ def _incremental_candidates(
     within = candidate_pairs_grouped(sigs_n, groups=gn).select(
         F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
     )
-    return cross.unionByName(within)
+    pairs = cross.unionByName(within)
+    if with_store_hits:
+        # Semi join (not inner): rep_pairs repeats a crep once per
+        # matched batch group; semi keeps each hit group once. Members
+        # are disjoint across groups AND generations, so the explode is
+        # already duplicate-free — no distinct shuffle.
+        hit_ids = gc.join(
+            rep_pairs.select(F.col("crep").alias("rep")), "rep", "left_semi"
+        ).select(F.explode("members").alias("doc_id"))
+        return pairs, hit_ids
+    return pairs
 
 
 def incremental_dedup_from_store(
@@ -714,6 +810,7 @@ def incremental_dedup_from_store(
     threshold: float = 0.5,
     hashed: bool = True,
     batch_groups: DataFrame | None = None,
+    store_dirs: list[str] | None = None,
 ) -> DataFrame:
     """:func:`incremental_minhash_dedup` against a persisted SIGNATURE
     STORE — the two production mechanics the self-contained variant only
@@ -736,19 +833,41 @@ def incremental_dedup_from_store(
       smaller than the corpus, so the verify stage's scan cost tracks
       the batch too.
 
-    ``batch_groups``: optional pre-checkpointed
-    ``signature_groups(signatures of incoming)`` — the ingest loop
-    passes the same relation it appends to the store, so the batch is
-    grouped exactly once per micro-batch.
+    ``batch_groups``: optional pre-materialized (checkpointed or
+    parquet-backed) ``signature_groups(signatures of incoming)`` — the
+    ingest loop passes the store subdir it just wrote, so the batch is
+    grouped exactly once per micro-batch. Implies ``hashed=True``:
+    grouped signatures are md5-mod-P by construction, so mixing them
+    with string-token verification would be silently wrong (ADVICE r15).
+
+    ``store_dirs``: explicit store generation dirs to read instead of a
+    recursive listing of ``store_path`` — the ingest loop's write-first
+    layout (r16) appends the CURRENT batch's groups before computing the
+    report, so it must read every generation EXCEPT its own.
 
     Same output contract as :func:`incremental_minhash_dedup`; identical
     results for identical inputs, since the store holds exactly the
     signatures the self-contained variant recomputes (grouped)."""
-    # Recursive lookup: the streaming ingest loop appends each batch
-    # under a batch-scoped subdir (b<id>/ — overwrite-idempotent
-    # replays, r15); a flat store reads identically, and _-prefixed
-    # entries stay hidden either way.
-    gc = spark.read.option("recursiveFileLookup", "true").parquet(store_path)
+    if batch_groups is not None and not hashed:
+        raise ValueError(
+            "incremental_dedup_from_store: batch_groups implies "
+            "hashed=True (grouped signatures are md5-mod-P)"
+        )
+    if store_dirs is not None:
+        gc = spark.read.parquet(*store_dirs)
+    else:
+        # Recursive lookup: the streaming ingest loop appends each batch
+        # under a batch-scoped subdir (b<id>/ — overwrite-idempotent
+        # replays, r15); a flat store reads identically, and _-prefixed
+        # entries stay hidden either way.
+        gc = spark.read.option("recursiveFileLookup", "true").parquet(
+            store_path
+        )
+    if "members" not in gc.columns or "rep" not in gc.columns:
+        raise ValueError(
+            f"signature store at {store_path!r} is not in the grouped "
+            "(r15) format — rebuild it with build_signature_store"
+        )
     # incoming is batch-sized (a streaming micro-batch in the ingest
     # loop): its md5 work fits one task, so the narrow-scan spread is
     # pure per-batch exchange overhead — opted out.
@@ -759,16 +878,17 @@ def incremental_dedup_from_store(
             else signatures_for(tokenize(incoming), hashed=False)
         )
         batch_groups = signature_groups(sigs_n).localCheckpoint()
-    # The pairs relation feeds BOTH the fetch-by-id semi-join and the
-    # verify join; unmaterialized, the whole candidate subplan (store
-    # scan, band join, explodes) executes twice. Unlike the
-    # token relation (wider than its source — recompute wins there),
-    # pairs is two longs per row, so materializing once is the cheap
-    # side of the trade. On a cluster: persist() / checkpoint().
-    pairs = _incremental_candidates(
-        None, None, gc=gc, gn=batch_groups
-    ).localCheckpoint()
-    hit_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # The quadratic pair relation has exactly ONE consumer — the verify
+    # join: the fetch-by-id hit set is derived from the LINEAR rep band
+    # join + hit-group member explode inside _incremental_candidates
+    # (r16), so the r15 pairs localCheckpoint (a full per-batch driver
+    # job + a 192-partition materialization) is gone. Lineage is cut at
+    # the gc parquet scan and the materialized batch_groups, so the
+    # 16-alias constraint-propagation blowup that once forced the eager
+    # checkpoint cannot occur.
+    pairs, hit_ids = _incremental_candidates(
+        None, None, gc=gc, gn=batch_groups, with_store_hits=True
+    )
     corpus_hits = corpus.join(hit_ids, "doc_id", "left_semi")
     # ``corpus`` may CONTAIN the incoming docs (the caller passes the
     # full table so in-batch dup partners resolve too) — the exploded
@@ -779,10 +899,16 @@ def incremental_dedup_from_store(
         incoming.select("doc_id"), "doc_id", "left_anti"
     )
     if hashed:
+        # spread=False on BOTH sides: corpus_only is a join-bearing
+        # plan, so the narrow-scan spread's .rdd partition probe would
+        # force an eager AQE materialization of the semi/anti subplan
+        # (one hidden driver job per batch — the cost the
+        # _spread_narrow_scan docstring warns about), to parallelize
+        # xxhash64 work over a candidate-hit set that is batch-sized.
         verify_kw = {
-            "doc_sets": doc_hash_sets_rowlocal(corpus_only).unionByName(
-                doc_hash_sets_rowlocal(incoming, spread=False)
-            )
+            "doc_sets": doc_hash_sets_rowlocal(
+                corpus_only, spread=False
+            ).unionByName(doc_hash_sets_rowlocal(incoming, spread=False))
         }
     else:
         verify_kw = {

@@ -228,22 +228,35 @@ def bm25_search_index(
     # compact_bm25_index pass produced (the SUM below is then a no-op
     # over one partial — kept for one uniform plan shape).
     sfx = "_compact" if compacted else ""
+    terms = sorted({t for _, t in qterms})
+    # Only the query terms' df values are consumed (the q join below
+    # restricts to them anyway) — filtering BEFORE the merge aggregate
+    # pushes the literal IN into the stats parquet scan, so the
+    # vocabulary-sized relation is pruned at the source (§6).
     stats = (
         spark.read.parquet(str(base / f"stats{sfx}"))
+        .filter(F.col("tok").isin(terms))
         .groupBy("tok")
         .agg(F.sum("df").alias("df"))
     )
     corpus = spark.read.parquet(str(base / f"corpus{sfx}")).agg(
         F.sum("n_docs").alias("n_docs"), F.sum("a_tok").alias("a_tok")
     )
-    terms = sorted({t for _, t in qterms})
     q = spark.createDataFrame(qterms, "q_id long, tok string")
+    # ONE broadcast relation (q_id, tok, df, n_docs, a_tok) instead of
+    # three (q, stats, corpus): the inner joins are associative, so
+    # pre-joining the query terms with the vocabulary stats and corpus
+    # scalars is result-identical, and the postings-side plan carries a
+    # single broadcast hash join — one broadcast build job per search
+    # where there were three, and a smaller plan for the bucket-pruned
+    # planner pass (r16, guide §2.4/§5; measured in OPTIMIZATION_r16.md).
+    # The build stays a distributed aggregate feeding a broadcast — at
+    # scale the vocabulary-sized stats never lands on the driver.
+    q_stats = q.join(stats, "tok").crossJoin(corpus)
     scored = (
         postings.filter(F.col("tok").isin(terms))
-        .join(F.broadcast(q), "tok")
+        .join(F.broadcast(q_stats), "tok")
         .filter(F.col("doc_id") != F.col("q_id"))
-        .join(F.broadcast(stats), "tok")
-        .crossJoin(F.broadcast(corpus))
         .groupBy("q_id", "doc_id")
         .agg(F.sum(F.expr(milli_sql)).cast("long").alias("score_milli"))
     )

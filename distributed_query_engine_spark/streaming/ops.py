@@ -491,10 +491,13 @@ def stream_ingest_dedup(
     STORE via :func:`operators.dedup.incremental_dedup_from_store`
     (batch bands broadcast; the GROUPED store — signature_groups rows
     since r15 — is read straight into the rep band join, never
-    shuffled or regrouped), (2) appends the verified near-dup report to
-    the sink, and (3) appends the batch's own signature GROUPS to the
-    store — so later batches see earlier ones, exactly like sequential
-    production ingestion.
+    shuffled or regrouped), (2) appends the batch's own signature
+    GROUPS to the store FIRST (write-first, r16: that one parquet write
+    doubles as the lineage cut the per-batch localCheckpoint used to
+    pay a separate job for; the report's store read lists prior
+    generation dirs only), and (3) appends the verified near-dup report
+    to the sink — so later batches see earlier ones, exactly like
+    sequential production ingestion.
 
     Batch ORDER is an engine detail (file mtime), so the sink contract
     must be order-independent: a cross-batch pair is discovered exactly
@@ -511,14 +514,17 @@ def stream_ingest_dedup(
     outputs land in BATCH-SCOPED subdirs (``sink/b<id>``,
     ``store/b<id>``) written with overwrite, and an unmarked replay
     CLEANS both subdirs before recomputing (clean-before-apply), so a
-    crash at ANY point — between the sink write and the store write,
-    or between the store write and the marker touch — leaves nothing a
+    crash at ANY point — between the store write and the sink write,
+    or between the sink write and the marker touch — leaves nothing a
     replay cannot erase: the marker is a fast-skip, not the correctness
     mechanism (contrast _bm25_ingest_batch, whose shared-layout appends
     retain a documented post-append pre-marker window for batches > 0).
-    Cleaning must precede the recompute, not just the rewrite: the
-    report reads the store, and a crashed attempt's own ``store/b<id>``
-    would otherwise feed the batch its OWN signatures (self-pairs).
+    The report additionally reads the store through an EXPLICIT list of
+    prior generation dirs (never its own ``store/b<id>``, which under
+    the r16 write-first layout exists before the report runs), so even
+    a stale current-batch generation could never feed the batch its OWN
+    signatures (self-pairs); the clean keeps crashed partials from
+    surviving a replay.
     ``_resume=True`` re-enters an existing checkpoint/sink/store
     instead of clearing them, ``_crash_after_batch`` injects a
     post-commit-window crash, and ``_TEST_DEDUP_CRASH_BEFORE_MARKER``
@@ -538,7 +544,12 @@ def stream_ingest_dedup(
         _pid_run_dir("sig_store_stream", _staging_key(sf_dir), keep=_resume)
     )
     if not _resume:
-        D.build_signature_store(spark, corpus, store, hashed=True)
+        # generation-dir layout (r16): the initial build is one more
+        # generation subdir, so each batch's store read is an explicit
+        # list of PRIOR generation dirs (write-first layout below)
+        D.build_signature_store(
+            spark, corpus, str(Path(store) / "b_init"), hashed=True
+        )
 
     slices = _stage_docs_sliced(spark, sf_dir, n_slices)
     batches = (
@@ -569,14 +580,30 @@ def stream_ingest_dedup(
         store_b = Path(store) / f"b{batch_id}"
         shutil.rmtree(sink_b, ignore_errors=True)
         shutil.rmtree(store_b, ignore_errors=True)
-        # group the batch's signatures ONCE (eager checkpoint): the same
-        # relation serves candidate generation (both the cross band join
-        # and the in-batch self-join) AND the grouped-store append below
-        # (r15 — the store persists signature_groups rows, so no batch
-        # is ever grouped twice and the store is never regrouped at read)
-        gn = D.signature_groups(
-            D.signatures_rowlocal(batch_df, spread=False)
-        ).localCheckpoint()
+        # WRITE-FIRST store append (r16, guide §2.4/§5 — one driver job
+        # where r15 ran two): the batch's signature groups are computed
+        # once and written STRAIGHT to this batch's store generation;
+        # the parquet read-back cuts lineage exactly like the r15
+        # localCheckpoint did, and the separate post-report store-append
+        # job is gone. The report's store read lists the PRIOR
+        # generation dirs explicitly, so the batch never sees its own
+        # signatures (no self-pairs).
+        # spread=True: the micro-batch arrives as ONE file split, so
+        # unspread md5/minhash work runs on one core (~0.5 s/batch
+        # measured at sf0.1); the exchange moves only the batch's
+        # compact rows. Store file count is unaffected — the
+        # signature_groups groupBy re-partitions anyway and AQE
+        # coalesces the tiny shuffle before the write (r16; the old
+        # "32 tiny store files" caveat predates the r15 grouped store).
+        D.signature_groups(
+            D.signatures_rowlocal(batch_df, spread=True)
+        ).write.mode("overwrite").parquet(str(store_b))
+        gn = spark.read.parquet(str(store_b))
+        prior_dirs = sorted(
+            str(p)
+            for p in Path(store).iterdir()
+            if p.is_dir() and p != store_b and not p.name.startswith("_")
+        )
         report = D.incremental_dedup_from_store(
             spark,
             store,
@@ -585,6 +612,7 @@ def stream_ingest_dedup(
             threshold=threshold,
             hashed=True,
             batch_groups=gn,
+            store_dirs=prior_dirs,
         )
         both_batch = F.col("dup_of") % 5 == 0
         normalized = report.select(
@@ -597,18 +625,14 @@ def stream_ingest_dedup(
             "jaccard",
             "is_dup",
         )
-        normalized.write.mode("overwrite").parquet(str(sink_b))
-        # the production loop's append: this batch becomes part of the
-        # store the NEXT batch dedups against (batch-scoped subdir —
-        # the store read is recursive). The appended relation is the
-        # ALREADY-CHECKPOINTED gn — writing it is a plain scan of the
-        # materialized groups, no recompute.
         if batch_id in _TEST_DEDUP_CRASH_BEFORE_MARKER:
-            # test hook: crash BETWEEN the two writes — sink applied,
-            # store not — the nastiest point of the old append layout
+            # test hook: crash BETWEEN the two writes — store applied,
+            # sink not (the write-first mirror of the r15 window); the
+            # replay's clean-before-apply must erase the orphan store
+            # generation or the batch would pair against itself
             _TEST_DEDUP_CRASH_BEFORE_MARKER.discard(batch_id)
             raise RuntimeError(f"injected crash mid-application, batch {batch_id}")
-        gn.write.mode("overwrite").parquet(str(store_b))
+        normalized.write.mode("overwrite").parquet(str(sink_b))
         marker.touch()
         if _crash_after_batch is not None and batch_id == _crash_after_batch:
             # the injected crash lands AFTER full application, BEFORE
@@ -616,13 +640,34 @@ def stream_ingest_dedup(
             # window the marker exists for
             raise RuntimeError(f"injected crash after batch {batch_id}")
 
-    q = (
-        batches.writeStream.foreachBatch(process)
-        .option("checkpointLocation", str(ckpt))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Constraint propagation over the 16 m0..m15 alias chains makes
+    # Catalyst's ExpressionSet grow combinatorially on every (re)plan of
+    # the per-batch candidate+verify DAG — and with AQE each query-stage
+    # boundary re-optimizes the remaining plan, so the cost recurs per
+    # stage per batch (measured 0.40 s vs 0.09 s per initial plan at
+    # sf0.1). The rule only INFERS extra predicates (isnotnull,
+    # transitive filters) — every filter this pipeline needs is stated
+    # explicitly — so disabling it during the ingest loop is
+    # result-identical. Scoped set/restore, not a session default.
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    try:
+        cp_old = spark.conf.get(cp_key)
+    except Exception:
+        cp_old = None
+    spark.conf.set(cp_key, "false")
+    try:
+        q = (
+            batches.writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if cp_old is None:
+            spark.conf.unset(cp_key)
+        else:
+            spark.conf.set(cp_key, cp_old)
     LAST_RUN_BATCHES[name] = len(
         [p for p in q.recentProgress if p["numInputRows"] > 0]
     )

@@ -477,6 +477,42 @@ def test_grouped_store_fragmented_generations_match_inline(
     assert frag == inline
 
 
+def test_verify_build_hint_guard(spark, sf_dir, monkeypatch):
+    """r16 verify-join size guard (VERDICT r15 item 7): Catalyst
+    underestimates the doc→token-set relation ~280×, so the guard sizes
+    it from the source scan instead. Below DQE_VERIFY_BROADCAST_CAP the
+    local-optimal broadcast plan is kept; above it the verify joins
+    must plan as SHUFFLE_HASH (OOM-safe on small executors), with
+    set-identical output either way."""
+    from pyspark.sql import functions as F
+
+    from distributed_query_engine_spark.catalog import Tables
+    from distributed_query_engine_spark.operators import dedup as D
+
+    docs = Tables(spark, sf_dir).documents
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # default cap (256 MB): unit-SF corpus stays on the broadcast plan
+    assert D._verify_build_hint(docs) is None
+    base = D.minhash_dedup_pairs(docs)
+    assert "ShuffledHashJoin" not in plan_of(base)
+
+    # tripped cap: hint fires and the verify joins plan as shuffle-hash
+    monkeypatch.setenv("DQE_VERIFY_BROADCAST_CAP", "1")
+    assert D._verify_build_hint(docs) == "shuffle_hash"
+    guarded = D.minhash_dedup_pairs(docs)
+    assert "ShuffledHashJoin" in plan_of(guarded)
+
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, guarded.collect()))
+    assert len(a) > 0
+    assert a == b
+
+
 def test_read_parquet_table_normalizes_any_timestamp_encoding(spark, tmp_path):
     # The driver's generator has emitted TIMESTAMP(NANOS) (rounds 1-4)
     # and timestamp[us]/NTZ (round 5). Whatever the footer says, every
