@@ -1006,6 +1006,7 @@ def test_bpe_encode_matches_python_model(spark):
         assert got[w] == py_bpe(w, merges), (w, got[w], py_bpe(w, merges))
 
 
+@pytest.mark.slow  # r16: 30-60 s single test — slow tier
 def test_bpe_train_degenerate_corpus_stops_early_and_matches_oracle(
     spark, tmp_path
 ):

@@ -16,6 +16,11 @@ own staging does at build time.
 
 from __future__ import annotations
 
+import pytest
+
+# slow tier (r16): registry-wide plan walk (~3 min); excluded from the default run (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import sys
 from pathlib import Path
 

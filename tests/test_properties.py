@@ -7,6 +7,8 @@ groups), which is where SURVEY.md §5 found the reference's gaps.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -837,6 +839,7 @@ def test_bpe_train_matches_python_reference_trainer(spark, docs):
     )
 )
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # r16: 30-60 s single test — slow tier
 def test_kmeans_cell_stats_matches_python_model(spark, vecs):
     """kmeans_cell_stats vs a pure-Python Lloyd model: lowest-id seeds,
     cosine argmax with the (cos desc, cell asc) tie-break as a float

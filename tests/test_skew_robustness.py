@@ -14,6 +14,11 @@ is the always-on pin at K=2 over sf0.001.
 
 from __future__ import annotations
 
+import pytest
+
+# slow tier (r16): skewed-slice scale suite; excluded from the default run (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import subprocess
 import sys
 from pathlib import Path
